@@ -1,0 +1,264 @@
+"""Averaged-perceptron POS tagger (textblob-aptagger family).
+
+Behavioral spec: tsawler/prose tag.go (perceptronTagger, tag.go:236-370) and
+its v3 trainer (training.go:80-215) — the same public algorithm as
+NLTK/textblob's averaged perceptron. Re-implemented from the published
+algorithm; the pretrained weights blob is absent from the reference
+snapshot, so weights are trained from the treebank fixture corpus by
+``scripts/train_tagger.py`` and stored in ``prose_spark/models/``.
+
+Faithful details:
+- feature set of 14 templates (tag.go:328-349) with Go BYTE-slicing
+  semantics (``w[0]`` is the first byte; suffixes are byte suffixes). We
+  build feature keys in latin-1-decoded byte space so multi-byte UTF-8
+  words produce the same keys at train and inference time.
+- ``normalize``: !HYPHEN / !YEAR / !DIGITS / lowercase (tag.go:357-370).
+- hardcoded tag rules before the model: "-", emoticon->SYM, @...->NN,
+  the -NONE- regex, the ``-XXX-`` keep regex, then the frequent-word
+  tagMap fast path on the RAW surface form (tag.go:277-289).
+- greedy left-to-right decode feeding predicted p1/p2 forward
+  (tag.go:262-298); context padded with -START-/-START2-/-END-/-END2-.
+- deterministic argmax tie-break: highest score, ties broken by
+  lexicographically smallest class (documented deviation from Go's
+  random map iteration order, SURVEY.md §0.5).
+- trainer: tagMap words bypass updates; lazy averaged weights with
+  timestamps (training.go:373-398); averaged weights below 1e-6 dropped
+  (training.go:317-333); tagMap built from words with n>=20 and purity
+  >=0.97 (training.go:336-360).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import random
+import re
+from pathlib import Path
+
+MODELS_DIR = Path(__file__).resolve().parent.parent / "models"
+
+START = ["-START-", "-START2-"]
+END = ["-END-", "-END2-"]
+
+_NONE_RE = re.compile(r"^(?:0|\*[\w?]\*|\*\-\d{1,3}|\*[A-Z]+\*\-\d{1,3}|\*)$", re.ASCII)
+_KEEP_RE = re.compile(r"^\-[A-Z]{3}\-$")
+_INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
+
+
+def _b(s: str) -> str:
+    """Map a str to latin-1 byte space so slicing = Go byte slicing."""
+    return s.encode("utf-8").decode("latin-1")
+
+
+def normalize(word: str) -> str:
+    """Word normalization for context features (tag.go:357-370)."""
+    if word == "":
+        return word
+    wb = _b(word)
+    if "-" in word and wb[0] != "-":
+        return "!HYPHEN"
+    if _INT_RE.match(word) and len(wb) == 4:
+        return "!YEAR"
+    if wb[0].isdigit() and wb[0].isascii():
+        return "!DIGITS"
+    return _b(word.lower())
+
+
+def featurize(i: int, ctx: list[str], w: str, p1: str, p2: str) -> list[str]:
+    """The 14 feature templates (tag.go:328-349). ctx is pre-normalized and
+    padded; i is the raw token index (ctx index is i+2). Returns keys."""
+    wb = _b(w)
+    suf = min(len(wb), 3)
+    j = min(len(ctx) - 2, i + 2)
+    cm1, cp1 = ctx[j - 1], ctx[j + 1]
+    im = min(len(cm1), 3)
+    ip = min(len(cp1), 3)
+    return [
+        "bias",
+        "i suffix " + wb[len(wb) - suf :],
+        "i pref1 " + (wb[0] if wb else ""),
+        "i-1 tag " + p1,
+        "i-2 tag " + p2,
+        "i tag+i-2 tag " + p1 + " " + p2,
+        "i word " + ctx[j],
+        "i-1 tag+i word " + p1 + " " + ctx[j],
+        "i-1 word " + cm1,
+        "i-1 suffix " + cm1[len(cm1) - im :],
+        "i-2 word " + ctx[j - 2],
+        "i+1 word " + cp1,
+        "i+1 suffix " + cp1[len(cp1) - ip :],
+        "i+2 word " + ctx[j + 2],
+    ]
+
+
+class AveragedPerceptron:
+    def __init__(self, weights=None, classes=None):
+        self.weights: dict[str, dict[str, float]] = weights or {}
+        self.classes: list[str] = classes or []
+        self.totals: dict[str, float] = {}
+        self.stamps: dict[str, float] = {}
+        self.instances = 0.0
+
+    def predict(self, feats: list[str]) -> str:
+        scores: dict[str, float] = {}
+        wts = self.weights
+        for f in feats:
+            w = wts.get(f)
+            if not w:
+                continue
+            for label, weight in w.items():
+                scores[label] = scores.get(label, 0.0) + weight
+        if not scores:
+            return ""
+        # deterministic: max score, lexicographically-smallest label on ties
+        return min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    # -- training (training.go:373-398) ------------------------------------
+
+    def update(self, truth: str, guess: str, feats: list[str]) -> None:
+        self.instances += 1
+        if truth == guess:
+            return
+        for f in feats:
+            w = self.weights.setdefault(f, {})
+            self._upd(truth, f, w.get(truth, 0.0), 1.0)
+            self._upd(guess, f, w.get(guess, 0.0), -1.0)
+
+    def _upd(self, c: str, f: str, v: float, w: float) -> None:
+        # Lazy averaging accumulates gap * current-weight (the published
+        # textblob/NLTK algorithm). The reference's v3 trainer accumulates
+        # gap * update-direction instead (training.go:395) — a deviation we
+        # do not copy; its shipped model was trained externally (NLTK dump,
+        # scripts/update_model.py) and its trainer tests are disabled.
+        key = f + "-" + c
+        self.totals[key] = self.totals.get(key, 0.0) + (
+            self.instances - self.stamps.get(key, 0.0)
+        ) * v
+        self.stamps[key] = self.instances
+        self.weights[f][c] = w + v
+
+    def average_weights(self) -> None:
+        for feat, w in self.weights.items():
+            new = {}
+            for cls, weight in w.items():
+                key = feat + "-" + cls
+                total = self.totals.get(key, 0.0)
+                total += (self.instances - self.stamps.get(key, 0.0)) * weight
+                if self.instances > 0:
+                    avg = total / self.instances
+                    if abs(avg) > 1e-6:
+                        new[cls] = avg
+            self.weights[feat] = new
+        self.weights = {f: w for f, w in self.weights.items() if w}
+
+
+class PerceptronTagger:
+    def __init__(self, weights=None, tag_map=None, classes=None, emoticons=None):
+        self.model = AveragedPerceptron(weights, classes)
+        self.tag_map: dict[str, str] = tag_map or {}
+        if emoticons is None:
+            from prose_spark.nlp.tokenizer import EMOTICONS
+
+            emoticons = EMOTICONS
+        self.emoticons = emoticons
+
+    # -- inference (tag.go:262-298) -----------------------------------------
+
+    def tag(self, words: list[str]) -> list[str]:
+        p1, p2 = START[0], START[1]
+        ctx = [p1, p2] + [normalize(w) for w in words] + END
+        tags: list[str] = []
+        tag_map = self.tag_map
+        predict = self.model.predict
+        for i, word in enumerate(words):
+            if word == "-":
+                tag = "-"
+            elif word in self.emoticons:
+                tag = "SYM"
+            elif word.startswith("@"):
+                tag = "NN"
+            elif _NONE_RE.match(word):
+                tag = "-NONE-"
+            elif _KEEP_RE.match(word):
+                tag = word
+            else:
+                tag = tag_map.get(word)
+                if tag is None:
+                    tag = predict(featurize(i, ctx, word, p1, p2))
+            tags.append(tag)
+            p2 = p1
+            p1 = tag
+        return tags
+
+    # -- training (training.go:80-215) ---------------------------------------
+
+    def make_tag_map(self, sentences: list[tuple[list[str], list[str]]]) -> None:
+        counts: dict[str, dict[str, int]] = {}
+        classes = set(self.model.classes)
+        for words, tags in sentences:
+            for word, tag in zip(words, tags):
+                counts.setdefault(word, {})
+                counts[word][tag] = counts[word].get(tag, 0) + 1
+                if tag not in classes:
+                    classes.add(tag)
+                    self.model.classes.append(tag)
+        for word, freqs in counts.items():
+            tag = max(sorted(freqs), key=lambda t: freqs[t])
+            n = sum(freqs.values())
+            if n >= 20 and freqs[tag] / n >= 0.97:
+                self.tag_map[word] = tag
+
+    def train(
+        self,
+        sentences: list[tuple[list[str], list[str]]],
+        iterations: int = 5,
+        seed: int = 42,
+        build_tag_map: bool = True,
+    ) -> None:
+        if build_tag_map:
+            self.make_tag_map(sentences)
+        rng = random.Random(seed)
+        data = list(sentences)
+        for _ in range(iterations):
+            for words, tags in data:
+                p1, p2 = START[0], START[1]
+                ctx = [p1, p2] + [normalize(w) for w in words if w != ""] + END
+                for i, word in enumerate(words):
+                    guess = self.tag_map.get(word)
+                    if guess is None:
+                        feats = featurize(i, ctx, word, p1, p2)
+                        guess = self.model.predict(feats)
+                        self.model.update(tags[i], guess, feats)
+                    p2 = p1
+                    p1 = guess
+            rng.shuffle(data)
+        self.model.average_weights()
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        artifact = {
+            "weights": self.model.weights,
+            "tag_map": self.tag_map,
+            "classes": self.model.classes,
+        }
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            json.dump(artifact, f)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "PerceptronTagger":
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            a = json.load(f)
+        return cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"])
+
+
+_DEFAULT: PerceptronTagger | None = None
+
+
+def default_tagger() -> PerceptronTagger:
+    """Lazy singleton over the committed model artifact (one load per
+    Python worker process)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = PerceptronTagger.load(MODELS_DIR / "perceptron_tagger.json.gz")
+    return _DEFAULT

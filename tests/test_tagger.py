@@ -1,0 +1,71 @@
+"""POS tagger tests — port of reference tag_test.go + gob decode checks."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from prose_spark.gobdec import decode_gob_file
+from prose_spark.nlp.tagger import default_tagger, featurize, normalize
+from prose_spark.nlp.tokenizer import tokenize
+
+REF = Path("/root/reference")
+
+
+def test_gob_decode_small():
+    classes = decode_gob_file(str(REF / "model/AveragedPerceptron/classes.gob"))
+    assert len(classes) == 45 and "NNP" in classes and "VBZ" in classes
+    tags = decode_gob_file(str(REF / "model/AveragedPerceptron/tags.gob"))
+    assert isinstance(tags, dict) and len(tags) == 1549
+    assert tags["the"] == "DT"
+
+
+def test_normalize():
+    assert normalize("catch-up") == "!HYPHEN"
+    assert normalize("-") == "-"
+    assert normalize("1984") == "!YEAR"
+    assert normalize("12") == "!DIGITS"
+    assert normalize("Hello") == "hello"
+    assert normalize("") == ""
+
+
+def test_tag_simple_pierre_vinken():
+    # tag_test.go:24-38
+    words = tokenize(
+        "Pierre Vinken, 61 years old, will join the board as a "
+        "nonexecutive director Nov. 29."
+    )
+    tags = default_tagger().tag(words)
+    assert tags == [
+        "NNP", "NNP", ",", "CD", "NNS", "JJ", ",", "MD", "VB", "DT", "NN",
+        "IN", "DT", "JJ", "NN", "NNP", "CD", ".",
+    ]
+
+
+def test_hardcoded_rules():
+    t = default_tagger()
+    assert t.tag(["-"]) == ["-"]
+    assert t.tag([":-)"]) == ["SYM"]
+    assert t.tag(["@user"]) == ["NN"]
+    assert t.tag(["*-1"]) == ["-NONE-"]
+    assert t.tag(["-LRB-"]) == ["-LRB-"]
+
+
+def test_tag_treebank_accuracy_floor():
+    # tag_test.go:40-61 — accuracy >= 0.957477 on the flat 100,676-token
+    # fixture stream.
+    toks = json.loads((REF / "testdata/treebank_tokens.json").read_text())
+    words = [t["text"] for t in toks]
+    expected = json.loads((REF / "testdata/treebank_tags.json").read_text())
+    predicted = default_tagger().tag(words)
+    acc = sum(p == e for p, e in zip(predicted, expected)) / len(expected)
+    assert acc >= 0.957477, f"accuracy {acc:.6f} below floor"
+
+
+def test_featurize_keys_shape():
+    ctx = ["-START-", "-START2-", "pierre", "vinken", "-END-", "-END2-"]
+    feats = featurize(0, ctx, "Pierre", "-START-", "-START2-")
+    assert "bias" in feats
+    assert "i suffix rre" in feats
+    assert "i pref1 P" in feats
+    assert len(feats) == 14
