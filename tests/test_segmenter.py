@@ -1,0 +1,188 @@
+"""Segmenter tests — port of reference segment_test.go (active cases only;
+the reference's FIXME-disabled golden rules 14, 15, 18, 43, 52 are skipped
+there too)."""
+
+import pytest
+
+from prose_spark.nlp.segmenter import default_segmenter, has_sent_end_chars
+
+
+def check(text, expected):
+    got = [s for s, _, _ in default_segmenter().segment(text)]
+    assert got == expected
+
+
+def test_smart_quotes():
+    check(
+        "Here is a quote, ”a smart one.” Will this break properly?",
+        ["Here is a quote, ”a smart one.”", "Will this break properly?"],
+    )
+
+
+def test_custom_abbrev():
+    check(
+        "One custom abbreviation is F.B.I.  The abbreviation, F.B.I. "
+        "should properly break.",
+        ["One custom abbreviation is F.B.I.",
+         "The abbreviation, F.B.I. should properly break."],
+    )
+    check(
+        "An abbreviation near the end of a G.D. sentence.  J.G. Wentworth "
+        "was cool.",
+        ["An abbreviation near the end of a G.D. sentence.",
+         "J.G. Wentworth was cool."],
+    )
+
+
+def test_supervised_abbrev():
+    check(
+        "I am a Sgt. in the army.  I am a No. 1 student.  The Gov. of "
+        "Michigan is a dick.",
+        ["I am a Sgt. in the army.", "I am a No. 1 student.",
+         "The Gov. of Michigan is a dick."],
+    )
+
+
+def test_semicolon():
+    check(
+        "I am here; you are over there.  Will the tokenizer output two "
+        "complete sentences?",
+        ["I am here; you are over there.",
+         "Will the tokenizer output two complete sentences?"],
+    )
+
+
+def test_yahoo_exception():
+    assert not has_sent_end_chars("Yahoo!")
+    check(
+        "She works at Yahoo! in the accounting department.",
+        ["She works at Yahoo! in the accounting department."],
+    )
+
+
+GOLDEN = [
+    ("1 simple period", "Hello World. My name is Jonas.",
+     ["Hello World.", "My name is Jonas."]),
+    ("2 question mark", "What is your name? My name is Jonas.",
+     ["What is your name?", "My name is Jonas."]),
+    ("3 exclamation", "There it is! I found it.",
+     ["There it is!", "I found it."]),
+    ("4 one-letter upper abbrev", "My name is Jonas E. Smith.",
+     ["My name is Jonas E. Smith."]),
+    ("5 one-letter lower abbrev", "Please turn to p. 55.",
+     ["Please turn to p. 55."]),
+    ("6 two-letter lower mid", "Were Jane and co. at the party?",
+     ["Were Jane and co. at the party?"]),
+    ("7 two-letter upper mid",
+     "They closed the deal with Pitt, Briggs & Co. at noon.",
+     ["They closed the deal with Pitt, Briggs & Co. at noon."]),
+    ("8 two-letter lower end", "Let's ask Jane and co. They should know.",
+     ["Let's ask Jane and co.", "They should know."]),
+    ("9 two-letter upper end",
+     "They closed the deal with Pitt, Briggs & Co. It closed yesterday.",
+     ["They closed the deal with Pitt, Briggs & Co.", "It closed yesterday."]),
+    ("10 prepositive", "I can see Mt. Fuji from here.",
+     ["I can see Mt. Fuji from here."]),
+    ("11 pre+postpositive",
+     "St. Michael's Church is on 5th st. near the light.",
+     ["St. Michael's Church is on 5th st. near the light."]),
+    ("12 possessive abbrev", "That is JFK Jr.'s book.",
+     ["That is JFK Jr.'s book."]),
+    ("13 multi-period mid", "I visited the U.S.A. last year.",
+     ["I visited the U.S.A. last year."]),
+    ("16 US + capitalized", "I work for the U.S. Government in Virginia.",
+     ["I work for the U.S. Government in Virginia."]),
+    ("17 US non-boundary", "I have lived in the U.S. for 20 years.",
+     ["I have lived in the U.S. for 20 years."]),
+    ("19 number non-boundary", "She has $100.00 in her bag.",
+     ["She has $100.00 in her bag."]),
+    ("20 number boundary", "She has $100.00. It is in her bag.",
+     ["She has $100.00.", "It is in her bag."]),
+    ("21 parenthetical",
+     "He teaches science (He previously worked for 5 years as an "
+     "engineer.) at the local University.",
+     ["He teaches science (He previously worked for 5 years as an "
+      "engineer.) at the local University."]),
+    ("22 email", "Her email is Jane.Doe@example.com. I sent her an email.",
+     ["Her email is Jane.Doe@example.com.", "I sent her an email."]),
+    ("23 web address",
+     "The site is: https://www.example.50.com/new-site/"
+     "awesome_content.html. Please check it out.",
+     ["The site is: https://www.example.50.com/new-site/"
+      "awesome_content.html.", "Please check it out."]),
+    ("24 single quotes", "She turned to him, 'This is great.' she said.",
+     ["She turned to him, 'This is great.' she said."]),
+    ("25 double quotes mid", 'She turned to him, "This is great." she said.',
+     ['She turned to him, "This is great." she said.']),
+    ("26 double quotes end",
+     'She turned to him, "This is great." She held the book out to show him.',
+     ['She turned to him, "This is great."',
+      "She held the book out to show him."]),
+    ("27 !!", "Hello!! Long time no see.", ["Hello!!", "Long time no see."]),
+    ("28 ??", "Hello?? Who is there?", ["Hello??", "Who is there?"]),
+    ("29 !?", "Hello!? Is that you?", ["Hello!?", "Is that you?"]),
+    ("30 ?!", "Hello?! Is that you?", ["Hello?!", "Is that you?"]),
+    ("40 errant newline pdf",
+     "This is a sentence\ncut off in the middle because pdf.",
+     ["This is a sentence\ncut off in the middle because pdf."]),
+    ("41 errant newline", "It was a cold \nnight in the city.",
+     ["It was a cold \nnight in the city."]),
+    ("44 Yahoo!", "She works at Yahoo! in the accounting department.",
+     ["She works at Yahoo! in the accounting department."]),
+    ("45 I as boundary and initial",
+     "We make a good team, you and I. Did you see Albert I. Jones "
+     "yesterday?",
+     ["We make a good team, you and I.",
+      "Did you see Albert I. Jones yesterday?"]),
+    ("46 ellipsis end of quote",
+     "Thoreau argues that by simplifying one’s life, “the laws of the "
+     "universe will appear less complex. . . .”",
+     ["Thoreau argues that by simplifying one’s life, “the laws of the "
+      "universe will appear less complex. . . .”"]),
+    ("47 ellipsis brackets",
+     '"Bohr [...] used the analogy of parallel stairways [...]" (Smith 55).',
+     ['"Bohr [...] used the analogy of parallel stairways [...]" '
+      "(Smith 55)."]),
+    ("48 spaced ellipsis boundary",
+     "If words are left off at the end of a sentence, and that is all "
+     "that is omitted, indicate the omission with ellipsis marks "
+     "(preceded and followed by a space) and then indicate the end of "
+     "the sentence with a period . . . . Next sentence.",
+     ["If words are left off at the end of a sentence, and that is all "
+      "that is omitted, indicate the omission with ellipsis marks "
+      "(preceded and followed by a space) and then indicate the end of "
+      "the sentence with a period . . . .", "Next sentence."]),
+    ("49 4-dot ellipsis boundary", "I never meant that.... She left the store.",
+     ["I never meant that....", "She left the store."]),
+    ("50 ellipsis non-boundary",
+     "I wasn’t really ... well, what I mean...see . . . what I'm saying, "
+     "the thing is . . . I didn’t mean it.",
+     ["I wasn’t really ... well, what I mean...see . . . what I'm "
+      "saying, the thing is . . . I didn’t mean it."]),
+    ("51 4-dot ellipsis",
+     "One further habit which was somewhat weakened . . . was that of "
+     "combining words into self-interpreting compounds. . . . The "
+     "practice was not abandoned. . . .",
+     ["One further habit which was somewhat weakened . . . was that of "
+      "combining words into self-interpreting compounds. . . .",
+      "The practice was not abandoned. . . ."]),
+]
+
+
+@pytest.mark.parametrize("name,text,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_rules(name, text, expected):
+    check(text, expected)
+
+
+def test_offsets_are_bytes_into_original():
+    text = "“Smart quote.” Next sentence here."
+    sents = default_segmenter().segment(text)
+    raw = text.encode("utf-8")
+    assert len(sents) == 2
+    for s, start, end in sents:
+        assert raw[start:end].decode("utf-8") == s
+
+
+def test_empty_and_whitespace():
+    assert default_segmenter().segment("") == []
+    assert default_segmenter().segment("   \n\t ") == []
