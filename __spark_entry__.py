@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship KG query on sf0.001 (annotate -> triples).
+queries()      — one callable per implemented operator family
+                 (SURVEY.md §2): NLP kernels, text analysis, dedup,
+                 similarity search, relational plumbing.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
+                 NLP-model-dependent queries are rows-only by design.
+
+Column names/aliases match between Spark and SQL; doubles are rounded on
+both sides; counts cast to long.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "but", "is", "are", "was", "were", "in",
+    "on", "at", "to", "of", "for", "with", "by", "from", "that", "this",
+    "it", "be", "as", "not", "have", "has", "had",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# vectorized NLP column helpers (Arrow-batched; models load once per worker)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def ptb_token_count(texts: pd.Series) -> pd.Series:
+    from prose_spark.nlp.tokenizer import tokenize
+
+    return texts.map(lambda t: len(tokenize(t or "")))
+
+
+@F.pandas_udf(T.LongType())
+def sentence_count(texts: pd.Series) -> pd.Series:
+    from prose_spark.nlp.segmenter import default_segmenter
+
+    seg = default_segmenter()
+    return texts.map(lambda t: len(seg.segment(t or "")))
+
+
+def _annotated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prose_spark.operators.annotate import annotate
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return annotate(docs.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_nlp_token_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", ptb_token_count(F.col("text")).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def q_nlp_tokens_by_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", ptb_token_count(F.col("text")).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_nlp_sentence_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", sentence_count(F.col("text")).alias("n_sentences"))
+        .orderBy("doc_id")
+    )
+
+
+def q_nlp_pos_tag_dist(spark, sf_dir):
+    ann = _annotated_docs(spark, sf_dir)
+    return (
+        ann.select(F.explode("tokens").alias("tok"))
+        .groupBy(F.col("tok.tag").alias("tag"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("tag")
+    )
+
+
+def q_nlp_entity_mentions(spark, sf_dir):
+    from prose_spark.operators.canonicalize import mentions_from_annotated
+
+    ann = _annotated_docs(spark, sf_dir)
+    m = mentions_from_annotated(ann, key_col="doc_id")
+    return m.select(
+        "doc_id", "sent_idx", "start", "end", "text", "label",
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("doc_id", "start")
+
+
+def q_nlp_triples(spark, sf_dir):
+    from prose_spark.operators.triples import extract_triples
+
+    ann = _annotated_docs(spark, sf_dir)
+    tr = extract_triples(ann, key_cols=("doc_id",))
+    return tr.select(
+        "doc_id", "sent_idx", "subj", "pred", "obj", "pred_norm",
+        "subj_label", "obj_label", F.round("confidence", 6).alias("confidence"),
+    ).orderBy("doc_id", "sent_idx", "subj", "pred", "obj")
+
+
+def q_nlp_canonical_entities(spark, sf_dir):
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        mentions_from_annotated,
+    )
+
+    ann = _annotated_docs(spark, sf_dir)
+    m = mentions_from_annotated(ann, key_col="doc_id")
+    canon = canonicalize_mentions(m)
+    return canon.select(
+        "entity_id", "canonical_text", "norm",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    ).orderBy("canonical_text", "norm")
+
+
+def q_ta_quality(spark, sf_dir):
+    from prose_spark.operators.textstats import add_quality_scores
+
+    d = add_quality_scores(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_ta_fingerprint(spark, sf_dir):
+    from prose_spark.operators.textstats import add_fingerprint
+
+    d = add_fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fingerprint_md5").orderBy("doc_id")
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from prose_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    g = exact_duplicate_groups(doubled, key_col="doc_id")
+    return g.select(
+        "text_hash",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+    ).orderBy("text_hash")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from prose_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, key_col="doc_id", shingle_n=1, min_jaccard=0.5,
+        block_col="source",
+    )
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("a", "b")
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    from prose_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, key_col="doc_id", jaccard_max_distance=0.5, num_hash_tables=4,
+        shingle_n=1,
+    )
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    ).orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from prose_spark.operators.dedup import add_simhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    from prose_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    top = brute_force_topk(q, emb, k=5)
+    return top.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    from prose_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    top = lsh_topk(q, emb, k=5, dim=64, n_planes=8)
+    return top.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q_rel_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rel_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_rel_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def q_rel_semi_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                            "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                        "left_anti")
+    return with_orders.agg(
+        F.count("*").cast("long").alias("n_with_orders")
+    ).crossJoin(without.agg(F.count("*").cast("long").alias("n_without_orders")))
+
+
+def q_rel_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_rel_nation_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_rel_distinct_priorities(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over the sf0.001 documents corpus —
+    annotate (segment/tokenize/tag/NER) -> POS-pattern triple extraction."""
+    return q_nlp_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "nlp_token_counts": q_nlp_token_counts,
+        "nlp_tokens_by_lang": q_nlp_tokens_by_lang,
+        "nlp_sentence_counts": q_nlp_sentence_counts,
+        "nlp_pos_tag_dist": q_nlp_pos_tag_dist,
+        "nlp_entity_mentions": q_nlp_entity_mentions,
+        "nlp_triples": q_nlp_triples,
+        "nlp_canonical_entities": q_nlp_canonical_entities,
+        "ta_quality": q_ta_quality,
+        "ta_fingerprint": q_ta_fingerprint,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_lsh": q_sim_topk_lsh,
+        "rel_q1": q_rel_q1,
+        "rel_top_customers": q_rel_top_customers,
+        "rel_window_topk": q_rel_window_topk,
+        "rel_semi_anti": q_rel_semi_anti,
+        "rel_events_hourly": q_rel_events_hourly,
+        "rel_nation_rollup": q_rel_nation_rollup,
+        "rel_distinct_priorities": q_rel_distinct_priorities,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return {
+        # documents text is single-space separated with no punctuation, so
+        # the PTB tokenizer reduces to whitespace splitting on this corpus
+        "nlp_token_counts": """
+            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "nlp_tokens_by_lang": """
+            SELECT lang,
+                   SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "nlp_sentence_counts": """
+            SELECT doc_id, 1::BIGINT AS n_sentences
+            FROM documents ORDER BY doc_id
+        """,
+        "ta_quality": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS words,
+                       len(replace(text, ' ', '')) AS n_nonspace,
+                       length(text) AS n_chars
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_tokens,
+                   CAST(ROUND(n_nonspace / len(words), 6) AS DOUBLE)
+                       AS avg_word_len,
+                   CAST(0.0 AS DOUBLE) AS punct_ratio,
+                   CAST(ROUND(len(list_filter(words,
+                            w -> lower(w) IN ({stop_list})))
+                         / len(words), 6) AS DOUBLE) AS stopword_ratio
+            FROM d ORDER BY doc_id
+        """,
+        "ta_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact_groups": """
+            WITH doubled AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                           AS text_hash
+                FROM doubled
+            )
+            SELECT text_hash, COUNT(*)::BIGINT AS n_dups,
+                   MIN(doc_id)::BIGINT AS keep_doc_id
+            FROM h GROUP BY text_hash HAVING COUNT(*) > 1
+            ORDER BY text_hash
+        """,
+        "dedup_ngram_jaccard": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       list_distinct(string_split(
+                           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                           ' ')) AS g
+                FROM documents
+            )
+            SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b,
+                   ROUND(len(list_intersect(x.g, y.g))
+                         / (len(x.g) + len(y.g)
+                            - len(list_intersect(x.g, y.g))), 6) AS jaccard
+            FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
+            WHERE len(list_intersect(x.g, y.g))
+                  / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+                  >= 0.5
+            ORDER BY a, b
+        """,
+        "sim_topk_bruteforce": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]) AS cos_raw
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id != c.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id,
+                   CAST(ROUND(cos_raw, 6) AS DOUBLE) AS cosine,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "rel_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+                   COUNT(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+        """,
+        "rel_window_topk": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rank
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "rel_semi_anti": """
+            SELECT
+              (SELECT COUNT(*) FROM customer
+               WHERE c_custkey IN (SELECT o_custkey FROM orders))::BIGINT
+                  AS n_with_orders,
+              (SELECT COUNT(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT
+                  AS n_without_orders
+        """,
+        "rel_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*)::BIGINT AS n, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "rel_nation_rollup": """
+            SELECT r_name, n_name, COUNT(*)::BIGINT AS n_customers,
+                   CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "rel_distinct_priorities": """
+            SELECT DISTINCT o_orderpriority, o_orderstatus
+            FROM orders ORDER BY o_orderpriority, o_orderstatus
+        """,
+    }

@@ -1,0 +1,136 @@
+"""Fused document-annotation operator.
+
+One mapInPandas stage runs sanitize -> segment -> tokenize -> tag -> NER
+per Arrow batch (stage order mirrors the reference's NewDocument pipeline,
+document.go:199-250). Fusing all NLP stages into a single Python stage
+avoids one Arrow round-trip per stage (SURVEY.md §4.3); models load once
+per Python worker via module-level lazy singletons.
+
+Scale notes:
+- the stage is embarrassingly parallel across documents — no shuffle;
+- put native filters (lang = 'en', length guards) BEFORE annotate() so
+  Catalyst pushes them into the scan instead of below a Python stage;
+- Arrow batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+  so a worker holds at most ~2k docs of nested output at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from prose_spark.schemas import ANNOTATION_FIELDS
+
+
+@dataclass(frozen=True)
+class AnnotateConfig:
+    """Stage toggles (document.go:29-148 defaults: all on)."""
+
+    segment: bool = True
+    tag: bool = True
+    extract: bool = True
+    max_text_bytes: int = 1 << 20  # defensive cap per document
+
+
+def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
+    """Pure per-document kernel -> (sentences, tokens, entities).
+
+    sentences: (text, start, end) byte offsets into ORIGINAL text;
+    tokens: (text, tag, label, start, end, confidence, sent_idx) byte
+    offsets into SANITIZED text; entities coalesced from IOB runs.
+    """
+    from prose_spark.nlp.ner import chunk as ner_chunk
+    from prose_spark.nlp.ner import default_ner
+    from prose_spark.nlp.segmenter import default_segmenter
+    from prose_spark.nlp.tagger import default_tagger
+    from prose_spark.nlp.tokenizer import sanitize, tokenize_with_offsets
+
+    if text is None:
+        text = ""
+    if len(text) > cfg.max_text_bytes:
+        text = text[: cfg.max_text_bytes]
+
+    sentences = default_segmenter().segment(text) if cfg.segment else []
+    toks = tokenize_with_offsets(text)
+    words = [t for t, _, _ in toks]
+
+    tag_stage = cfg.tag or cfg.extract
+    tags = default_tagger().tag(words) if tag_stage else [""] * len(words)
+
+    # sentence spans in sanitized-byte space, for token->sentence assignment
+    sent_spans_clean: list[tuple[int, int]] = []
+    if sentences:
+        orig_b = text.encode("utf-8")
+        cursor = 0
+        clean_cursor = 0
+        for _, s, e in sentences:
+            gap = orig_b[cursor:s].decode("utf-8", "surrogateescape")
+            clean_cursor += len(sanitize(gap).encode("utf-8", "surrogateescape"))
+            seg = orig_b[s:e].decode("utf-8", "surrogateescape")
+            clean_len = len(sanitize(seg).encode("utf-8", "surrogateescape"))
+            sent_spans_clean.append((clean_cursor, clean_cursor + clean_len))
+            clean_cursor += clean_len
+            cursor = e
+
+    def sent_of(start: int) -> int:
+        for i, (s, e) in enumerate(sent_spans_clean):
+            if s <= start < e:
+                return i
+        return -1
+
+    # NER runs over the whole token stream (document.go:239-250)
+    if cfg.extract and words:
+        labels, confs = default_ner().classify(words, tags)
+    else:
+        labels, confs = ["O"] * len(words), [0.0] * len(words)
+
+    # binary-search-free sent assignment: tokens & sentences are both
+    # ordered, walk with a moving index
+    tokens = []
+    si = 0
+    n_spans = len(sent_spans_clean)
+    for (w, s, e), tag, label, conf in zip(toks, tags, labels, confs):
+        while si < n_spans and s >= sent_spans_clean[si][1]:
+            si += 1
+        idx = si if si < n_spans and sent_spans_clean[si][0] <= s else -1
+        tokens.append(
+            {"text": w, "tag": tag, "label": label, "start": s, "end": e,
+             "confidence": conf, "sent_idx": idx}
+        )
+
+    entities = []
+    if cfg.extract:
+        for ent in ner_chunk(tokens):
+            ent["sent_idx"] = sent_of(ent["start"])
+            entities.append(ent)
+
+    sents = [{"text": t, "start": s, "end": e} for t, s, e in sentences]
+    return sents, tokens, entities
+
+
+def annotate(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: AnnotateConfig = AnnotateConfig(),
+) -> DataFrame:
+    """Add sentences/tokens/entities nested columns to ``df``."""
+    out_schema = T.StructType(list(df.schema.fields) + list(ANNOTATION_FIELDS))
+
+    def run(batches):
+        for pdf in batches:
+            sents_col, toks_col, ents_col = [], [], []
+            for text in pdf[text_col]:
+                s, t, e = annotate_document(text, cfg)
+                sents_col.append(s)
+                toks_col.append(t)
+                ents_col.append(e)
+            pdf = pdf.copy()
+            pdf["sentences"] = sents_col
+            pdf["tokens"] = toks_col
+            pdf["entities"] = ents_col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,174 @@
+"""Entity canonicalization: MinHash-LSH blocking + connected components
+(SURVEY.md §2.K K3-K5).
+
+Pipeline:
+1. mentions -> normalized surface forms (lowercase, squeezed whitespace);
+2. candidate edges = exact-match edges (same normalized form) plus
+   near-duplicate edges from MinHashLSH.approxSimilarityJoin over char
+   3-gram shingles (Jaccard distance <= threshold). LSH banding turns the
+   O(n^2) similarity join into an equi-join on hash buckets — the only
+   shuffle whose size matters at 10^12-document scale;
+3. connected components over the edge set by alternating small-star /
+   large-star label propagation (Kiveris et al., "Connected Components in
+   MapReduce and Beyond") expressed as DataFrame self-joins, with
+   localCheckpoint per round to cut lineage;
+4. canonical surface per cluster = most frequent member (ties -> lexico
+   smallest), canonical id = xxhash64(canonical_text).
+
+Skew: hot surface forms ("the company", country names) all hash to one
+normalized form FIRST (exact dedup), so CC vertices are distinct forms —
+the heavy-hitter mention counts never enter the join. AQE skew-join
+handles residual bucket skew; spark.sql.adaptive.skewJoin stays enabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_mentions(mentions: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a ``norm`` column: lowercased, punctuation-stripped, squeezed."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return mentions.withColumn("norm", norm).filter(F.col("norm") != "")
+
+
+def lsh_candidate_pairs(
+    forms: DataFrame,
+    jaccard_max_distance: float = 0.3,
+    num_hash_tables: int = 6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Distinct normalized forms -> near-duplicate pairs (a, b).
+
+    forms: DataFrame with column ``norm`` (distinct).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = forms.withColumn(
+        "grams",
+        F.when(
+            F.length("norm") >= 3,
+            F.expr(
+                "transform(sequence(1, length(norm) - 2),"
+                " i -> substring(norm, i, 3))"
+            ),
+        ).otherwise(F.array(F.col("norm"))),
+    )
+    tf = HashingTF(inputCol="grams", outputCol="features",
+                   numFeatures=num_features)
+    feats = tf.transform(shingled)
+    # zero vectors (empty grams) break MinHash; norms are non-empty so grams
+    # always has >= 1 element
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_max_distance, distCol="dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.norm").alias("a"), F.col("datasetB.norm").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(a, b) -> (node, component) with component = min node id in
+    the component (string ids compared lexicographically).
+
+    Alternating star contraction via self-joins; converges in
+    O(log n) rounds; each round localCheckpoints to cut lineage.
+    """
+    # symmetric closure + self loops
+    sym = edges.selectExpr("a AS src", "b AS dst").union(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node"))
+
+    for _ in range(max_iter):
+        # propagate: each node takes min(comp) over itself and neighbors
+        neighbor_comp = (
+            sym.join(labels, sym.dst == labels.node, "inner")
+            .select(sym.src.alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(neighbor_comp)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_mentions(
+    mentions: DataFrame,
+    jaccard_max_distance: float = 0.3,
+    lsh_tables: int = 6,
+) -> DataFrame:
+    """mentions(url, text, label, ...) ->
+    entities_canonical(entity_id, canonical_text, norm, n_mentions).
+
+    Returns one row per normalized surface form with its cluster's
+    canonical text and id, ready to join back onto mentions/triples.
+    """
+    m = normalize_mentions(mentions)
+    form_counts = m.groupBy("norm").agg(F.count("*").alias("n_mentions"))
+
+    pairs = lsh_candidate_pairs(
+        form_counts.select("norm"), jaccard_max_distance, lsh_tables
+    )
+    comp = connected_components(pairs)
+
+    # forms with no near-dup edges are their own component
+    labeled = (
+        form_counts.join(comp, form_counts.norm == comp.node, "left")
+        .select(
+            "norm",
+            "n_mentions",
+            F.coalesce(F.col("comp"), F.col("norm")).alias("comp"),
+        )
+    )
+    # canonical surface: most frequent form in the cluster, ties -> lexico
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("n_mentions"), F.asc("norm")
+    )
+    canon = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "canonical_text", F.first("norm").over(w)
+        )
+        .drop("rn")
+        .withColumn("entity_id", F.xxhash64(F.col("canonical_text")))
+    )
+    return canon.select("entity_id", "canonical_text", "norm", "n_mentions")
+
+
+def mentions_from_annotated(ann: DataFrame, key_col: str = "url") -> DataFrame:
+    """Explode annotate() output into a long mentions table
+    (url, sent_idx, start, end, text, label, confidence)."""
+    e = ann.select(key_col, F.explode("entities").alias("ent"))
+    return e.select(
+        key_col,
+        F.col("ent.sent_idx").alias("sent_idx"),
+        F.col("ent.start").alias("start"),
+        F.col("ent.end").alias("end"),
+        F.col("ent.text").alias("text"),
+        F.col("ent.label").alias("label"),
+        F.col("ent.confidence").alias("confidence"),
+    )

@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: hash-groupBy on normalized text (one shuffle on the hash);
+- MinHash near-dup: shingle -> MinHashLSH -> banded bucket join
+  (pyspark.ml), O(n) + bucket-local joins instead of O(n^2);
+- SimHash near-dup: 64-bit simhash of token features computed natively
+  (xxhash64 per token + bit-vote aggregation), candidate pairs by banding
+  the fingerprint into 4x16-bit keys — Hamming<=k pairs collide on >=1 band;
+- n-gram Jaccard: exact verification on candidate pairs (or small inputs).
+
+All operators shuffle on hash/band keys only — never on raw text — so
+partition sizes stay bounded at 100 TB inputs. AQE skew-join covers hot
+buckets (empty/boilerplate docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(text_col: str):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_duplicate_groups(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: one row per duplicated
+    hash with the group size and the kept (min) key."""
+    h = df.select(F.col(key_col), F.md5(_norm(text_col)).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(key_col).alias("keep_" + key_col))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-key doc per identical normalized text."""
+    w = Window.partitionBy(F.md5(_norm(text_col))).orderBy(F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (native, codegen'd)."""
+    words = F.split(_norm(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(regexp_replace(lower(trim({text_col})),"
+            f" '\\\\s+', ' '), ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(regexp_replace(lower(trim({text_col})),"
+            f" '\\\\s+', ' '), ' '), i, {n})))"
+        ),
+    ).otherwise(F.array(_norm(text_col)))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    jaccard_max_distance: float = 0.2,
+    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate (a, b, dist) pairs via MinHash LSH over word
+    n-gram shingles."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(F.col(key_col).alias("k"), _shingles(text_col, shingle_n).alias("grams"))
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_max_distance, "dist")
+    return (
+        pairs.select(
+            F.col("datasetA.k").alias("a"),
+            F.col("datasetB.k").alias("b"),
+            F.col("dist").alias("jaccard_dist"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def add_simhash(df: DataFrame, text_col: str = "text",
+                out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens, computed natively: xxhash64 per
+    token, per-bit majority vote via explode + bit arithmetic + groupBy.
+
+    For a table with key column(s), call on a keyed projection and join
+    back; here we append the column via a self-contained aggregation over
+    a generated row id.
+    """
+    keyed = df.withColumn("_rid", F.monotonically_increasing_id())
+    toks = keyed.select(
+        "_rid", F.explode(F.split(_norm(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        "_rid",
+        *[
+            (
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    votes = bits.groupBy("_rid").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+    )
+    sim = votes.select(
+        "_rid",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ]
+        ).alias(out_col),
+    )
+    return keyed.join(sim, "_rid", "left").drop("_rid").fillna({out_col: 0})
+
+
+def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,
+                            simhash_col: str = "simhash",
+                            max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose simhashes agree on >=1 of 4 16-bit bands
+    (guaranteed to cover all pairs with Hamming distance <= 3), verified
+    by exact popcount on the XOR."""
+    d = df_with_simhash.select(F.col(key_col).alias("k"), F.col(simhash_col).alias("sh"))
+    bands = d.select(
+        "k", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("k", "sh", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"))
+    joined = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.k") < F.col("y.k"))
+        .select(
+            F.col("x.k").alias("a"), F.col("y.k").alias("b"),
+            F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        joined.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, key_col: str, text_col: str = "text",
+    shingle_n: int = 3, min_jaccard: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs, blocked by ``block_col``
+    (or all-pairs when None — small inputs / verification of LSH
+    candidates). Jaccard computed natively with array_intersect/union."""
+    d = df.select(
+        F.col(key_col).alias("k"),
+        F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    )
+    j = (
+        d.alias("x").join(d.alias("y"), "blk")
+        .filter(F.col("x.k") < F.col("y.k"))
+        .select(
+            F.col("x.k").alias("a"), F.col("y.k").alias("b"),
+            (
+                F.size(F.array_intersect("x.g", "y.g"))
+                / F.size(F.array_union("x.g", "y.g"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= min_jaccard)

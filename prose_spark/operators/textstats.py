@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are expressed with native pyspark.sql.functions where possible (JVM
+whole-stage codegen); the n-gram language-ID heuristic runs in a pandas
+UDF (vectorized over the batch). Modeled on the reference's multilingual
+operators (multilingual.go:74-201) re-derived for set-based execution.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# compact public stopword cores per language (multilingual.go:214-328 keeps
+# per-language lists; these are the high-frequency subsets)
+STOPWORDS = {
+    "en": {"the", "a", "an", "and", "or", "but", "is", "are", "was", "were",
+           "in", "on", "at", "to", "of", "for", "with", "by", "from", "that",
+           "this", "it", "be", "as", "not", "have", "has", "had"},
+    "es": {"el", "la", "los", "las", "un", "una", "y", "o", "pero", "es",
+           "son", "en", "de", "que", "por", "con", "para", "no", "se"},
+    "fr": {"le", "la", "les", "un", "une", "et", "ou", "mais", "est", "sont",
+           "dans", "de", "que", "par", "avec", "pour", "ne", "pas", "se"},
+    "de": {"der", "die", "das", "ein", "eine", "und", "oder", "aber", "ist",
+           "sind", "in", "von", "zu", "mit", "für", "nicht", "sich", "auf"},
+    "ja": {"の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "れ"},
+}
+
+# characteristic character / digraph evidence (multilingual.go:158-201)
+_CHAR_HINTS = {
+    "es": "ñ¿¡", "de": "ßüöä", "fr": "àâçéèêëîïôùûü", "ja": "のにはをが",
+}
+
+
+def token_count_col(text_col: str = "text"):
+    """Whitespace token count as a native expression (codegen'd)."""
+    c = F.col(text_col)
+    return F.when(
+        F.length(F.trim(c)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+
+
+def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, all native."""
+    c = F.col(text_col)
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    en_stop = F.array(*[F.lit(w) for w in sorted(STOPWORDS["en"])])
+    n_words = token_count_col(text_col)
+    return (
+        df.withColumn("n_tokens", n_words)
+        .withColumn("n_chars_obs", F.length(c))
+        .withColumn(
+            "avg_word_len",
+            F.when(n_words > 0, (F.length(F.regexp_replace(c, r"\s+", "")))
+                   / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(F.length(c) > 0,
+                   F.length(F.regexp_replace(c, r"[\w\s]+", "")) / F.length(c)
+                   ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0,
+                   F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+                   / n_words).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text (stable across engines for oracle checks) plus a fast
+    xxhash64 for join keys."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint_x64", F.xxhash64(norm)
+    )
+
+
+def _detect_lang_one(text: str) -> tuple[str, float]:
+    """Stopword-hit + char-hint scoring (multilingual.go:74-123 family)."""
+    if text is None or len(text) < 10:
+        return "en", 0.5
+    words = text.lower().split()
+    scores: dict[str, float] = {}
+    for lang, sw in STOPWORDS.items():
+        hits = sum(1 for w in words if w in sw)
+        scores[lang] = hits / max(len(words), 1)
+    for lang, chars in _CHAR_HINTS.items():
+        hits = sum(1 for ch in text if ch in chars)
+        scores[lang] = scores.get(lang, 0.0) + 0.05 * hits
+    total = sum(scores.values())
+    best = max(sorted(scores), key=lambda k: scores[k])
+    conf = scores[best] / total if total > 0 else 0.5
+    return best, conf
+
+
+_LANG_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_LANG_SCHEMA)
+def detect_language(texts: pd.Series) -> pd.DataFrame:
+    out = [_detect_lang_one(t) for t in texts]
+    return pd.DataFrame(out, columns=["lang_pred", "lang_conf"])

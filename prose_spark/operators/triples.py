@@ -1,0 +1,152 @@
+"""Triple extraction via POS-pattern chunking (SURVEY.md §2.K K1/K2).
+
+This layer is NEW relative to the reference library (mandated by the
+north rule): per sentence, chunk noun phrases (DT? JJ* NN-runs, or NER
+entity spans) and verb groups (MD? VB+ RB? + particle/preposition), then
+emit (subj, pred, obj) for each verb group with an NP on both sides.
+
+Implemented as a regex over a per-sentence tag-code string (one char per
+token), which is O(tokens) per sentence and fully data-parallel across
+documents — no shuffle. Predicate normalization (K2): lowercase,
+3rd-person -s stripped when the head verb is VBZ (lemma-lite), whitespace
+collapsed.
+
+Confidence = min NER confidence over entity tokens inside subj/obj spans
+(1.0 when neither side overlaps an entity).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from prose_spark.schemas import TRIPLE_TYPE
+
+# one-char code per Penn tag class
+_TAG_CODE = {
+    "NN": "N", "NNS": "N", "NNP": "N", "NNPS": "N",
+    "JJ": "J", "JJR": "J", "JJS": "J",
+    "DT": "D", "PDT": "D",
+    "PRP": "S",  # pronoun subject-ish nominal
+    "VB": "V", "VBD": "V", "VBG": "V", "VBN": "V", "VBP": "V", "VBZ": "V",
+    "MD": "M",
+    "RB": "R", "RBR": "R", "RBS": "R",
+    "RP": "P", "IN": "P", "TO": "P",
+    "CD": "C",
+    "POS": "G",
+}
+
+# NP: optional determiner, adjectives, noun run (with CD/POS glue inside),
+# or a bare pronoun. VP: optional modal, verb run, optional adverb,
+# optional particle/preposition attaching the object.
+_NP_RE = re.compile(r"D?J*N[NJCG]*|S")
+_VP_RE = re.compile(r"M?R?V+R?P?")
+
+
+def _code(tags: list[str]) -> str:
+    return "".join(_TAG_CODE.get(t, ".") for t in tags)
+
+
+def extract_triples_doc(tokens: list[dict]) -> list[dict]:
+    """tokens: annotate() token dicts (ordered). -> triple dicts."""
+    out: list[dict] = []
+    if tokens is None or len(tokens) == 0:
+        return out
+    # group token indices by sentence
+    by_sent: dict[int, list[int]] = {}
+    for i, t in enumerate(tokens):
+        si = t["sent_idx"]
+        if si is not None and si >= 0:
+            by_sent.setdefault(si, []).append(i)
+
+    for si, idxs in by_sent.items():
+        tags = [tokens[i]["tag"] or "" for i in idxs]
+        code = _code(tags)
+        nps = [(m.start(), m.end()) for m in _NP_RE.finditer(code)]
+        if len(nps) < 2:
+            continue
+        for vm in _VP_RE.finditer(code):
+            vs, ve = vm.span()
+            if "V" not in code[vs:ve]:
+                continue
+            subj_span = None
+            for s, e in nps:
+                if e <= vs:
+                    subj_span = (s, e)
+                else:
+                    break
+            obj_span = next(((s, e) for s, e in nps if s >= ve), None)
+            if subj_span is None or obj_span is None:
+                continue
+
+            def phrase(span):
+                toks = [tokens[idxs[k]] for k in range(span[0], span[1])]
+                # drop leading determiner from the phrase surface
+                while toks and toks[0]["tag"] in ("DT", "PDT"):
+                    toks = toks[1:]
+                return toks
+
+            s_toks = phrase(subj_span)
+            o_toks = phrase(obj_span)
+            if not s_toks or not o_toks:
+                continue
+            v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
+
+            def conf(toks):
+                cs = [t["confidence"] for t in toks if t["label"] != "O"]
+                return min(cs) if cs else 1.0
+
+            def ent_label(toks):
+                labs = [t["label"] for t in toks if t["label"] != "O"]
+                if not labs:
+                    return ""
+                return labs[0].split("-", 1)[-1]
+
+            pred = " ".join(t["text"] for t in v_toks)
+            head = next((t for t in v_toks if t["tag"].startswith("VB")), None)
+            pred_norm = pred.lower()
+            if head is not None and head["tag"] == "VBZ" and head["text"].endswith("s"):
+                w = head["text"].lower()
+                stem = w[:-3] + "y" if w.endswith("ies") else (
+                    w[:-2] if w.endswith(("ses", "xes", "zes", "ches", "shes"))
+                    else w[:-1]
+                )
+                pred_norm = pred_norm.replace(w, stem, 1)
+            pred_norm = re.sub(r"\s+", " ", pred_norm).strip()
+
+            out.append(
+                {
+                    "sent_idx": si,
+                    "subj": " ".join(t["text"] for t in s_toks),
+                    "pred": pred,
+                    "obj": " ".join(t["text"] for t in o_toks),
+                    "pred_norm": pred_norm,
+                    "subj_label": ent_label(s_toks),
+                    "obj_label": ent_label(o_toks),
+                    "confidence": min(conf(s_toks), conf(o_toks)),
+                }
+            )
+    return out
+
+
+def extract_triples(df: DataFrame, key_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Annotated df -> long-format triples DataFrame (one row per triple)."""
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                keys = {k: row[k] for k in key_cols}
+                for tr in extract_triples_doc(row["tokens"]):
+                    rows.append({**keys, **tr})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    cols = list(key_cols) + ["tokens"]
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
