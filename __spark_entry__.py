@@ -116,10 +116,13 @@ def q_nlp_entity_mentions(spark, sf_dir):
 
 
 def q_nlp_triples(spark, sf_dir):
-    from prose_spark.operators.triples import extract_triples
+    # fused single-stage path: text -> triples in one mapInPandas
+    from prose_spark.operators.triples import annotate_and_extract_triples
 
-    ann = _annotated_docs(spark, sf_dir)
-    tr = extract_triples(ann, key_cols=("doc_id",))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tr = annotate_and_extract_triples(
+        docs.select("doc_id", "text"), key_cols=("doc_id",)
+    )
     return tr.select(
         "doc_id", "sent_idx", "subj", "pred", "obj", "pred_norm",
         "subj_label", "obj_label", F.round("confidence", 6).alias("confidence"),
@@ -194,8 +197,8 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
-        docs, key_col="doc_id", jaccard_max_distance=0.5, num_hash_tables=4,
-        shingle_n=1,
+        docs, key_col="doc_id", jaccard_max_distance=0.3, num_hash_tables=4,
+        shingle_n=3,
     )
     return pairs.select(
         F.col("a").cast("long").alias("a"),

@@ -132,6 +132,37 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
     return out
 
 
+def annotate_and_extract_triples(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Fully fused single-stage pipeline: raw text -> triples in ONE
+    mapInPandas (annotate kernel + pattern chunker per document). Avoids
+    materializing the nested token arrays through Arrow between stages and
+    halves the number of Python workers per task slot — the production
+    path when only triples are needed downstream."""
+    from prose_spark.operators.annotate import AnnotateConfig, annotate_document
+
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))
+    cfg = AnnotateConfig()
+    col_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            keys = pdf[list(key_cols)].to_dict("records")
+            for key_row, text in zip(keys, pdf[text_col]):
+                _, tokens, _ = annotate_document(text, cfg)
+                for tr in extract_triples_doc(tokens):
+                    rows.append({**key_row, **tr})
+            yield pd.DataFrame(rows, columns=col_names)
+
+    cols = list(key_cols) + [text_col]
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
 def extract_triples(df: DataFrame, key_cols: tuple[str, ...] = ("url",)) -> DataFrame:
     """Annotated df -> long-format triples DataFrame (one row per triple)."""
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
