@@ -166,6 +166,8 @@ class MaxentNER:
         # row 0 of the padded matrix is all-zero: "feature not in mapping"
         self.W = np.vstack([np.zeros((1, W.shape[1])), W])
         self._o_index = self.labels.index("O") if "O" in self.labels else 0
+        self._static_memo: dict = {}
+        self._hist_memo: dict = {}
 
     @classmethod
     def load(cls, path: str | Path | None = None) -> "MaxentNER":
@@ -194,6 +196,8 @@ class MaxentNER:
         static_ids = np.zeros((n, len(_STATIC)), dtype=np.int64)
         hist_ids = np.zeros((n, len(_HISTORY_DOMAIN), 3), dtype=np.int64)
         g = fv_id.get
+        static_memo = self._static_memo  # key -> tuple of 14 fv ids
+        hist_memo = self._hist_memo  # (pos, prev_shape) -> (|H|,3) id array
         for i in range(n):
             w = words[i]
             lw = lowers[i]
@@ -208,26 +212,40 @@ class MaxentNER:
                 nextword = nextpos = "None"
             else:
                 nextword, nextpos = lowers[i + 1], tags[i + 1].lower()
-            suf3 = w[-3:].lower() if len(w) >= 3 else lw
-            row = static_ids[i]
-            row[0] = g("bias-True", 0)
-            row[1] = g("en-wordlist-True" if w in enset else "en-wordlist-False", 0)
-            row[2] = g("nextpos-" + nextpos, 0)
-            row[3] = g("nextword-" + nextword, 0)
-            row[4] = g("pos-" + pos, 0)
-            row[5] = g("prefix3-" + w[:3].lower(), 0)
-            row[6] = g("prevpos-" + prevpos, 0)
-            row[7] = g("prevword-" + prevword, 0)
-            row[8] = g("shape-" + shapes[i], 0)
-            row[9] = g("suffix3-" + suf3, 0)
-            row[10] = g("word-" + w, 0)
-            row[11] = g("word+nextpos-" + lw + "+" + nextpos, 0)
-            row[12] = g("word.lower-" + lw, 0)
-            row[13] = g("wordlen-" + wlens[i], 0)
-            for hj, h in enumerate(_HISTORY_DOMAIN):
-                hist_ids[i, hj, 0] = g("prevtag-" + h, 0)
-                hist_ids[i, hj, 1] = g("pos+prevtag-" + pos + "+" + h, 0)
-                hist_ids[i, hj, 2] = g("shape+prevtag-" + prev_shape + "+" + h, 0)
+            skey = (w, pos, prevword, prevpos, nextword, nextpos)
+            row = static_memo.get(skey)
+            if row is None:
+                suf3 = w[-3:].lower() if len(w) >= 3 else lw
+                row = (
+                    g("bias-True", 0),
+                    g("en-wordlist-True" if w in enset
+                      else "en-wordlist-False", 0),
+                    g("nextpos-" + nextpos, 0),
+                    g("nextword-" + nextword, 0),
+                    g("pos-" + pos, 0),
+                    g("prefix3-" + w[:3].lower(), 0),
+                    g("prevpos-" + prevpos, 0),
+                    g("prevword-" + prevword, 0),
+                    g("shape-" + shapes[i], 0),
+                    g("suffix3-" + suf3, 0),
+                    g("word-" + w, 0),
+                    g("word+nextpos-" + lw + "+" + nextpos, 0),
+                    g("word.lower-" + lw, 0),
+                    g("wordlen-" + wlens[i], 0),
+                )
+                if len(static_memo) < 2_000_000:
+                    static_memo[skey] = row
+            static_ids[i] = row
+            hkey = (pos, prev_shape)
+            hrow = hist_memo.get(hkey)
+            if hrow is None:
+                hrow = np.zeros((len(_HISTORY_DOMAIN), 3), dtype=np.int64)
+                for hj, h in enumerate(_HISTORY_DOMAIN):
+                    hrow[hj, 0] = g("prevtag-" + h, 0)
+                    hrow[hj, 1] = g("pos+prevtag-" + pos + "+" + h, 0)
+                    hrow[hj, 2] = g("shape+prevtag-" + prev_shape + "+" + h, 0)
+                hist_memo[hkey] = hrow
+            hist_ids[i] = hrow
 
         static_scores = W[static_ids].sum(axis=1)  # (n, L)
         hist_scores = W[hist_ids].sum(axis=2)  # (n, |H|, L)

@@ -182,6 +182,8 @@ def model_from_data(
     ner.fv_id = fv_id
     ner.W = np.vstack([np.zeros((1, W.shape[1])), W])
     ner._o_index = labels.index("O") if "O" in labels else 0
+    ner._static_memo = {}
+    ner._hist_memo = {}
     return ner
 
 

@@ -98,8 +98,41 @@ class AveragedPerceptron:
         self.totals: dict[str, float] = {}
         self.stamps: dict[str, float] = {}
         self.instances = 0.0
+        self._vec: dict | None = None  # feat -> np class-score vector
+        self._vec_classes: list[str] | None = None
+
+    def finalize(self) -> None:
+        """Build the vectorized scoring table: one dense per-class score
+        vector per feature (classes in sorted order, so np.argmax's
+        first-index tie-break = lexicographically-smallest class, matching
+        the documented deterministic tie-break)."""
+        import numpy as np
+
+        classes = sorted({c for w in self.weights.values() for c in w})
+        idx = {c: i for i, c in enumerate(classes)}
+        vec = {}
+        for f, w in self.weights.items():
+            v = np.zeros(len(classes))
+            for c, weight in w.items():
+                v[idx[c]] = weight
+            vec[f] = v
+        self._vec = vec
+        self._vec_classes = classes
 
     def predict(self, feats: list[str]) -> str:
+        if self._vec is not None:
+            import numpy as np
+
+            vec = self._vec
+            acc = None
+            for f in feats:
+                v = vec.get(f)
+                if v is None:
+                    continue
+                acc = v.copy() if acc is None else acc + v
+            if acc is None:
+                return ""
+            return self._vec_classes[int(np.argmax(acc))]
         scores: dict[str, float] = {}
         wts = self.weights
         for f in feats:
@@ -156,6 +189,7 @@ class PerceptronTagger:
     def __init__(self, weights=None, tag_map=None, classes=None, emoticons=None):
         self.model = AveragedPerceptron(weights, classes)
         self.tag_map: dict[str, str] = tag_map or {}
+        self._memo: dict = {}
         if emoticons is None:
             from prose_spark.nlp.tokenizer import EMOTICONS
 
@@ -164,12 +198,17 @@ class PerceptronTagger:
 
     # -- inference (tag.go:262-298) -----------------------------------------
 
+    _MEMO_CAP = 1_000_000
+
     def tag(self, words: list[str]) -> list[str]:
         p1, p2 = START[0], START[1]
         ctx = [p1, p2] + [normalize(w) for w in words] + END
         tags: list[str] = []
         tag_map = self.tag_map
         predict = self.model.predict
+        memo = self._memo  # (word, 5-token window, p1, p2) -> prediction;
+        # the key covers every featurize() input, so hits are exact
+        n_ctx = len(ctx)
         for i, word in enumerate(words):
             if word == "-":
                 tag = "-"
@@ -184,7 +223,14 @@ class PerceptronTagger:
             else:
                 tag = tag_map.get(word)
                 if tag is None:
-                    tag = predict(featurize(i, ctx, word, p1, p2))
+                    j = min(n_ctx - 2, i + 2)
+                    key = (word, ctx[j - 2], ctx[j - 1], ctx[j], ctx[j + 1],
+                           ctx[j + 2], p1, p2)
+                    tag = memo.get(key)
+                    if tag is None:
+                        tag = predict(featurize(i, ctx, word, p1, p2))
+                        if len(memo) < self._MEMO_CAP:
+                            memo[key] = tag
             tags.append(tag)
             p2 = p1
             p1 = tag
@@ -249,7 +295,9 @@ class PerceptronTagger:
     def load(cls, path: str | Path) -> "PerceptronTagger":
         with gzip.open(path, "rt", encoding="utf-8") as f:
             a = json.load(f)
-        return cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"])
+        t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"])
+        t.model.finalize()
+        return t
 
 
 _DEFAULT: PerceptronTagger | None = None
