@@ -171,9 +171,15 @@ class MaxentNER:
 
     @classmethod
     def load(cls, path: str | Path | None = None) -> "MaxentNER":
+        import io
+
+        from prose_spark.artifacts import read_bytes
+
         if path is None:
-            path = MODELS_DIR / "maxent_ner.npz"
-        z = np.load(path, allow_pickle=True)
+            z = np.load(io.BytesIO(read_bytes("maxent_ner.npz")),
+                        allow_pickle=True)
+        else:
+            z = np.load(path, allow_pickle=True)
         fv_keys = z["fv_keys"]
         fv_id = {k: i + 1 for i, k in enumerate(fv_keys)}  # +1: row 0 = miss
         return cls(fv_id, z["W"], list(z["labels"]), list(z["enwords"]))

@@ -324,8 +324,16 @@ _DEFAULT: PunktSegmenter | None = None
 def default_segmenter() -> PunktSegmenter:
     global _DEFAULT
     if _DEFAULT is None:
+        from prose_spark.artifacts import read_bytes
+
+        d = json.loads(read_bytes("punkt_params.json"))
         _DEFAULT = PunktSegmenter(
-            PunktParameters.load(MODELS_DIR / "punkt_params.json")
+            PunktParameters(
+                abbrev_types=set(d["abbrev_types"]),
+                sent_starters=set(d["sent_starters"]),
+                ortho_context=d["ortho_context"],
+                collocations=set(d["collocations"]),
+            )
         )
     return _DEFAULT
 

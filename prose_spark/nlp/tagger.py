@@ -293,7 +293,13 @@ class PerceptronTagger:
 
     @classmethod
     def load(cls, path: str | Path) -> "PerceptronTagger":
-        with gzip.open(path, "rt", encoding="utf-8") as f:
+        import io
+
+        from prose_spark.artifacts import read_bytes
+
+        name = Path(path).name
+        raw = read_bytes(name) if Path(path).parent == MODELS_DIR else Path(path).read_bytes()
+        with gzip.open(io.BytesIO(raw), "rt", encoding="utf-8") as f:
             a = json.load(f)
         t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"])
         t.model.finalize()
