@@ -1,0 +1,156 @@
+"""Sentiment tests — port of reference sentiment_test.go behavioral cases
+(lexicon path; the reference suite itself runs with UseML=false)."""
+
+import json
+
+import pytest
+
+from prose_spark.nlp.sentiment import (
+    analyze_document,
+    load_lexicon,
+)
+
+
+POLARITY_CASES = [
+    ("I love this product!", 0.8, 0.2, "strong positive"),
+    ("This is terrible.", -0.8, 0.2, "strong negative"),
+    ("It's okay.", 0.2, 0.3, "mildly positive"),
+    ("Not bad at all.", 0.4, 0.3, "negation of negative"),
+    ("I don't like it.", -0.4, 0.3, "negation of positive"),
+    ("This movie is absolutely fantastic!", 0.85, 0.2, "intensified positive"),
+    ("The service was slightly disappointing.", -0.6, 0.4, "diminished negative"),
+    ("I really hate this!", -0.8, 0.2, "intensified negative"),
+    ("This is good but not great.", 0.3, 0.3, "mixed"),
+    ("", 0.0, 0.1, "empty"),
+]
+
+
+@pytest.mark.parametrize("text,expected,delta,desc", POLARITY_CASES,
+                         ids=[c[3] for c in POLARITY_CASES])
+def test_polarity(text, expected, delta, desc):
+    s = analyze_document(text)
+    assert abs(s["polarity"] - expected) <= delta, s
+
+
+INTENSITY_CASES = [
+    ("This is absolutely amazing!", 0.7),
+    ("It's very very bad.", 0.6),
+    ("Slightly disappointing.", 0.3),
+    ("TERRIBLE!!!", 0.7),
+    ("good", 0.5),
+    ("This is the worst thing ever!", 0.7),
+    ("Perfect! Absolutely perfect!", 0.8),
+]
+
+
+@pytest.mark.parametrize("text,min_intensity", INTENSITY_CASES)
+def test_intensity(text, min_intensity):
+    assert analyze_document(text)["intensity"] >= min_intensity
+
+
+NEGATION_PAIRS = [
+    ("This is good.", "This is not good."),
+    ("I like it.", "I don't like it."),
+    ("Happy with the service.", "Not happy with the service."),
+    ("The food is excellent.", "The food isn't excellent."),
+    ("I love this.", "I never loved this."),
+]
+
+
+@pytest.mark.parametrize("positive,negated", NEGATION_PAIRS)
+def test_negation_flips_or_reduces(positive, negated):
+    pos = analyze_document(positive)["polarity"]
+    neg = analyze_document(negated)["polarity"]
+    assert not (pos > 0.1 and neg > 0)
+
+
+def test_modifier_ordering():
+    base = analyze_document("This is good.")["polarity"]
+    intensified = analyze_document("This is very good.")["polarity"]
+    diminished = analyze_document("This is slightly good.")["polarity"]
+    very = analyze_document("This is extremely good.")["polarity"]
+    assert intensified >= base
+    assert diminished <= base
+    assert very >= intensified
+
+
+CLASS_CASES = [
+    # (reference TestSentimentClasses — its own Mixed case is not asserted
+    # there either: document aggregation derives dominant from the class
+    # probs, which have no mixed bucket)
+    ("This is absolutely perfect!", "positive"),
+    ("Good product.", "positive"),
+    ("Not good.", "negative"),
+    ("Absolutely terrible!", "negative"),
+]
+
+
+@pytest.mark.parametrize("text,direction", CLASS_CASES)
+def test_class_direction(text, direction):
+    s = analyze_document(text)
+    got_positive = s["dominant"] in ("positive", "strong_positive")
+    assert got_positive == (direction == "positive"), s
+
+
+def test_mixed_at_sentence_level():
+    from prose_spark.nlp.sentiment import analyze_sentence_tokens, load_lexicon
+    from prose_spark.operators.annotate import AnnotateConfig, annotate_document
+
+    _, toks, _ = annotate_document(
+        "The food was good but the service was bad.",
+        AnnotateConfig(extract=False),
+    )
+    s = analyze_sentence_tokens(toks, load_lexicon("en"))
+    assert s["dominant"] == "mixed"
+
+
+def test_question_damps_confidence():
+    plain = analyze_document("This is good.")
+    q = analyze_document("This is good?")
+    assert q["confidence"] <= plain["confidence"]
+
+
+def test_external_lexicon(tmp_path):
+    ext = {
+        "languages": {
+            "en": {
+                "words": {"spark": {"sentiment": 0.9, "confidence": 0.9}},
+                "negative": ["shuffle"],
+                "modifiers": {"hugely": 0.5},
+                "negations": ["nope"],
+            }
+        }
+    }
+    p = tmp_path / "lex.json"
+    p.write_text(json.dumps(ext))
+    lex = load_lexicon("en", str(p))
+    assert lex.sentiment("spark") == 0.9
+    assert lex.sentiment("shuffle") == -0.6
+    assert lex.modifier("hugely") == 0.5
+    assert lex.is_negation("nope")
+    # built-ins still present
+    assert lex.sentiment("good") == 0.6
+
+
+def test_multilingual_lexicons():
+    assert analyze_document("Esto es excelente y maravilloso.", lang="es")["polarity"] > 0.4
+    assert analyze_document("C'est un film horrible et mauvais.", lang="fr")["polarity"] < -0.4
+    assert analyze_document("Das ist wunderbar und ausgezeichnet.", lang="de")["polarity"] > 0.4
+
+
+def test_multilingual_detection_and_normalize():
+    from prose_spark.nlp.multilingual import (
+        detect_language,
+        is_stop_word,
+        normalize_text,
+    )
+
+    lang, conf = detect_language(
+        "the quick brown fox is in the house and it was not there"
+    )
+    assert lang == "en" and conf > 0
+    assert detect_language("short")[0] == "en"  # <10 chars default
+    assert normalize_text("Straße über", "de") == "Strasse ueber"
+    assert normalize_text("café déjà", "fr") == "cafe deja"
+    assert normalize_text("mañana", "es") == "manana"
+    assert is_stop_word("the", "en") and is_stop_word("der", "de")
