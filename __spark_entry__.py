@@ -242,6 +242,51 @@ def q_sim_topk_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_nlp_sentiment(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType([
+        TT.StructField("polarity", TT.DoubleType()),
+        TT.StructField("intensity", TT.DoubleType()),
+        TT.StructField("confidence", TT.DoubleType()),
+        TT.StructField("dominant", TT.StringType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
+        from prose_spark.nlp.sentiment import analyze_document
+
+        rows = []
+        for t in texts:
+            s = analyze_document(t or "")
+            rows.append((round(s["polarity"], 6), round(s["intensity"], 6),
+                         round(s["confidence"], 6), s["dominant"]))
+        return pd.DataFrame(
+            rows, columns=["polarity", "intensity", "confidence", "dominant"]
+        )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        d.select("doc_id", sentiment_udf(F.col("text")).alias("s"))
+        .select("doc_id", "s.polarity", "s.intensity", "s.confidence",
+                "s.dominant")
+        .orderBy("doc_id")
+    )
+
+
+def q_ta_langid(spark, sf_dir):
+    from prose_spark.operators.textstats import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", detect_language(F.col("text")).alias("l"))
+        .select("doc_id", "l.lang_pred",
+                F.round("l.lang_conf", 6).alias("lang_conf"))
+        .orderBy("doc_id")
+    )
+
+
 def q_rel_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -360,7 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_entity_mentions": q_nlp_entity_mentions,
         "nlp_triples": q_nlp_triples,
         "nlp_canonical_entities": q_nlp_canonical_entities,
+        "nlp_sentiment": q_nlp_sentiment,
         "ta_quality": q_ta_quality,
+        "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

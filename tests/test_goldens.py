@@ -1,0 +1,67 @@
+"""Regression against pinned goldens (FIXTURES.md B2, BASELINE.json):
+
+- per-url byte-identity of the extracted (sanitized) text;
+- triple P/R >= 0.95 vs the pinned triples (exact for unchanged pipeline);
+- token/sentence/entity dumps match exactly for the sampled docs.
+"""
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+
+from prose_spark.nlp.tokenizer import sanitize
+from prose_spark.operators.annotate import annotate_document
+from prose_spark.operators.triples import extract_triples_doc
+from prose_spark.sources.pages import generate_pages_rows
+
+GOLDENS = Path(__file__).resolve().parent / "goldens"
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return list(generate_pages_rows(N_DOCS, seed=42))
+
+
+def test_text_byte_identity(corpus):
+    pinned = json.loads((GOLDENS / "golden_text.json").read_text())
+    assert len(pinned) == N_DOCS
+    for url, ts, html, text, lang, gold in corpus:
+        h = hashlib.sha256(sanitize(text).encode("utf-8")).hexdigest()
+        assert h == pinned[url], f"text bytes changed for {url}"
+
+
+def test_triple_precision_recall(corpus):
+    pinned = json.loads((GOLDENS / "golden_triples.json").read_text())
+    gold = {
+        (t["url"], t["sent_idx"], t["subj"], t["pred"], t["obj"])
+        for t in pinned
+    }
+    pred = set()
+    for url, ts, html, text, lang, g in corpus:
+        if lang != "en":
+            continue
+        _, toks, _ = annotate_document(text)
+        for tr in extract_triples_doc(toks):
+            pred.add((url, tr["sent_idx"], tr["subj"], tr["pred"], tr["obj"]))
+    tp = len(gold & pred)
+    precision = tp / len(pred)
+    recall = tp / len(gold)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_annotation_dumps_exact(corpus):
+    pinned = json.loads((GOLDENS / "golden_annotations.json").read_text())
+    by_url = {r[0]: r for r in corpus}
+    for dump in pinned:
+        url = dump["url"]
+        _, _, _, text, _, _ = by_url[url]
+        sents, toks, ents = annotate_document(text)
+        assert [list(s.values()) for s in dump["sentences"]] == [
+            [s["text"], s["start"], s["end"]] for s in sents
+        ]
+        assert dump["tokens"] == toks
+        assert dump["entities"] == ents

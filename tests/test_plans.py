@@ -1,0 +1,75 @@
+"""Physical-plan checks: the things that matter at 100 TB.
+
+- native filters placed BEFORE Python stages reach the parquet scan as
+  PushedFilters (lang gate never runs behind the UDF);
+- only consumed columns are read (ReadSchema pruning);
+- small dimension joins go broadcast;
+- the fused KG pipeline contains exactly one Python stage and no shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, pages_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_df.write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_lang_filter_pushed_down(spark, docs_path):
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = spark.read.parquet(docs_path)
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    plan = _plan(annotate_and_extract_triples(en))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning(spark, docs_path):
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = spark.read.parquet(docs_path)
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    plan = _plan(annotate_and_extract_triples(en))
+    # html/warc_ts are never read from the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_fused_pipeline_single_python_stage(spark, docs_path):
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = spark.read.parquet(docs_path)
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    plan = _plan(annotate_and_extract_triples(en))
+    # exactly one Python stage node in the plan tree
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # map-only: no shuffle
+
+
+def test_broadcast_join_for_small_dim(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_whole_stage_codegen_native_stats(spark, docs_path):
+    from prose_spark.operators.textstats import add_quality_scores
+
+    pages = spark.read.parquet(docs_path)
+    plan = _plan(add_quality_scores(pages.select("url", "text")))
+    # all-native: no Python eval nodes anywhere (the lambda-based stopword
+    # filter is a JVM higher-order function — outside whole-stage codegen
+    # but still columnar/JVM-side)
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
