@@ -390,6 +390,51 @@ def q_rel_distinct_priorities(spark, sf_dir):
     )
 
 
+def q_rel_asof_join(spark, sf_dir):
+    from prose_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join(purchases, signups, on="user_id", ts="ts",
+                  right_value_cols=("value",))
+    return j.select(
+        "event_id", "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("last_signup_value"),
+    ).orderBy("event_id")
+
+
+def q_rel_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("user_bucket")
+    )
+
+
+def q_rel_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over the sf0.001 documents corpus —
     annotate (segment/tokenize/tag/NER) -> POS-pattern triple extraction."""
@@ -420,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topk": q_rel_window_topk,
         "rel_semi_anti": q_rel_semi_anti,
         "rel_events_hourly": q_rel_events_hourly,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_pivot": q_rel_pivot,
+        "rel_cube": q_rel_cube,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_distinct_priorities": q_rel_distinct_priorities,
     }
@@ -563,6 +611,38 @@ def oracle_sql() -> dict[str, str]:
               (SELECT COUNT(*) FROM customer
                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT
                   AS n_without_orders
+        """,
+        "rel_asof_join": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), signups AS (
+                SELECT user_id, ts, MAX(value) AS value FROM events
+                WHERE event_type = 'signup' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   CAST(ROUND(p.value, 4) AS DOUBLE) AS purchase_value,
+                   CAST(ROUND(s.value, 4) AS DOUBLE) AS last_signup_value
+            FROM purchases p
+            ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY p.event_id
+        """,
+        "rel_pivot": """
+            SELECT (user_id % 10)::BIGINT AS user_bucket,
+                   CAST(ROUND(SUM(value) FILTER (event_type = 'click'), 4) AS DOUBLE) AS click,
+                   CAST(ROUND(SUM(value) FILTER (event_type = 'error'), 4) AS DOUBLE) AS error,
+                   CAST(ROUND(SUM(value) FILTER (event_type = 'purchase'), 4) AS DOUBLE) AS purchase,
+                   CAST(ROUND(SUM(value) FILTER (event_type = 'signup'), 4) AS DOUBLE) AS signup,
+                   CAST(ROUND(SUM(value) FILTER (event_type = 'view'), 4) AS DOUBLE) AS view
+            FROM events GROUP BY 1 ORDER BY user_bucket
+        """,
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "rel_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

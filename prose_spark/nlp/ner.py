@@ -184,6 +184,19 @@ class MaxentNER:
         fv_id = {k: i + 1 for i, k in enumerate(fv_keys)}  # +1: row 0 = miss
         return cls(fv_id, z["W"], list(z["labels"]), list(z["enwords"]))
 
+    def save(self, path: str | Path) -> None:
+        """Persist as the npz artifact format (model round-trip — the
+        reference's Model.Write / ModelFromDisk, model.go:84-145)."""
+        ordered = sorted(self.fv_id.items(), key=lambda kv: kv[1])
+        fv_keys = np.array([k for k, _ in ordered], dtype=object)
+        np.savez_compressed(
+            path,
+            labels=np.array(self.labels, dtype=object),
+            fv_keys=fv_keys,
+            W=self.W[1:],
+            enwords=np.array(self.enwords, dtype=object),
+        )
+
     # -- inference ----------------------------------------------------------
 
     def classify(self, words: list[str], tags: list[str]):

@@ -280,6 +280,52 @@ class PerceptronTagger:
             rng.shuffle(data)
         self.model.average_weights()
 
+    # -- evaluation (training.go:218-314) -------------------------------------
+
+    def validate(self, sentences: list[tuple[list[str], list[str]]]) -> dict:
+        """Token accuracy over tagged sentences; loss = 1 - accuracy."""
+        correct = total = 0
+        for words, tags in sentences:
+            predicted = self.tag(words)
+            for p, t in zip(predicted, tags):
+                correct += p == t
+                total += 1
+        acc = correct / total if total else 0.0
+        return {"accuracy": acc, "loss": 1.0 - acc}
+
+    @staticmethod
+    def cross_validate(
+        sentences: list[tuple[list[str], list[str]]],
+        k: int = 5,
+        iterations: int = 5,
+        seed: int = 42,
+    ) -> dict:
+        """k-fold cross-validation (training.go:256-314)."""
+        if k <= 1:
+            raise ValueError("k must be greater than 1")
+        import statistics
+
+        fold_size = len(sentences) // k
+        results = []
+        for fold in range(k):
+            start = fold * fold_size
+            end = start + fold_size if fold < k - 1 else len(sentences)
+            test = sentences[start:end]
+            train = sentences[:start] + sentences[end:]
+            t = PerceptronTagger()
+            t.train(train, iterations=iterations, seed=seed)
+            t.model.finalize()
+            results.append(t.validate(test))
+        accs = [r["accuracy"] for r in results]
+        losses = [r["loss"] for r in results]
+        return {
+            "mean_accuracy": statistics.mean(accs),
+            "std_accuracy": statistics.pstdev(accs),
+            "mean_loss": statistics.mean(losses),
+            "std_loss": statistics.pstdev(losses),
+            "folds": results,
+        }
+
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str | Path) -> None:
