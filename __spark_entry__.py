@@ -435,6 +435,22 @@ def q_rel_cube(spark, sf_dir):
     )
 
 
+def q_rel_setops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c_nations = cust.select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).distinct()
+    s_nations = supp.select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    ).distinct()
+    only_cust = c_nations.exceptAll(s_nations).withColumn(
+        "src", F.lit("customer_only")
+    )
+    both = c_nations.intersect(s_nations).withColumn("src", F.lit("both"))
+    return only_cust.unionByName(both).orderBy("src", "nationkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over the sf0.001 documents corpus —
     annotate (segment/tokenize/tag/NER) -> POS-pattern triple extraction."""
@@ -469,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": q_rel_pivot,
         "rel_cube": q_rel_cube,
         "rel_nation_rollup": q_rel_nation_rollup,
+        "rel_setops": q_rel_setops,
         "rel_distinct_priorities": q_rel_distinct_priorities,
     }
 
@@ -656,6 +673,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "rel_setops": """
+            WITH c AS (SELECT DISTINCT c_nationkey::BIGINT AS nationkey
+                       FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey::BIGINT AS nationkey
+                       FROM supplier)
+            SELECT nationkey, 'customer_only' AS src
+            FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+            UNION ALL
+            SELECT nationkey, 'both' AS src
+            FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+            ORDER BY src, nationkey
         """,
         "rel_distinct_priorities": """
             SELECT DISTINCT o_orderpriority, o_orderstatus

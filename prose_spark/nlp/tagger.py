@@ -91,6 +91,20 @@ def featurize(i: int, ctx: list[str], w: str, p1: str, p2: str) -> list[str]:
     ]
 
 
+def read_tagged(text: str, sep: str = "|") -> list[tuple[list[str], list[str]]]:
+    """Parse pre-tagged 'word|TAG word|TAG' lines into (words, tags)
+    training tuples (ReadTagged, tag.go:40-57)."""
+    out = []
+    for line in text.split("\n"):
+        words, tags = [], []
+        for token in line.split(" "):
+            parts = token.split(sep)
+            words.append(parts[0])
+            tags.append(parts[1] if len(parts) > 1 else "")
+        out.append((words, tags))
+    return out
+
+
 class AveragedPerceptron:
     def __init__(self, weights=None, classes=None):
         self.weights: dict[str, dict[str, float]] = weights or {}

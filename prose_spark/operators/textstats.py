@@ -82,15 +82,46 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# characteristic letter trigrams per language (multilingual.go:47-71
+# keeps per-language n-gram frequency tables; these are the high-weight
+# subsets, matched against normalized text trigram frequencies)
+_LANG_TRIGRAMS = {
+    "en": ("the", "and", "ing", "ion", "ent", "her", "for", "tha"),
+    "es": ("que", "ión", "los", "ado", "con", "est", "ara", "del"),
+    "fr": ("les", "ent", "des", "que", "ait", "our", "ion", "ans"),
+    "de": ("der", "ein", "ich", "und", "den", "sch", "die", "cht"),
+    "ja": (),
+}
+
+
+def _trigram_freqs(text: str) -> dict[str, float]:
+    """Letter-only trigram frequencies (multilingual.go:126-155)."""
+    letters = [c for c in text.lower() if c.isalpha()]
+    n = len(letters) - 2
+    if n <= 0:
+        return {}
+    counts: dict[str, int] = {}
+    for i in range(n):
+        g = "".join(letters[i : i + 3])
+        counts[g] = counts.get(g, 0) + 1
+    return {g: c / n for g, c in counts.items()}
+
+
 def _detect_lang_one(text: str) -> tuple[str, float]:
-    """Stopword-hit + char-hint scoring (multilingual.go:74-123 family)."""
+    """Stopword hits x0.1 + trigram-frequency dot product + char-evidence
+    scoring (multilingual.go:74-123)."""
     if text is None or len(text) < 10:
         return "en", 0.5
     words = text.lower().split()
+    grams = _trigram_freqs(text)
     scores: dict[str, float] = {}
     for lang, sw in STOPWORDS.items():
         hits = sum(1 for w in words if w in sw)
-        scores[lang] = hits / max(len(words), 1)
+        scores[lang] = 0.1 * hits / max(len(words), 1) * 10
+    for lang, tri in _LANG_TRIGRAMS.items():
+        scores[lang] = scores.get(lang, 0.0) + 5.0 * sum(
+            grams.get(g, 0.0) for g in tri
+        )
     for lang, chars in _CHAR_HINTS.items():
         hits = sum(1 for ch in text if ch in chars)
         scores[lang] = scores.get(lang, 0.0) + 0.05 * hits
