@@ -269,19 +269,29 @@ class MaxentNER:
         static_scores = W[static_ids].sum(axis=1)  # (n, L)
         hist_scores = W[hist_ids].sum(axis=2)  # (n, |H|, L)
 
+        # sequential decode in plain Python over small lists — cheaper than
+        # per-row numpy ops at L=13
+        stat_l = static_scores.tolist()
+        hist_l = hist_scores.tolist()
         hidx = {h: j for j, h in enumerate(_HISTORY_DOMAIN)}
         out_labels: list[str] = []
         out_conf: list[float] = []
         prev = "None"
         labels = self.labels
+        exp = math.exp
         for i in range(n):
-            scores = static_scores[i] + hist_scores[i, hidx[prev]]
-            j = int(np.argmax(scores))
+            hrow = hist_l[i][hidx[prev]]
+            srow = stat_l[i]
+            scores = [srow[k] + hrow[k] for k in range(len(srow))]
+            m = max(scores)
+            j = scores.index(m)
             label = labels[j]
             # softmax confidence (extract.go:447-468), natural exp like Go
-            m = scores[j]
-            total = np.exp(scores - m).sum()
-            conf = float(1.0 / total) if np.isfinite(total) and total > 0 else 0.0
+            try:
+                total = sum(exp(s - m) for s in scores)
+                conf = 1.0 / total if total > 0 else 0.0
+            except OverflowError:
+                conf = 0.0
             out_labels.append(label)
             out_conf.append(conf)
             prev = simple_pos(label)

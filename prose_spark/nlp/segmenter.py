@@ -60,11 +60,16 @@ SENT_END_CONTAINS = (".[", ".(", '."', "?[", "?(", "![", "!(")
 INTERNAL_PUNCT = (")", "’", "”", '"', "'")
 
 
+_ENDER_SUFFIXES = tuple(SENT_ENDERS)
+
+
 def has_sent_end_chars(tok: str) -> bool:
     """Custom non-period sentence-ender test (segment.go:153-179)."""
-    for ender in SENT_ENDERS:
-        if tok.endswith(ender) and "Yahoo!" not in tok:
-            return True
+    # fast path: every ender/containment pattern involves . ? or !
+    if "." not in tok and "?" not in tok and "!" not in tok:
+        return False
+    if tok.endswith(_ENDER_SUFFIXES) and "Yahoo!" not in tok:
+        return True
     for paren in SENT_END_CONTAINS:
         if paren in tok:
             return True

@@ -185,24 +185,39 @@ class IterTokenizer:
 
     # -- whole-text tokenization (TokenizeWithOffsets) ---------------------
 
+    _CACHE_CAP = 500_000
+
     def tokenize(self, text: str) -> list[tuple[str, int, int]]:
         """Tokenize sanitized text -> [(token, byte_start, byte_end)].
 
-        Offsets index the UTF-8 bytes of ``sanitize(text)``.
+        Offsets index the UTF-8 bytes of ``sanitize(text)``. The span memo
+        is instance-level (cross-document): span -> relative tokens is a
+        pure function, so this strictly generalizes the reference's
+        per-document cache (tokenize.go:243).
         """
         clean = sanitize(text)
         out: list[tuple[str, int, int]] = []
-        cache: dict[bytes, list[tuple[bytes, int]]] = {}
+        try:
+            cache = self._cache
+        except AttributeError:
+            cache = self._cache = {}
+        if len(cache) > self._CACHE_CAP:
+            cache.clear()
         byte_pos = 0  # byte offset of char index `char_pos`
         char_pos = 0
+        ascii_text = clean.isascii()
         for m in _SPAN_RE.finditer(clean):
             cs, ce = m.span()
-            if cs > char_pos:
-                byte_pos += len(clean[char_pos:cs].encode("utf-8"))
-            span_b = clean[cs:ce].encode("utf-8")
-            char_pos = ce
-            base = byte_pos
-            byte_pos += len(span_b)
+            if ascii_text:
+                base = cs
+                span_b = clean[cs:ce].encode("utf-8")
+            else:
+                if cs > char_pos:
+                    byte_pos += len(clean[char_pos:cs].encode("utf-8"))
+                span_b = clean[cs:ce].encode("utf-8")
+                char_pos = ce
+                base = byte_pos
+                byte_pos += len(span_b)
             toks = cache.get(span_b)
             if toks is None:
                 toks = self._do_split(span_b)

@@ -63,5 +63,15 @@ def test_annotation_dumps_exact(corpus):
         assert [list(s.values()) for s in dump["sentences"]] == [
             [s["text"], s["start"], s["end"]] for s in sents
         ]
-        assert dump["tokens"] == toks
-        assert dump["entities"] == ents
+
+        def normalize(items):
+            # confidences compared with float tolerance (summation-order
+            # sensitive at the last ulp)
+            return [
+                {k: (round(v, 9) if k == "confidence" else v)
+                 for k, v in it.items()}
+                for it in items
+            ]
+
+        assert normalize(dump["tokens"]) == normalize(toks)
+        assert normalize(dump["entities"]) == normalize(ents)
