@@ -45,6 +45,10 @@ _TAG_CODE = {
 _NP_RE = re.compile(r"D?J*N[NJCG]*|S")
 _VP_RE = re.compile(r"M?R?V+R?P?")
 
+# irregular 3rd-person forms whose -s strip would be wrong ("is" -> "i")
+_IRREGULAR_VBZ = {"is": "be", "has": "have", "does": "do", "goes": "go",
+                  "'s": "be"}
+
 
 def _code(tags: list[str]) -> str:
     return "".join(_TAG_CODE.get(t, ".") for t in tags)
@@ -110,11 +114,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             pred_norm = pred.lower()
             if head is not None and head["tag"] == "VBZ" and head["text"].endswith("s"):
                 w = head["text"].lower()
-                stem = w[:-3] + "y" if w.endswith("ies") else (
-                    w[:-2] if w.endswith(("ses", "xes", "zes", "ches", "shes"))
-                    else w[:-1]
-                )
-                pred_norm = pred_norm.replace(w, stem, 1)
+                stem = _IRREGULAR_VBZ.get(w)
+                if stem is None:
+                    stem = w[:-3] + "y" if w.endswith("ies") else (
+                        w[:-2] if w.endswith(("ses", "xes", "zes", "ches", "shes"))
+                        else w[:-1]
+                    )
+                if len(stem) >= 2:
+                    pred_norm = pred_norm.replace(w, stem, 1)
             pred_norm = re.sub(r"\s+", " ", pred_norm).strip()
 
             out.append(
