@@ -27,11 +27,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def normalize_mentions(mentions: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a ``norm`` column: lowercased, punctuation-stripped, squeezed."""
+# closed-class surfaces that are never canonical entities (pronouns,
+# determiners); found dominating the cluster table on narrative corpora
+PRONOUNS = frozenset(
+    "i you he she it we they me him her us them my your his its our their "
+    "this that these those who whom which what".split()
+)
+
+
+def normalize_mentions(
+    mentions: DataFrame, text_col: str = "text", drop_pronouns: bool = True
+) -> DataFrame:
+    """Add a ``norm`` column: lowercased, punctuation-stripped, squeezed;
+    optionally drop closed-class (pronoun/determiner) surfaces."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
-    return mentions.withColumn("norm", norm).filter(F.col("norm") != "")
+    out = mentions.withColumn("norm", norm).filter(F.col("norm") != "")
+    if drop_pronouns:
+        out = out.filter(~F.col("norm").isin(*PRONOUNS))
+    return out
 
 
 def lsh_candidate_pairs(

@@ -246,3 +246,42 @@ def test_multimodal_plumbing(spark, pages_df):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         list(sample_video_frames(b"x"))
+
+
+def test_html_text_extraction_byte_identity(spark, pages_df):
+    # BASELINE.json invariant: extracted text per url byte-identical — the
+    # synthetic html wraps the text verbatim, so extraction must reproduce
+    # the text column exactly
+    from prose_spark.operators.html import html_to_text
+
+    got = pages_df.select(
+        "url", "text", html_to_text(F.col("html")).alias("extracted")
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.extracted == r.text, r.url
+
+
+def test_html_extract_entities_and_scripts():
+    from prose_spark.operators.html import extract_text
+
+    assert extract_text(
+        b"<html><script>var x=1;</script><body><p>Hello &amp; bye</p>"
+        b"</body></html>"
+    ) == "Hello & bye"
+    assert extract_text(None) == ""
+    # each block tag (open and close) becomes a newline; no squeezing so
+    # genuine blank lines in body text survive byte-identically
+    assert extract_text(b"<div>a</div><div>b</div>") == "a\n\nb"
+
+
+def test_canonicalize_drops_pronouns(spark):
+    from prose_spark.operators.canonicalize import canonicalize_mentions
+
+    mentions = spark.createDataFrame(
+        [("u1", "it"), ("u2", "They"), ("u3", "Acme Corp"), ("u4", "Acme Corp")],
+        ["url", "text"],
+    )
+    canon = canonicalize_mentions(mentions).collect()
+    norms = {r.norm for r in canon}
+    assert norms == {"acme corp"}
