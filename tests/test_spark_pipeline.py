@@ -285,3 +285,26 @@ def test_canonicalize_drops_pronouns(spark):
     canon = canonicalize_mentions(mentions).collect()
     norms = {r.norm for r in canon}
     assert norms == {"acme corp"}
+
+
+def test_stateful_stream_dedup(spark, pages_df, tmp_path):
+    from prose_spark.operators.streaming import stream_dedup_urls
+
+    src = str(tmp_path / "dedup_in")
+    # duplicate every url so state must suppress the second occurrence
+    dup = pages_df.limit(20).unionAll(pages_df.limit(20))
+    dup.write.parquet(src)
+    q = (
+        stream_dedup_urls(spark, src, str(tmp_path / "ck3"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == 20 and len(set(urls)) == 20
+    assert all(r.n_in_batch == 2 for r in rows)  # both copies in one batch
