@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
 # Scaling-efficiency pair (N -> 4N). A mapInPandas task occupies ~2 cores
 # (JVM Arrow feeder thread + Python worker), so on this 32-core box any
 # pair whose high side nears 16 slots saturates the machine and a low side
