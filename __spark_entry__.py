@@ -354,7 +354,9 @@ def q_rel_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
             "event_type",
         )
         .agg(
@@ -662,7 +664,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "rel_events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour, event_type,
                    COUNT(*)::BIGINT AS n, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
