@@ -275,27 +275,27 @@ class MaxentNER:
         hist_l = hist_scores.tolist()
         hidx = {h: j for j, h in enumerate(_HISTORY_DOMAIN)}
         out_labels: list[str] = []
-        out_conf: list[float] = []
+        chosen_h = np.zeros(n, dtype=np.int64)
         prev = "None"
         labels = self.labels
-        exp = math.exp
         for i in range(n):
-            hrow = hist_l[i][hidx[prev]]
+            h = hidx[prev]
+            chosen_h[i] = h
+            hrow = hist_l[i][h]
             srow = stat_l[i]
             scores = [srow[k] + hrow[k] for k in range(len(srow))]
-            m = max(scores)
-            j = scores.index(m)
-            label = labels[j]
-            # softmax confidence (extract.go:447-468), natural exp like Go
-            try:
-                total = sum(exp(s - m) for s in scores)
-                conf = 1.0 / total if total > 0 else 0.0
-            except OverflowError:
-                conf = 0.0
+            label = labels[scores.index(max(scores))]
             out_labels.append(label)
-            out_conf.append(conf)
             prev = simple_pos(label)
-        return out_labels, out_conf
+        # softmax confidences vectorized after the sequential label pass
+        # (extract.go:447-468; labels depend on history, confidences don't)
+        final = static_scores + hist_scores[np.arange(n), chosen_h]
+        m = final.max(axis=1, keepdims=True)
+        with np.errstate(over="ignore", invalid="ignore"):
+            e = np.exp(final - m)
+            conf = 1.0 / e.sum(axis=1)
+        conf = np.where(np.isfinite(conf), conf, 0.0)
+        return out_labels, conf.tolist()
 
     # -- reference-faithful scoring for tests --------------------------------
 

@@ -50,18 +50,29 @@ def _b(s: str) -> str:
     return s.encode("utf-8").decode("latin-1")
 
 
+_NORM_CACHE: dict[str, str] = {}
+
+
 def normalize(word: str) -> str:
-    """Word normalization for context features (tag.go:357-370)."""
+    """Word normalization for context features (tag.go:357-370); pure
+    function of the surface form, memoized cross-call."""
+    cached = _NORM_CACHE.get(word)
+    if cached is not None:
+        return cached
     if word == "":
         return word
     wb = _b(word)
     if "-" in word and wb[0] != "-":
-        return "!HYPHEN"
-    if _INT_RE.match(word) and len(wb) == 4:
-        return "!YEAR"
-    if wb[0].isdigit() and wb[0].isascii():
-        return "!DIGITS"
-    return _b(word.lower())
+        out = "!HYPHEN"
+    elif _INT_RE.match(word) and len(wb) == 4:
+        out = "!YEAR"
+    elif wb[0].isdigit() and wb[0].isascii():
+        out = "!DIGITS"
+    else:
+        out = _b(word.lower())
+    if len(_NORM_CACHE) < 1_000_000:
+        _NORM_CACHE[word] = out
+    return out
 
 
 def featurize(i: int, ctx: list[str], w: str, p1: str, p2: str) -> list[str]:
