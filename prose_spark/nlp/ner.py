@@ -31,7 +31,6 @@ Faithful quirks kept:
 
 from __future__ import annotations
 
-import math
 import re
 from pathlib import Path
 

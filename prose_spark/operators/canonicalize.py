@@ -162,14 +162,9 @@ def canonicalize_mentions(
     w = Window.partitionBy("comp").orderBy(
         F.desc("n_mentions"), F.asc("norm")
     )
-    canon = (
-        labeled.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "canonical_text", F.first("norm").over(w)
-        )
-        .drop("rn")
-        .withColumn("entity_id", F.xxhash64(F.col("canonical_text")))
-    )
+    canon = labeled.withColumn(
+        "canonical_text", F.first("norm").over(w)
+    ).withColumn("entity_id", F.xxhash64(F.col("canonical_text")))
     return canon.select("entity_id", "canonical_text", "norm", "n_mentions")
 
 

@@ -41,7 +41,6 @@ def asof_join(
     for c in right_value_cols:
         if c not in l.columns:
             l = l.withColumn(c, F.lit(None))
-    r = r.withColumnRenamed(ts, ts) # no-op for clarity; same ts column name
     cols = list(dict.fromkeys(lcols + [ts, "_side"] + list(right_value_cols)))
     u = l.select(*cols).unionByName(r.select(*cols))
 
