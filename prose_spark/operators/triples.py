@@ -109,6 +109,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     return ""
                 return labs[0].split("-", 1)[-1]
 
+            # passive voice: "<obj> BE VBN by <subj>" inverts the triple
+            # and takes the participle as the predicate
+            be_forms = {"is", "are", "was", "were", "been", "being", "be"}
+            passive = (
+                len(v_toks) >= 2
+                and v_toks[-1]["text"].lower() == "by"
+                and any(t["tag"] == "VBN" for t in v_toks)
+                and any(t["text"].lower() in be_forms for t in v_toks)
+            )
+            if passive:
+                s_toks, o_toks = o_toks, s_toks
+                v_toks = [t for t in v_toks if t["tag"] == "VBN"]
+
             pred = " ".join(t["text"] for t in v_toks)
             head = next((t for t in v_toks if t["tag"].startswith("VB")), None)
             pred_norm = pred.lower()

@@ -75,3 +75,15 @@ def test_annotation_dumps_exact(corpus):
 
         assert normalize(dump["tokens"]) == normalize(toks)
         assert normalize(dump["entities"]) == normalize(ents)
+
+
+def test_passive_voice_inversion():
+    from prose_spark.operators.annotate import annotate_document
+    from prose_spark.operators.triples import extract_triples_doc
+
+    _, toks, _ = annotate_document("Acme Corp. was founded by Alice Johnson in 1990.")
+    triples = extract_triples_doc(toks)
+    assert any(
+        t["subj"] == "Alice Johnson" and t["pred"] == "founded"
+        and t["obj"] == "Acme Corp" for t in triples
+    ), triples
