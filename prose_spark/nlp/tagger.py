@@ -293,7 +293,10 @@ class PerceptronTagger:
         for _ in range(iterations):
             for words, tags in data:
                 p1, p2 = START[0], START[1]
-                ctx = [p1, p2] + [normalize(w) for w in words if w != ""] + END
+                # ctx must index-align with `words` exactly as in tag():
+                # filtering empties here would desync context features for
+                # any sentence containing an empty token
+                ctx = [p1, p2] + [normalize(w) for w in words] + END
                 for i, word in enumerate(words):
                     guess = self.tag_map.get(word)
                     if guess is None:

@@ -90,44 +90,95 @@ def lsh_candidate_pairs(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """edges(a, b) -> (node, component) with component = min node id in
-    the component (string ids compared lexicographically).
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    """(count, sum of per-edge hashes) — an order-insensitive fingerprint
+    of the (distinct) edge set, used as the fixed-point test."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            # decimal accumulator: exact, no ANSI long-overflow
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], int(row["h"])
 
-    Alternating star contraction via self-joins; converges in
-    O(log n) rounds; each round localCheckpoints to cut lineage.
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
+    """edges(a, b) -> (node, comp) with comp = min node id in the
+    component (string ids compared lexicographically).
+
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") as DataFrame
+    self-aggregations. Converges in O(log n) rounds — vs O(diameter) for
+    plain label propagation — so a 10^9-node near-dup chain finishes in
+    ~30 shuffles instead of ~10^9. Each round localCheckpoints to cut
+    lineage. Raises RuntimeError if max_iter is exhausted before the
+    fixed point (never returns silently-unconverged labels); pass
+    ``stats`` to read back the round count.
     """
-    # symmetric closure + self loops
-    sym = edges.selectExpr("a AS src", "b AS dst").union(
-        edges.selectExpr("b AS src", "a AS dst")
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("comp", F.col("node"))
-
-    for _ in range(max_iter):
-        # propagate: each node takes min(comp) over itself and neighbors
-        neighbor_comp = (
-            sym.join(labels, sym.dst == labels.node, "inner")
-            .select(sym.src.alias("node"), "comp")
+    e = (
+        edges.select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_checksum(e)
+    rounds = 0
+    converged = prev[0] == 0
+    while not converged and rounds < max_iter:
+        # large-star: for each node u, m = min(N(u) ∪ {u}); connect every
+        # strictly-larger neighbor v > u to m. Every edge is seen from
+        # both endpoints, so the edge set stays connected.
+        sym = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        new_labels = (
-            labels.select("node", "comp")
-            .union(neighbor_comp)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least("mb", F.col("a")).alias("m"))
+        e = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        # small-star: orient each edge large->small, group by the large
+        # endpoint u with m = min small neighbor; connect u and all its
+        # small neighbors to m.
+        d = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        cur = _edge_checksum(e)
+        converged = cur == prev  # star forest is the unique fixed point
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixed point is a star forest: every non-root edge is (node, root)
+    star = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
 
 
 def canonicalize_mentions(

@@ -90,40 +90,34 @@ def minhash_near_dup_pairs(
 
 def add_simhash(df: DataFrame, text_col: str = "text",
                 out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over word tokens, computed natively: xxhash64 per
-    token, per-bit majority vote via explode + bit arithmetic + groupBy.
+    """64-bit SimHash over word tokens, computed per-row with native
+    higher-order functions: xxhash64 per token, bit votes accumulated into
+    a 64-long array, sign fold back into one long (bit 63 lands on
+    Long.MIN via shiftleft wrap, i.e. two's-complement reinterpret of the
+    unsigned fingerprint).
 
-    For a table with key column(s), call on a keyed projection and join
-    back; here we append the column via a self-contained aggregation over
-    a generated row id.
+    Map-only — no explode, no shuffle, no generated row id — so it stays a
+    narrow projection inside whatever stage consumes it, at any scale.
     """
-    keyed = df.withColumn("_rid", F.monotonically_increasing_id())
-    toks = keyed.select(
-        "_rid", F.explode(F.split(_norm(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bits = toks.select(
-        "_rid",
-        *[
-            (
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"b{b}")
-            for b in range(64)
-        ],
+    norm_sql = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    expr = f"""
+      aggregate(
+        transform(split({norm_sql}, ' '), t -> xxhash64(t)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      b -> IF((shiftright(h, b) & 1) = 1, 1L, -1L)),
+            (a, v) -> a + v),
+        acc -> aggregate(
+            zip_with(acc, sequence(0, 63),
+                     (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+            0L, (s, x) -> s + x)
+      )
+    """
+    return df.withColumn(
+        out_col, F.coalesce(F.expr(expr), F.lit(0).cast("long"))
     )
-    votes = bits.groupBy("_rid").agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
-    )
-    sim = votes.select(
-        "_rid",
-        sum(
-            [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
-                for b in range(64)
-            ]
-        ).alias(out_col),
-    )
-    return keyed.join(sim, "_rid", "left").drop("_rid").fillna({out_col: 0})
 
 
 def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,

@@ -60,28 +60,48 @@ def brute_force_topk(
     )
 
 
-def _signature(vec_col: str, dim: int, n_planes: int):
+def _signature(vec_col: str, dim: int, n_planes: int, salt: str = "p"):
     """Random-hyperplane signature bits from deterministic pseudo-random
-    plane weights: w[p][i] derived from a hash of (p, i), mapped to ±1.
-    Computed natively — no UDF, no stored plane matrix."""
+    plane weights: w[p][i] derived from a hash of (salt, p, i), mapped to
+    ±1. Computed natively — no UDF, no stored plane matrix."""
+    def weight(prefix):
+        # ±1 weights via xxhash64 parity of (plane, index); closure keeps
+        # the lambda 2-ary for zip_with
+        return lambda v, i: F.when(
+            F.xxhash64(F.concat(F.lit(prefix), i.cast("string")))
+            .bitwiseAND(F.lit(1)) == 1,
+            v,
+        ).otherwise(-v)
+
     bits = []
     for p in range(n_planes):
-        # ±1 weights via xxhash64 parity of (plane, index)
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: F.when(
-                    F.xxhash64(F.concat(F.lit(f"p{p}:"), i.cast("string")))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    v,
-                ).otherwise(-v),
+                weight(f"{salt}{p}:"),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
     return sum(bits)
+
+
+def _table_signatures(vec_col: str, dim: int, n_planes: int, n_tables: int):
+    """array<struct<tbl,sig>> — one independent hyperplane signature per
+    hash table (OR-construction: a pair is a candidate if ANY table's
+    signatures collide, which is what keeps recall from collapsing as N
+    grows; a single AND-only table has a recall cliff)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _signature(vec_col, dim, n_planes, salt=f"t{t}p").alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_topk(
@@ -92,27 +112,34 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 10,
+    n_tables: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to equal random-hyperplane
-    signature buckets, then exact cosine re-rank bucket-locally. At scale
-    the bucket equi-join replaces the cross join; recall tunes via
-    n_planes (fewer planes -> bigger buckets -> higher recall)."""
-    sig = _signature(vec_col, dim, n_planes)
+    """Approximate top-k via multi-table random-hyperplane LSH
+    (OR-construction over ``n_tables`` independent ``n_planes``-bit
+    signatures): candidates are pairs colliding in >=1 table, deduped,
+    then exact-cosine re-ranked. At scale the (tbl, sig) equi-join
+    replaces the cross join; recall tunes via n_planes (fewer ->
+    bigger buckets) and n_tables (more -> more probes)."""
+    sigs = _table_signatures(vec_col, dim, n_planes, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        sig.alias("bucket"),
-    )
+        F.explode(sigs).alias("s"),
+    ).select("query_id", "qv", F.col("s.tbl").alias("tbl"),
+             F.col("s.sig").alias("sig"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        sig.alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+        F.explode(sigs).alias("s"),
+    ).select("neighbor_id", "cv", F.col("s.tbl").alias("tbl"),
+             F.col("s.sig").alias("sig"))
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        # a pair colliding in several tables must score once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -120,7 +120,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             )
             if passive:
                 s_toks, o_toks = o_toks, s_toks
-                v_toks = [t for t in v_toks if t["tag"] == "VBN"]
+                # only the LAST participle is the content predicate:
+                # "has been founded by X" -> pred "founded", not "been founded"
+                # ("been" is itself tagged VBN)
+                v_toks = [t for t in v_toks if t["tag"] == "VBN"][-1:]
 
             pred = " ".join(t["text"] for t in v_toks)
             head = next((t for t in v_toks if t["tag"].startswith("VB")), None)
@@ -191,10 +194,10 @@ def extract_triples(df: DataFrame, key_cols: tuple[str, ...] = ("url",)) -> Data
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                keys = {k: row[k] for k in key_cols}
-                for tr in extract_triples_doc(row["tokens"]):
-                    rows.append({**keys, **tr})
+            keys = pdf[list(key_cols)].to_dict("records")
+            for key_row, tokens in zip(keys, pdf["tokens"]):
+                for tr in extract_triples_doc(tokens):
+                    rows.append({**key_row, **tr})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )

@@ -75,41 +75,89 @@ def run_kg_job(
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
 ) -> DataFrame:
-    """Resumable KG-construction job: pages -> per-bucket triples parquet.
+    """Resumable KG-construction job, single-pass: pages -> triples
+    parquet partitioned by bucket.
 
-    ``fail_after_bucket`` injects a crash for the pytest kill/restart test.
-    Returns the metrics DataFrame of this run.
+    ONE scan of pages computes and writes ALL pending buckets via
+    dynamic-partition-overwrite (Iceberg append at production) — no
+    per-bucket driver loop re-filtering the full input. Per-bucket
+    metrics after the write: triple counts come from the just-written
+    partitions (partition-pruned, parquet-footer counts), doc counts from
+    a url-column-pruned aggregation (at production an Iceberg metadata
+    count). Done markers land after the write, so a crash between write
+    and marker re-overwrites only those partitions on resume
+    (idempotent); finished buckets are skipped via the marker set.
+
+    ``fail_after_bucket`` switches to one-bucket waves and injects a
+    crash for the pytest kill/restart test.
     """
     from prose_spark.operators.triples import annotate_and_extract_triples
 
     en = pages.filter(F.col("lang") == "en").select("url", "text")
     work = with_bucket(en, n_buckets)
     finished = done_buckets(spark, out_dir)
-    run_metrics = []
+    pending = [b for b in range(n_buckets) if b not in finished]
+    # normal path: one wave = one scan; crash-injection path keeps the
+    # old bucket-at-a-time granularity so the kill lands mid-job
+    if fail_after_bucket is not None:
+        waves = [[b] for b in pending]
+    else:
+        waves = [pending] if pending else []
 
-    for b in range(n_buckets):
-        if b in finished:
-            continue
-        t0 = time.time()
-        part = work.filter(F.col("bucket") == b).select("url", "text")
-        triples = annotate_and_extract_triples(part)
-        dest = f"{out_dir}/triples/bucket={b}"
-        triples.write.mode("overwrite").parquet(dest)
-        n_triples = spark.read.parquet(dest).count()
-        n_docs = part.count()
-        metrics = {
-            "bucket": b,
-            "n_docs": n_docs,
-            "n_triples": n_triples,
-            "wall_sec": round(time.time() - t0, 3),
-            "source_path": "pages",
-            "engine_version": __version__,
-            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }
-        record_done(out_dir, metrics)
-        run_metrics.append(metrics)
-        if fail_after_bucket is not None and b >= fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    run_metrics = []
+    try:
+        for wave in waves:
+            t0 = time.time()
+            part = work.filter(F.col("bucket").isin(wave))
+            triples = annotate_and_extract_triples(
+                part, key_cols=("url", "bucket")
+            )
+            triples.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{out_dir}/triples"
+            )
+            wall = round(time.time() - t0, 3)
+            try:
+                tri_counts = {
+                    r["bucket"]: r["n"]
+                    for r in spark.read.parquet(f"{out_dir}/triples")
+                    .filter(F.col("bucket").isin(wave))
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            except Exception:  # zero triples written -> no partitions yet
+                tri_counts = {}
+            doc_counts = {
+                r["bucket"]: r["n"]
+                for r in part.groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            finished_at = time.strftime("%Y-%m-%dT%H:%M:%S")
+            for b in wave:
+                metrics = {
+                    "bucket": b,
+                    "n_docs": doc_counts.get(b, 0),
+                    "n_triples": tri_counts.get(b, 0),
+                    "wall_sec": wall,
+                    "source_path": "pages",
+                    "engine_version": __version__,
+                    "finished_at": finished_at,
+                }
+                record_done(out_dir, metrics)
+                run_metrics.append(metrics)
+            if fail_after_bucket is not None and wave[-1] >= fail_after_bucket:
+                raise RuntimeError(
+                    f"injected failure after bucket {wave[-1]}"
+                )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
 
     if not run_metrics:
         return spark.createDataFrame([], DONE_SCHEMA)

@@ -17,11 +17,25 @@ text_strategy = st.text(
 def test_token_offsets_reconstruct_and_ascend(text):
     clean_b = sanitize(text).encode("utf-8")
     toks = tokenize_with_offsets(text)
-    prev_end = 0
     for t, s, e in toks:
         assert 0 <= s <= e <= len(clean_b)
         assert clean_b[s:e].decode("utf-8", "surrogateescape") == t
-        assert s >= prev_end or True  # suffix tokens re-order within a span
+    # byte ranges are pairwise disjoint (prefix/suffix peels never overlap)
+    by_start = sorted((s, e) for _, s, e in toks)
+    for (s1, e1), (s2, e2) in zip(by_start, by_start[1:]):
+        assert e1 <= s2, f"overlapping token spans {(s1, e1)} {(s2, e2)}"
+    # emission order: tokens may locally re-order only WITHIN a span
+    # (suffix peel); whenever a token starts at/after everything emitted
+    # so far, it opens a new span, and span starts strictly ascend
+    max_end = 0
+    prev_group_start = -1
+    for _, s, e in toks:
+        if s >= max_end:
+            assert s > prev_group_start
+            prev_group_start = s
+        else:
+            assert s >= prev_group_start  # re-order stays inside the span
+        max_end = max(max_end, e)
     # tokens never contain leading/trailing whitespace-only content
     assert all(t.strip() for t, _, _ in toks)
 

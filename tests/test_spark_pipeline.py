@@ -95,6 +95,27 @@ def test_connected_components_chain(spark):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_connected_components_long_path_logarithmic_rounds(spark):
+    """A 1000-node path graph (diameter 999) must converge in O(log n)
+    alternating-star rounds — the scale guarantee that distinguishes star
+    contraction from plain label propagation (which would need ~1000
+    rounds here)."""
+    import math
+
+    from prose_spark.operators.canonicalize import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)], ["a", "b"]
+    ).repartition(8)
+    stats: dict = {}
+    labels = connected_components(edges, max_iter=25, stats=stats)
+    comps = {r.comp for r in labels.collect()}
+    assert comps == {"n0000"}
+    assert labels.count() == n
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 3, stats
+
+
 def test_exact_dedup(spark):
     from prose_spark.operators.dedup import exact_dedup, exact_duplicate_groups
 
@@ -139,6 +160,26 @@ def test_brute_force_topk_self_similarity(spark):
     )
     top = brute_force_topk(vecs.filter("vec_id = 1"), vecs, k=2).collect()
     assert [r.neighbor_id for r in top] == [2, 3]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """OR-construction recall floor: multi-table hyperplane LSH must
+    recover >=0.9 of exact top-5 neighbors on the embeddings fixture
+    (isotropic vectors, top-5 cosine ~0.35 — the hard case). Signatures
+    are hash-derived, so this number is deterministic."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(q, emb, k=5).collect()}
+    ls = {(r.query_id, r.neighbor_id)
+          for r in lsh_topk(q, emb, k=5, dim=64, n_planes=3,
+                            n_tables=12).collect()}
+    recall = len(bf & ls) / len(bf)
+    assert recall >= 0.9, f"recall@5 {recall:.3f}"
 
 
 def test_checkpoint_resume_after_crash(spark, pages_df, tmp_path):
