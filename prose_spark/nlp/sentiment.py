@@ -1,12 +1,15 @@
-"""Hybrid sentiment analysis — lexicon path (SURVEY.md §2.G).
+"""Hybrid sentiment analysis — lexicon path + ML hook (SURVEY.md §2.G).
 
 Behavioral spec: tsawler/prose sentiment.go (lexicon scoring
 :119-231, negation window with clause-boundary cutoff :234-273, modifier
 lookup :276-298, contextual rules :557-592, document aggregation
 :595-682, class probabilities :756-795) and the base lexicons
-(sentiment_lexicon.go:225-659). The Maxent ML path (G6-G8/G12) is out of
-north-rule scope (reference's own behavioral suite runs with UseML=false)
-and its trainer stringifies float features — see SURVEY.md §2.G quirk note.
+(sentiment_lexicon.go:225-659). The Maxent ML path (G6-G9/G12 — feature
+extractors, stable-softmax predict, combineScores, GIS trainer) lives in
+``prose_spark.nlp.sentiment_ml`` and plugs in via the ``ml_model``
+argument at the reference's 0.6 combine weight (sentiment.go:104-108);
+without a model the ML step is a no-op, exactly like the reference's nil
+classifier.
 
 Deviation: sentence-token assignment uses the annotate kernel's proper
 sanitized-span containment (annotate.py) instead of the reference's
@@ -137,6 +140,8 @@ _CLAUSE_BOUNDARIES = {",", ";", ":", ".", "!", "?", "but", "however",
 class SentimentConfig:
     use_lexicon: bool = True
     use_context: bool = True
+    use_ml: bool = True  # DefaultSentimentConfig (sentiment.go:30); no-op
+    # without a trained model, exactly like the reference's nil classifier
     min_confidence: float = 0.5
     negation_window: int = 3
 
@@ -160,6 +165,25 @@ class Lexicon:
 
     def modifier(self, word: str) -> float:
         return self.modifiers.get(word) or self.modifiers.get(word.lower(), 0.0)
+
+    # -- mutation API (sentiment_lexicon.go:724-751) -------------------------
+
+    def add_custom_word(self, word: str, sentiment: float,
+                        confidence: float) -> None:
+        """Add/override a domain-specific word (AddCustomWord)."""
+        self.words[word.lower()] = (sentiment, confidence)
+
+    def add_custom_modifier(self, word: str, strength: float) -> None:
+        self.modifiers[word.lower()] = strength
+
+    def add_custom_negation(self, word: str) -> None:
+        self.negations.add(word.lower())
+
+    def has_word(self, word: str) -> bool:
+        return word.lower() in self.words or word in self.words
+
+    def size(self) -> int:
+        return len(self.words)
 
 
 def load_lexicon(lang: str = "en", path: str | None = None) -> Lexicon:
@@ -252,9 +276,50 @@ def _classify_polarity(polarity: float, intensity: float) -> str:
 
 
 def analyze_sentence_tokens(tokens, lex: Lexicon,
-                            cfg: SentimentConfig = SentimentConfig()) -> dict:
-    """Lexicon scoring of one sentence's tokens (dicts with text/tag).
-    Faithful port of analyzeLexicon + applyContextualRules."""
+                            cfg: SentimentConfig = SentimentConfig(),
+                            ml_model=None) -> dict:
+    """One sentence's tokens (dicts with text/tag) -> sentiment score.
+    Faithful port of AnalyzeSentence (sentiment.go:91-116): lexicon
+    scoring (weight 0.4 via combineScores' empty-side pass-through), then
+    the Maxent ML path at weight 0.6 when a trained ``ml_model``
+    (nlp.sentiment_ml.MaxentSentiment) is supplied, then contextual
+    rules on the combined score."""
+    score = None
+    pos_words: list[float] = []
+    neg_words: list[float] = []
+    if cfg.use_lexicon:
+        score, pos_words, neg_words = _analyze_lexicon(tokens, lex, cfg)
+    if cfg.use_ml and ml_model is not None:
+        from prose_spark.nlp.sentiment_ml import (
+            combine_scores,
+            predict_sentence_score,
+        )
+
+        ml = predict_sentence_score(ml_model, [t["text"] for t in tokens])
+        score = combine_scores(score, ml, 0.6)
+    if score is None:
+        score = {
+            "polarity": 0.0, "intensity": 0.0, "confidence": 0.0,
+            "dominant": "neutral", "scores": {c: 0.0 for c in CLASSES},
+        }
+    if cfg.use_context:
+        # mixed-sentiment + question-mark damping (sentiment.go:557-592)
+        if pos_words and neg_words:
+            ps = sum(abs(w) for w in pos_words)
+            ns = sum(abs(w) for w in neg_words)
+            if min(ps, ns) / max(ps, ns) > 0.7:
+                score["dominant"] = "mixed"
+                score["confidence"] *= 0.8
+        if any(t["text"] == "?" for t in tokens):
+            score["confidence"] *= 0.9
+            score["intensity"] *= 0.9
+    return score
+
+
+def _analyze_lexicon(tokens, lex: Lexicon,
+                     cfg: SentimentConfig) -> tuple[dict, list, list]:
+    """Lexicon scoring (analyzeLexicon, sentiment.go:119-231); returns
+    (score, positive contributions, negative contributions)."""
     pos_score = neg_score = 0.0
     word_count = 0
     pos_words = []
@@ -277,10 +342,14 @@ def analyze_sentence_tokens(tokens, lex: Lexicon,
             word_count += 1
 
     if word_count == 0:
-        return {
-            "polarity": 0.0, "intensity": 0.0, "confidence": 0.0,
-            "dominant": "neutral", "scores": {c: 0.0 for c in CLASSES},
-        }
+        return (
+            {
+                "polarity": 0.0, "intensity": 0.0, "confidence": 0.0,
+                "dominant": "neutral", "scores": {c: 0.0 for c in CLASSES},
+            },
+            pos_words,
+            neg_words,
+        )
 
     pos_score /= word_count
     neg_score /= word_count
@@ -303,19 +372,7 @@ def analyze_sentence_tokens(tokens, lex: Lexicon,
         "dominant": _classify_polarity(polarity, intensity),
         "scores": {c: _class_prob(polarity, intensity, c) for c in CLASSES},
     }
-
-    if cfg.use_context:
-        # mixed-sentiment + question-mark damping (sentiment.go:557-592)
-        if pos_words and neg_words:
-            ps = sum(abs(w) for w in pos_words)
-            ns = sum(abs(w) for w in neg_words)
-            if min(ps, ns) / max(ps, ns) > 0.7:
-                score["dominant"] = "mixed"
-                score["confidence"] *= 0.8
-        if any(t["text"] == "?" for t in tokens):
-            score["confidence"] *= 0.9
-            score["intensity"] *= 0.9
-    return score
+    return score, pos_words, neg_words
 
 
 def aggregate_sentiments(sentence_scores: list[dict]) -> dict:
@@ -353,9 +410,11 @@ _LEX_CACHE: dict[str, Lexicon] = {}
 
 
 def analyze_document(text: str, lang: str = "en",
-                     cfg: SentimentConfig = SentimentConfig()) -> dict:
+                     cfg: SentimentConfig = SentimentConfig(),
+                     ml_model=None) -> dict:
     """Full-document sentiment: annotate (segment/tokenize/tag) then
-    per-sentence lexicon scoring, aggregated."""
+    per-sentence hybrid (lexicon + optional Maxent ML) scoring,
+    aggregated (AnalyzeDocument, sentiment.go:76-88)."""
     from prose_spark.operators.annotate import AnnotateConfig, annotate_document
 
     lex = _LEX_CACHE.get(lang)
@@ -372,7 +431,7 @@ def analyze_document(text: str, lang: str = "en",
         if t["sent_idx"] >= 0:
             by_sent.setdefault(t["sent_idx"], []).append(t)
     scores = [
-        analyze_sentence_tokens(by_sent.get(i, []), lex, cfg)
+        analyze_sentence_tokens(by_sent.get(i, []), lex, cfg, ml_model)
         for i in range(len(sents))
     ]
     return aggregate_sentiments(scores)
