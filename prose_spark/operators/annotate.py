@@ -16,7 +16,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,14 +27,60 @@ from pyspark.sql import types as T
 from prose_spark.schemas import ANNOTATION_FIELDS
 
 
+class DocumentTimeout(TimeoutError):
+    """Raised when a per-document time budget expires between stages —
+    the Python analogue of the reference's ctx.Err() return
+    (document.go:179-184)."""
+
+
 @dataclass(frozen=True)
 class AnnotateConfig:
-    """Stage toggles (document.go:29-148 defaults: all on)."""
+    """Document options (document.go:29-148; defaults match
+    defaultOpts:139-148).
+
+    - ``timeout_sec`` (WithTimeout/WithContext): cooperative per-document
+      budget, checked BEFORE each stage exactly like the reference's
+      ctx.Done() selects — an in-flight stage is never interrupted;
+    - ``progress_callback`` (WithProgressCallback): called with
+      0.25/0.5/0.75/1.0 after segment/tokenize/tag/NER;
+    - ``tokenizer`` (UsingTokenizer), ``tagger``/``ner`` (UsingModel):
+      custom kernels for local use — e.g. a PRODUCT-trained MaxentNER;
+    - ``ner_path``: UsingModel by artifact path, resolved lazily inside
+      each Spark worker (keeps multi-MB weight matrices out of task
+      closures; loaded once per worker process);
+    - ``language`` (WithLanguage): metadata only — like the reference,
+      the English kernels run regardless.
+
+    TokenPool (WithTokenPool) is n/a under Arrow batching.
+    """
 
     segment: bool = True
     tag: bool = True
     extract: bool = True
     max_text_bytes: int = 1 << 20  # defensive cap per document
+    timeout_sec: float | None = 30.0
+    progress_callback: Callable[[float], None] | None = None
+    tokenizer: object | None = None
+    tagger: object | None = None
+    ner: object | None = None
+    ner_path: str | None = None
+    language: str = "en"
+
+
+_NER_BY_PATH: dict[str, object] = {}
+
+
+def _resolve_ner(cfg: AnnotateConfig):
+    from prose_spark.nlp.ner import MaxentNER, default_ner
+
+    if cfg.ner is not None:
+        return cfg.ner
+    if cfg.ner_path is not None:
+        model = _NER_BY_PATH.get(cfg.ner_path)
+        if model is None:
+            model = _NER_BY_PATH[cfg.ner_path] = MaxentNER.load(cfg.ner_path)
+        return model
+    return default_ner()
 
 
 def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
@@ -41,9 +89,9 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     sentences: (text, start, end) byte offsets into ORIGINAL text;
     tokens: (text, tag, label, start, end, confidence, sent_idx) byte
     offsets into SANITIZED text; entities coalesced from IOB runs.
+    Raises DocumentTimeout if cfg.timeout_sec expires between stages.
     """
     from prose_spark.nlp.ner import chunk as ner_chunk
-    from prose_spark.nlp.ner import default_ner
     from prose_spark.nlp.segmenter import default_segmenter
     from prose_spark.nlp.tagger import default_tagger
     from prose_spark.nlp.tokenizer import sanitize, tokenize_with_offsets
@@ -53,12 +101,38 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     if len(text) > cfg.max_text_bytes:
         text = text[: cfg.max_text_bytes]
 
+    deadline = (
+        time.monotonic() + cfg.timeout_sec if cfg.timeout_sec else None
+    )
+
+    def check_deadline():
+        if deadline is not None and time.monotonic() > deadline:
+            raise DocumentTimeout(
+                f"document processing exceeded {cfg.timeout_sec}s"
+            )
+
+    report = cfg.progress_callback or (lambda p: None)
+
+    check_deadline()
     sentences = default_segmenter().segment(text) if cfg.segment else []
-    toks = tokenize_with_offsets(text)
+    if cfg.segment:
+        report(0.25)
+
+    check_deadline()
+    if cfg.tokenizer is not None:
+        toks = cfg.tokenizer.tokenize(text)
+    else:
+        toks = tokenize_with_offsets(text)
     words = [t for t, _, _ in toks]
+    report(0.5)
 
     tag_stage = cfg.tag or cfg.extract
-    tags = default_tagger().tag(words) if tag_stage else [""] * len(words)
+    if tag_stage:
+        check_deadline()
+    tagger = cfg.tagger if cfg.tagger is not None else default_tagger()
+    tags = tagger.tag(words) if tag_stage else [""] * len(words)
+    if tag_stage:
+        report(0.75)
 
     # sentence spans in sanitized-byte space, for token->sentence assignment
     sent_spans_clean: list[tuple[int, int]] = []
@@ -83,7 +157,8 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
 
     # NER runs over the whole token stream (document.go:239-250)
     if cfg.extract and words:
-        labels, confs = default_ner().classify(words, tags)
+        check_deadline()
+        labels, confs = _resolve_ner(cfg).classify(words, tags)
     else:
         labels, confs = ["O"] * len(words), [0.0] * len(words)
 
@@ -106,6 +181,7 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
         for ent in ner_chunk(tokens):
             ent["sent_idx"] = sent_of(ent["start"])
             entities.append(ent)
+        report(1.0)
 
     sents = [{"text": t, "start": s, "end": e} for t, s, e in sentences]
     return sents, tokens, entities

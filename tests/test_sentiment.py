@@ -154,3 +154,48 @@ def test_multilingual_detection_and_normalize():
     assert normalize_text("café déjà", "fr") == "cafe deja"
     assert normalize_text("mañana", "es") == "manana"
     assert is_stop_word("the", "en") and is_stop_word("der", "de")
+
+
+def test_stopword_membership_suite():
+    """Port of multilingual_test.go:7-133 (TestGetStopWords sample
+    membership, TestStopWordsLibraryIntegration, multilingual-document
+    stop-word access)."""
+    from prose_spark.nlp.multilingual import (
+        detect_language,
+        is_stop_word,
+        stop_words,
+    )
+
+    samples = {
+        "en": ["the", "a", "an", "and", "or", "but", "in", "on", "at",
+               "to", "for"],
+        "es": ["el", "la", "de", "que", "y", "a", "en", "un", "por"],
+        "fr": ["le", "de", "un", "et", "être", "avoir", "que", "pour",
+               "dans"],
+        "de": ["der", "die", "und", "in", "den", "von", "zu", "das",
+               "mit"],
+        "ja": ["の", "は", "を", "に", "が", "と", "で", "て"],
+    }
+    for lang, words in samples.items():
+        sw = stop_words(lang)
+        assert sw, lang
+        for w in words:
+            assert w in sw, (lang, w)
+    # library-integration cases (multilingual_test.go:100-133)
+    for lang, stop, nonstop in [
+        ("en", "the", "programming"),
+        ("es", "el", "programación"),
+        ("fr", "le", "programmation"),
+        ("de", "der", "programmierung"),
+    ]:
+        assert is_stop_word(stop, lang)
+        assert not is_stop_word(nonstop, lang)
+    # multilingual documents can access their language's stop words
+    for text, want in [
+        ("The quick brown fox jumps over the lazy dog", "en"),
+        ("El rápido zorro marrón salta sobre el perro perezoso", "es"),
+        ("Der schnelle braune Fuchs springt über den faulen Hund", "de"),
+    ]:
+        lang, _ = detect_language(text)
+        assert lang == want, (text, lang)
+        assert stop_words(lang)
