@@ -4,8 +4,18 @@ entry(spark)   — flagship KG query on sf0.001 (annotate -> triples).
 queries()      — one callable per implemented operator family
                  (SURVEY.md §2): NLP kernels, text analysis, dedup,
                  similarity search, relational plumbing.
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
-                 NLP-model-dependent queries are rows-only by design.
+oracle_sql()   — DuckDB-equivalent SQL for every query. SQL-expressible
+                 queries get independently-computed DuckDB oracles;
+                 model-dependent queries (tagger/NER/triples/sentiment/
+                 LSH) get PINNED-GOLDEN parquet oracles: the expected
+                 output is committed under tests/goldens/driver/<name>/
+                 (re-pin with scripts/pin_driver_goldens.py, hand-review
+                 the diff) and the oracle is read_parquet over it, so
+                 rows+schema+values are hard-checked every round.
+
+Entity-bearing queries run over the deterministic synthetic pages corpus
+(sources/pages.py, seed=42) — the sf documents tables contain no capital
+letters or punctuation, so NER/canonicalize would be vacuous there.
 
 Column names/aliases match between Spark and SQL; doubles are rounded on
 both sides; counts cast to long.
@@ -13,6 +23,7 @@ both sides; counts cast to long.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -23,6 +34,38 @@ import pandas as pd  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
+
+GOLDEN_DIR = Path(__file__).resolve().parent / "tests" / "goldens" / "driver"
+
+# queries whose oracle is a pinned-golden parquet (see module docstring)
+PINNED_QUERIES = (
+    "nlp_pos_tag_dist", "nlp_entity_mentions", "nlp_canonical_entities",
+    "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
+    "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
+    "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
+    "dedup_simhash", "sim_topk_lsh",
+)
+
+_PAGES_N = 500
+
+
+def _pages(spark: SparkSession) -> DataFrame:
+    """Deterministic entity-bearing pages corpus (seed=42), materialized
+    once to parquet so repeated queries scan a real columnar source. The
+    cache path is keyed by the generator's source hash so a stale corpus
+    never survives a generator change."""
+    import hashlib
+
+    import prose_spark.sources.pages as pages_mod
+    from prose_spark.sources.pages import write_pages_parquet
+
+    src_key = hashlib.md5(
+        Path(pages_mod.__file__).read_bytes()
+    ).hexdigest()[:10]
+    path = f"/tmp/prose_spark_pages_{_PAGES_N}_s42_{src_key}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        write_pages_parquet(spark, path, _PAGES_N, seed=42)
+    return spark.read.parquet(path)
 
 STOPWORDS_EN = (
     "the", "a", "an", "and", "or", "but", "is", "are", "was", "were", "in",
@@ -54,11 +97,6 @@ def sentence_count(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: len(seg.segment(t or "")))
 
 
-def _annotated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prose_spark.operators.annotate import annotate
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    return annotate(docs.select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -94,8 +132,17 @@ def q_nlp_sentence_counts(spark, sf_dir):
     )
 
 
+def _annotated_pages(spark) -> DataFrame:
+    from prose_spark.operators.annotate import annotate
+
+    pages = _pages(spark).filter(F.col("lang") == "en")
+    return annotate(pages.select("url", "text"))
+
+
 def q_nlp_pos_tag_dist(spark, sf_dir):
-    ann = _annotated_docs(spark, sf_dir)
+    # pages corpus: punctuation + proper nouns give a REAL tag
+    # distribution (NNP/CD/./, ...), unlike the caps-free documents table
+    ann = _annotated_pages(spark)
     return (
         ann.select(F.explode("tokens").alias("tok"))
         .groupBy(F.col("tok.tag").alias("tag"))
@@ -107,12 +154,57 @@ def q_nlp_pos_tag_dist(spark, sf_dir):
 def q_nlp_entity_mentions(spark, sf_dir):
     from prose_spark.operators.canonicalize import mentions_from_annotated
 
-    ann = _annotated_docs(spark, sf_dir)
-    m = mentions_from_annotated(ann, key_col="doc_id")
+    ann = _annotated_pages(spark)
+    m = mentions_from_annotated(ann, key_col="url")
     return m.select(
-        "doc_id", "sent_idx", "start", "end", "text", "label",
+        "url", "sent_idx", "start", "end", "text", "label",
         F.round("confidence", 6).alias("confidence"),
-    ).orderBy("doc_id", "start")
+    ).orderBy("url", "start")
+
+
+def q_nlp_pages_token_counts(spark, sf_dir):
+    # PTB tokenizer over punctuation/abbreviation-rich text — unlike the
+    # documents table, whitespace splitting would NOT reproduce this
+    return (
+        _pages(spark)
+        .select("url", ptb_token_count(F.col("text")).alias("n_tokens"))
+        .orderBy("url")
+    )
+
+
+def q_nlp_pages_sentence_counts(spark, sf_dir):
+    # punkt segmentation over multi-sentence docs with abbreviations
+    return (
+        _pages(spark)
+        .select("url", sentence_count(F.col("text")).alias("n_sentences"))
+        .orderBy("url")
+    )
+
+
+def q_ta_pages_quality(spark, sf_dir):
+    from prose_spark.operators.textstats import add_quality_scores
+
+    d = add_quality_scores(_pages(spark))
+    return d.select(
+        "url",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    ).orderBy("url")
+
+
+def q_kg_pages_triples(spark, sf_dir):
+    # the production KG path over the entity-bearing corpus
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = _pages(spark).filter(F.col("lang") == "en")
+    tr = annotate_and_extract_triples(pages.select("url", "text"))
+    return tr.select(
+        "url", "sent_idx", "subj", "pred", "obj", "pred_norm",
+        "subj_label", "obj_label",
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("url", "sent_idx", "subj", "pred", "obj")
 
 
 def q_nlp_triples(spark, sf_dir):
@@ -135,8 +227,8 @@ def q_nlp_canonical_entities(spark, sf_dir):
         mentions_from_annotated,
     )
 
-    ann = _annotated_docs(spark, sf_dir)
-    m = mentions_from_annotated(ann, key_col="doc_id")
+    ann = _annotated_pages(spark)
+    m = mentions_from_annotated(ann, key_col="url")
     canon = canonicalize_mentions(m)
     return canon.select(
         "entity_id", "canonical_text", "norm",
@@ -233,7 +325,8 @@ def q_sim_topk_lsh(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    top = lsh_topk(q, emb, k=5, dim=64, n_planes=8)
+    # OR-construction config with measured recall@5 >= 0.9 vs brute force
+    top = lsh_topk(q, emb, k=5, dim=64, n_planes=3, n_tables=12)
     return top.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -243,32 +336,41 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 
 def q_nlp_sentiment(spark, sf_dir):
-    import pandas as pd
-    from pyspark.sql import types as TT
-
-    schema = TT.StructType([
-        TT.StructField("polarity", TT.DoubleType()),
-        TT.StructField("intensity", TT.DoubleType()),
-        TT.StructField("confidence", TT.DoubleType()),
-        TT.StructField("dominant", TT.StringType()),
-    ])
-
-    @F.pandas_udf(schema)
-    def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
-        from prose_spark.nlp.sentiment import analyze_document
-
-        rows = []
-        for t in texts:
-            s = analyze_document(t or "")
-            rows.append((round(s["polarity"], 6), round(s["intensity"], 6),
-                         round(s["confidence"], 6), s["dominant"]))
-        return pd.DataFrame(
-            rows, columns=["polarity", "intensity", "confidence", "dominant"]
-        )
+    from prose_spark.operators.sentiment_ops import sentiment_lexicon_udf
 
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     return (
-        d.select("doc_id", sentiment_udf(F.col("text")).alias("s"))
+        d.select("doc_id", sentiment_lexicon_udf(F.col("text")).alias("s"))
+        .select("doc_id", "s.polarity", "s.intensity", "s.confidence",
+                "s.dominant")
+        .orderBy("doc_id")
+    )
+
+
+# crafted corpus exercising negation windows, clause boundaries,
+# modifiers, intensity classes, questions, and the ML combine path
+SENTIMENT_ML_DOCS = [
+    (1, "This product is absolutely amazing!"),
+    (2, "The service was not good at all."),
+    (3, "It is a very disappointing and terrible experience."),
+    (4, "The hotel was nice, but the food was awful."),
+    (5, "I slightly like the new design."),
+    (6, "Is this the best phone ever?"),
+    (7, "The package arrived on Tuesday and contains six items."),
+    (8, "An utterly flawless, breathtaking performance."),
+    (9, "This mediocre update is somewhat disappointing."),
+    (10, "I can't believe how wonderful this is!!!"),
+    (11, "The worst nightmare of a launch; a complete disaster."),
+    (12, "The quick brown fox jumps over the lazy dog."),
+]
+
+
+def q_nlp_sentiment_ml(spark, sf_dir):
+    from prose_spark.operators.sentiment_ops import sentiment_hybrid_udf
+
+    d = spark.createDataFrame(SENTIMENT_ML_DOCS, "doc_id long, text string")
+    return (
+        d.select("doc_id", sentiment_hybrid_udf(F.col("text")).alias("s"))
         .select("doc_id", "s.polarity", "s.intensity", "s.confidence",
                 "s.dominant")
         .orderBy("doc_id")
@@ -464,12 +566,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_token_counts": q_nlp_token_counts,
         "nlp_tokens_by_lang": q_nlp_tokens_by_lang,
         "nlp_sentence_counts": q_nlp_sentence_counts,
+        "nlp_pages_token_counts": q_nlp_pages_token_counts,
+        "nlp_pages_sentence_counts": q_nlp_pages_sentence_counts,
         "nlp_pos_tag_dist": q_nlp_pos_tag_dist,
         "nlp_entity_mentions": q_nlp_entity_mentions,
         "nlp_triples": q_nlp_triples,
+        "kg_pages_triples": q_kg_pages_triples,
         "nlp_canonical_entities": q_nlp_canonical_entities,
         "nlp_sentiment": q_nlp_sentiment,
+        "nlp_sentiment_ml": q_nlp_sentiment_ml,
         "ta_quality": q_ta_quality,
+        "ta_pages_quality": q_ta_pages_quality,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -494,7 +601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    return {
+    pinned = {
+        name: f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}/*.parquet')"
+        for name in PINNED_QUERIES
+    }
+    return pinned | {
         # documents text is single-space separated with no punctuation, so
         # the PTB tokenizer reduces to whitespace splitting on this corpus
         "nlp_token_counts": """
