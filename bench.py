@@ -40,11 +40,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _cpu_seconds() -> float:
-    """Total user+nice+system CPU seconds delivered to this VM."""
+def _cpu_seconds() -> tuple[float, float]:
+    """(busy, steal) CPU seconds for this VM. ``steal`` is time the
+    hypervisor withheld vCPUs (field 8 of /proc/stat) — reported per
+    phase so host-tenancy noise in the scaling ratio is attributable
+    in-artifact."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
-    return (int(parts[1]) + int(parts[2]) + int(parts[3])) / 100.0
+    busy = (int(parts[1]) + int(parts[2]) + int(parts[3])) / 100.0
+    steal = int(parts[8]) / 100.0
+    return busy, steal
 
 
 def kg_throughput(cores: int, pages_path: str) -> dict:
@@ -70,12 +75,12 @@ def kg_throughput(cores: int, pages_path: str) -> dict:
         # populates the per-worker memo caches (span/tag/NER-feature)
         annotate_and_extract_triples(en).count()
 
-        c0 = _cpu_seconds()
+        c0, s0 = _cpu_seconds()
         t0 = time.time()
         tr = annotate_and_extract_triples(en)
         n_triples = tr.count()
         dt = time.time() - t0
-        cpus_busy = (_cpu_seconds() - c0) / dt
+        c1, s1 = _cpu_seconds()
         return {
             "cores": cores,
             "n_docs": n_docs,
@@ -83,10 +88,128 @@ def kg_throughput(cores: int, pages_path: str) -> dict:
             "seconds": round(dt, 3),
             "docs_per_sec": round(n_docs / dt, 2),
             "triples_per_sec": round(n_triples / dt, 2),
-            "cpus_busy": round(cpus_busy, 2),
+            "cpus_busy": round((c1 - c0) / dt, 2),
+            "cpus_steal": round((s1 - s0) / dt, 2),
         }
     finally:
         spark.stop()
+
+
+def fixed_pool_scaling(pages_path: str, lo: int, hi: int,
+                       repeats: int = 3) -> dict:
+    """Supplementary scaling evidence with JVM effects held constant: ONE
+    local[hi] session, concurrency controlled by partition count
+    (coalesce(lo) vs coalesce(hi)), workers warmed once. Isolates the
+    framework's parallel-region scaling from session startup, model
+    loads, and per-session memo warmup; interleaved repeats + medians
+    cancel host-tenancy drift."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.triples import annotate_and_extract_triples
+    from prose_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_pool", cores=hi,
+                      shuffle_partitions=hi)
+    try:
+        pages = spark.read.parquet(pages_path)
+        en = pages.filter(F.col("lang") == "en").select("url", "text")
+        en_lo = en.coalesce(lo).cache()
+        en_hi = en.coalesce(hi).cache()
+        n_docs = en_hi.count()
+        en_lo.count()
+        # warm all workers at full parallelism
+        annotate_and_extract_triples(en_hi).count()
+
+        def timed(df) -> tuple[float, float, float]:
+            c0, s0 = _cpu_seconds()
+            t0 = time.time()
+            n = annotate_and_extract_triples(df).count()
+            dt = time.time() - t0
+            c1, s1 = _cpu_seconds()
+            return n / dt, (c1 - c0) / dt, (s1 - s0) / dt
+
+        lo_runs, hi_runs = [], []
+        for _ in range(repeats):
+            lo_runs.append(timed(en_lo))
+            hi_runs.append(timed(en_hi))
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        lo_thr = med([r[0] for r in lo_runs])
+        hi_thr = med([r[0] for r in hi_runs])
+        eff = (hi_thr / lo_thr) / (hi / lo)
+        return {
+            "cores_lo": lo,
+            "cores_hi": hi,
+            "n_docs": n_docs,
+            "thr_lo_triples_per_sec": round(lo_thr, 2),
+            "thr_hi_triples_per_sec": round(hi_thr, 2),
+            "efficiency": round(eff, 3),
+            "cpus_busy_lo": round(med([r[1] for r in lo_runs]), 2),
+            "cpus_busy_hi": round(med([r[1] for r in hi_runs]), 2),
+            "cpus_steal_lo": round(med([r[2] for r in lo_runs]), 2),
+            "cpus_steal_hi": round(med([r[2] for r in hi_runs]), 2),
+        }
+    finally:
+        spark.stop()
+
+
+def _pure_worker(docs, out, idx):
+    from prose_spark.operators.annotate import annotate_document
+    from prose_spark.operators.triples import extract_triples_doc
+
+    for t in docs[:40]:  # warm: model load + memo caches
+        _, toks, _ = annotate_document(t)
+        extract_triples_doc(toks)
+    t0 = time.time()
+    n = 0
+    for t in docs:
+        _, toks, _ = annotate_document(t)
+        n += len(extract_triples_doc(toks))
+    out[idx] = (n, time.time() - t0)
+
+
+def hardware_control(pages_path: str, lo: int, hi: int,
+                     n_docs: int = 1600) -> dict:
+    """Framework-free control: the SAME kernel in bare multiprocessing at
+    lo and hi process counts. Whatever efficiency THIS loses from lo->hi
+    is the host's own concurrency penalty (memory bandwidth / SMT /
+    frequency scaling — invisible to the steal counter); dividing the
+    Spark efficiency by it isolates the framework's contribution."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(pages_path, columns=["text", "lang"])
+    texts = [t for t, lg in zip(tb["text"].to_pylist(),
+                                tb["lang"].to_pylist())
+             if lg == "en"][:n_docs]
+
+    def run(nproc: int) -> float:
+        chunk = len(texts) // nproc
+        mgr = mp.Manager()
+        out = mgr.dict()
+        ps = [
+            mp.Process(target=_pure_worker,
+                       args=(texts[i * chunk:(i + 1) * chunk], out, i))
+            for i in range(nproc)
+        ]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        total = sum(v[0] for v in out.values())
+        wall = max(v[1] for v in out.values())
+        return total / wall
+
+    # one adjacent pair (callers interleave + median across triplets)
+    lo_thr, hi_thr = run(lo), run(hi)
+    eff = (hi_thr / lo_thr) / (hi / lo)
+    return {
+        "procs_lo": lo,
+        "procs_hi": hi,
+        "thr_lo_triples_per_sec": round(lo_thr, 2),
+        "thr_hi_triples_per_sec": round(hi_thr, 2),
+        "efficiency": round(eff, 3),
+    }
 
 
 def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
@@ -132,31 +255,61 @@ def main() -> None:
         spark.stop()
         log(f"generated {N_PAGES} pages at {pages_path}")
 
-    # Interleave lo/hi measurements (lo,hi,lo,hi): this VM's vCPU
-    # throughput drifts with host tenancy (cumulative steal ~25% of user
-    # time), so adjacent-in-time pairs are the only fair comparison; the
-    # averaged ratio cancels slow drift.
-    runs = []
-    for cores in (SCALING_LO, SCALING_HI, SCALING_LO, SCALING_HI):
-        log(f"== scaling run: local[{cores}] ==")
-        r = kg_throughput(cores, pages_path)
-        log(str(r))
-        runs.append(r)
-    lo_thr = (runs[0]["triples_per_sec"] + runs[2]["triples_per_sec"]) / 2
-    hi_thr = (runs[1]["triples_per_sec"] + runs[3]["triples_per_sec"]) / 2
-    lo_busy = (runs[0]["cpus_busy"] + runs[2]["cpus_busy"]) / 2
-    hi_busy = (runs[1]["cpus_busy"] + runs[3]["cpus_busy"]) / 2
-    lo = dict(runs[2], triples_per_sec=round(lo_thr, 2))
-    hi = dict(runs[3], triples_per_sec=round(hi_thr, 2))
+    # Measure in 3 time-local triplets: (spark lo, spark hi, bare-python
+    # control pair). This VM's vCPU throughput drifts minute-to-minute
+    # with host tenancy (in a band wider than the thing being measured),
+    # so the only fair normalization is PAIRED — each triplet yields one
+    # spark efficiency and one framework-free control efficiency from
+    # adjacent-in-time runs, and framework efficiency is their per-triplet
+    # ratio. Medians over triplets shed one bad-tenancy outlier.
+    runs: list[dict] = []
+    controls: list[dict] = []
+    for rep in range(3):
+        log(f"== triplet {rep + 1}/3 ==")
+        r_lo = kg_throughput(SCALING_LO, pages_path)
+        log(str(r_lo))
+        r_hi = kg_throughput(SCALING_HI, pages_path)
+        log(str(r_hi))
+        c = hardware_control(pages_path, SCALING_LO, SCALING_HI)
+        log(str(c))
+        runs.extend([r_lo, r_hi])
+        controls.append(c)
+    lo_runs = runs[0::2]
+    hi_runs = runs[1::2]
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    lo_thr = med([r["triples_per_sec"] for r in lo_runs])
+    hi_thr = med([r["triples_per_sec"] for r in hi_runs])
+    lo_busy = med([r["cpus_busy"] for r in lo_runs])
+    hi_busy = med([r["cpus_busy"] for r in hi_runs])
+    lo = dict(lo_runs[-1], triples_per_sec=round(lo_thr, 2))
+    hi = dict(hi_runs[-1], triples_per_sec=round(hi_thr, 2))
     ratio = hi_thr / max(lo_thr, 1e-9)
     ideal = SCALING_HI / SCALING_LO
     efficiency = ratio / ideal
     # per-delivered-CPU-second productivity ratio: cancels hypervisor
-    # steal/throttling (this VM's vCPU delivery drifts with host tenancy),
-    # measuring the framework's own scaling behavior
+    # steal/throttling, measuring the framework's own scaling behavior
     cpu_norm_eff = (hi_thr / max(hi_busy, 1e-9)) / (
         lo_thr / max(lo_busy, 1e-9)
     )
+    # per-triplet spark-efficiency ÷ control-efficiency, then median
+    per_triplet_fw = []
+    for i, c in enumerate(controls):
+        se = (hi_runs[i]["triples_per_sec"]
+              / max(lo_runs[i]["triples_per_sec"], 1e-9)) / ideal
+        per_triplet_fw.append(se / max(c["efficiency"], 1e-9))
+    framework_eff = round(min(med(per_triplet_fw), 1.0), 3)
+    control = {
+        "per_triplet_efficiency": [c["efficiency"] for c in controls],
+        "median_efficiency": med([c["efficiency"] for c in controls]),
+        "procs_lo": SCALING_LO,
+        "procs_hi": SCALING_HI,
+    }
+
+    # supplementary: same-JVM fixed-pool scaling (isolates the parallel
+    # region from per-session effects)
+    log("== fixed-pool scaling ==")
+    pool = fixed_pool_scaling(pages_path, SCALING_LO, SCALING_HI)
+    log(str(pool))
 
     log("== per-query timings ==")
     queries = run_queries(SF_DIR, CPUS)
@@ -178,8 +331,15 @@ def main() -> None:
             "efficiency": round(efficiency, 3),
             "cpus_busy_lo": round(lo_busy, 2),
             "cpus_busy_hi": round(hi_busy, 2),
+            "cpus_steal_lo": med([r["cpus_steal"] for r in lo_runs]),
+            "cpus_steal_hi": med([r["cpus_steal"] for r in hi_runs]),
             "cpu_normalized_efficiency": round(cpu_norm_eff, 3),
+            # spark efficiency ÷ bare-multiprocessing efficiency on the
+            # same kernel+host: the framework's own scaling behavior
+            "framework_efficiency": framework_eff,
         },
+        "scaling_fixed_pool": pool,
+        "scaling_hardware_control": control,
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
     print(json.dumps(result), flush=True)
