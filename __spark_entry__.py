@@ -43,26 +43,32 @@ PINNED_QUERIES = (
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
     "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
-    "dedup_simhash", "sim_topk_lsh",
+    "dedup_simhash", "sim_topk_lsh", "ta_html_extract",
 )
 
 _PAGES_N = 500
 
 
-def _pages(spark: SparkSession) -> DataFrame:
-    """Deterministic entity-bearing pages corpus (seed=42), materialized
-    once to parquet so repeated queries scan a real columnar source. The
-    cache path is keyed by the generator's source hash so a stale corpus
-    never survives a generator change."""
+def _pages_path() -> str:
+    """Cache path for the synthetic pages corpus, keyed by the
+    generator's source hash so a stale corpus never survives a generator
+    change."""
     import hashlib
 
     import prose_spark.sources.pages as pages_mod
-    from prose_spark.sources.pages import write_pages_parquet
 
     src_key = hashlib.md5(
         Path(pages_mod.__file__).read_bytes()
     ).hexdigest()[:10]
-    path = f"/tmp/prose_spark_pages_{_PAGES_N}_s42_{src_key}"
+    return f"/tmp/prose_spark_pages_{_PAGES_N}_s42_{src_key}"
+
+
+def _pages(spark: SparkSession) -> DataFrame:
+    """Deterministic entity-bearing pages corpus (seed=42), materialized
+    once to parquet so repeated queries scan a real columnar source."""
+    from prose_spark.sources.pages import write_pages_parquet
+
+    path = _pages_path()
     if not os.path.exists(path + "/_SUCCESS"):
         write_pages_parquet(spark, path, _PAGES_N, seed=42)
     return spark.read.parquet(path)
@@ -194,6 +200,20 @@ def q_ta_pages_quality(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_ta_html_extract(spark, sf_dir):
+    """North-rule per-row invariant: text extracted from the html column
+    must be byte-identical to the source text per url. The oracle reads
+    the ORIGINAL text column from the same parquet — a fully independent
+    check of the extraction operator."""
+    from prose_spark.operators.html import html_to_text
+
+    pages = _pages(spark)
+    return (
+        pages.select("url", html_to_text(F.col("html")).alias("text"))
+        .orderBy("url")
+    )
+
+
 def q_kg_pages_triples(spark, sf_dir):
     # the production KG path over the entity-bearing corpus
     from prose_spark.operators.triples import annotate_and_extract_triples
@@ -285,12 +305,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    from prose_spark.operators.dedup import minhash_near_dup_pairs
+    # native banded-MinHash core (no pyspark.ml fit); the ML variant is
+    # cross-checked against it in tests/test_spark_pipeline.py
+    from prose_spark.operators.dedup import minhash_near_dup_pairs_native
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, key_col="doc_id", jaccard_max_distance=0.3, num_hash_tables=4,
-        shingle_n=3,
+    pairs = minhash_near_dup_pairs_native(
+        docs, key_col="doc_id", jaccard_max_distance=0.3, n_hashes=32,
+        bands=8, shingle_n=3,
     )
     return pairs.select(
         F.col("a").cast("long").alias("a"),
@@ -577,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_sentiment_ml": q_nlp_sentiment_ml,
         "ta_quality": q_ta_quality,
         "ta_pages_quality": q_ta_pages_quality,
+        "ta_html_extract": q_ta_html_extract,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,

@@ -4,10 +4,12 @@
 Pipeline:
 1. mentions -> normalized surface forms (lowercase, squeezed whitespace);
 2. candidate edges = exact-match edges (same normalized form) plus
-   near-duplicate edges from MinHashLSH.approxSimilarityJoin over char
-   3-gram shingles (Jaccard distance <= threshold). LSH banding turns the
-   O(n^2) similarity join into an equi-join on hash buckets — the only
-   shuffle whose size matters at 10^12-document scale;
+   near-duplicate edges from native banded MinHash over char 3-gram
+   shingles (exact Jaccard distance <= threshold after band blocking;
+   operators.dedup.banded_minhash_pairs). Banding turns the O(n^2)
+   similarity join into an equi-join on band keys — the only shuffle
+   whose size matters at 10^12-document scale; a pyspark.ml
+   MinHashLSH cross-check variant is kept as lsh_candidate_pairs_ml;
 3. connected components over the edge set by alternating small-star /
    large-star label propagation (Kiveris et al., "Connected Components in
    MapReduce and Beyond") expressed as DataFrame self-joins, with
@@ -48,28 +50,54 @@ def normalize_mentions(
     return out
 
 
+def _char_grams(col: str = "norm"):
+    """Distinct char-3-gram array (whole string when shorter)."""
+    return F.array_distinct(
+        F.when(
+            F.length(col) >= 3,
+            F.expr(
+                f"transform(sequence(1, length({col}) - 2),"
+                f" i -> substring({col}, i, 3))"
+            ),
+        ).otherwise(F.array(F.col(col)))
+    )
+
+
 def lsh_candidate_pairs(
+    forms: DataFrame,
+    jaccard_max_distance: float = 0.3,
+    n_hashes: int = 30,
+    bands: int = 10,
+) -> DataFrame:
+    """Distinct normalized forms -> near-duplicate pairs (a, b) with true
+    char-3-gram Jaccard distance <= threshold, via the native banded
+    MinHash core (operators.dedup.banded_minhash_pairs) — exact-verified
+    candidates, no pyspark.ml fit, shuffle only on band keys.
+
+    forms: DataFrame with column ``norm`` (distinct).
+    """
+    from prose_spark.operators.dedup import banded_minhash_pairs
+
+    d = forms.select(
+        F.col("norm").alias("k"), _char_grams("norm").alias("g")
+    )
+    return banded_minhash_pairs(
+        d, jaccard_max_distance, n_hashes, bands
+    ).select("a", "b")
+
+
+def lsh_candidate_pairs_ml(
     forms: DataFrame,
     jaccard_max_distance: float = 0.3,
     num_hash_tables: int = 6,
     num_features: int = 1 << 18,
 ) -> DataFrame:
-    """Distinct normalized forms -> near-duplicate pairs (a, b).
-
-    forms: DataFrame with column ``norm`` (distinct).
-    """
+    """pyspark.ml MinHashLSH variant of lsh_candidate_pairs (kept for
+    cross-checking the native core against Spark ML's approxSimilarityJoin;
+    same true-Jaccard threshold semantics via keyDistance)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = forms.withColumn(
-        "grams",
-        F.when(
-            F.length("norm") >= 3,
-            F.expr(
-                "transform(sequence(1, length(norm) - 2),"
-                " i -> substring(norm, i, 3))"
-            ),
-        ).otherwise(F.array(F.col("norm"))),
-    )
+    shingled = forms.withColumn("grams", _char_grams("norm"))
     tf = HashingTF(inputCol="grams", outputCol="features",
                    numFeatures=num_features)
     feats = tf.transform(shingled)
@@ -247,8 +275,11 @@ def canonicalize_mentions(
     m = normalize_mentions(mentions)
     form_counts = m.groupBy("norm").agg(F.count("*").alias("n_mentions"))
 
+    # r=3 rows x 10 bands: collision prob 0.985 at the s=0.7 threshold
+    # boundary, ~1e-3 for unrelated forms; candidates are exact-verified
     pairs = lsh_candidate_pairs(
-        form_counts.select("norm"), jaccard_max_distance, lsh_tables
+        form_counts.select("norm"), jaccard_max_distance,
+        n_hashes=30, bands=10,
     )
     # post-blocking entity-form graphs are orders of magnitude smaller
     # than the corpus; the gate keeps small graphs driver-local and

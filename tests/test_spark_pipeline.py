@@ -146,6 +146,27 @@ def test_simhash_near_dup(spark):
     assert (1, 3) not in pair_set
 
 
+def test_native_minhash_matches_ml_pairs(spark):
+    """The native banded-MinHash core and Spark ML's MinHashLSH must find
+    the SAME near-dup pair set after exact-distance filtering (the hash
+    families differ; the exact verify makes the contract equal whenever
+    both recall the candidates)."""
+    from prose_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_native,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ml = {(r.a, r.b) for r in minhash_near_dup_pairs(
+        docs, "doc_id", jaccard_max_distance=0.3, num_hash_tables=4,
+        shingle_n=3).collect()}
+    native = {(r.a, r.b) for r in minhash_near_dup_pairs_native(
+        docs, "doc_id", jaccard_max_distance=0.3, n_hashes=32, bands=8,
+        shingle_n=3).collect()}
+    assert ml == native, (ml - native, native - ml)
+    assert len(native) > 0
+
+
 def test_brute_force_topk_self_similarity(spark):
     from prose_spark.operators.similarity import brute_force_topk
 
