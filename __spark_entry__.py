@@ -43,7 +43,8 @@ PINNED_QUERIES = (
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
     "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
-    "dedup_simhash", "sim_topk_lsh", "ta_html_extract",
+    "dedup_simhash", "dedup_simhash_pairs", "sim_topk_lsh",
+    "ta_html_extract",
 )
 
 _PAGES_N = 500
@@ -202,9 +203,10 @@ def q_ta_pages_quality(spark, sf_dir):
 
 def q_ta_html_extract(spark, sf_dir):
     """North-rule per-row invariant: text extracted from the html column
-    must be byte-identical to the source text per url. The oracle reads
-    the ORIGINAL text column from the same parquet — a fully independent
-    check of the extraction operator."""
+    must be byte-identical to the source text per url (independently
+    asserted against the source text column in
+    tests/test_spark_pipeline.py::test_html_text_extraction_byte_identity;
+    the driver oracle pins the extracted output)."""
     from prose_spark.operators.html import html_to_text
 
     pages = _pages(spark)
@@ -326,6 +328,25 @@ def q_dedup_simhash(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return add_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # banding candidate join + exact Hamming verify: near-dups are made by
+    # appending one word to each doc under shifted ids (hamming <= ~3)
+    from prose_spark.operators.dedup import add_simhash, simhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzgloss")).alias("text"),
+    )
+    sh = add_simhash(docs.unionByName(perturbed))
+    pairs = simhash_candidate_pairs(sh, "doc_id", max_hamming=3)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("a", "b")
 
 
 def q_sim_topk_bruteforce(spark, sf_dir):
@@ -606,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
         "rel_q1": q_rel_q1,

@@ -73,3 +73,43 @@ def test_whole_stage_codegen_native_stats(spark, docs_path):
     # but still columnar/JVM-side)
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_simhash_is_map_only(spark, docs_path):
+    from prose_spark.operators.dedup import add_simhash
+
+    pages = spark.read.parquet(docs_path)
+    plan = _plan(add_simhash(pages.select("url", "text")))
+    # per-row higher-order-function computation: no shuffle, no Python,
+    # no generated row id — stays a narrow projection over the scan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
+def test_native_minhash_shuffles_only_on_band_keys(spark, docs_path):
+    from prose_spark.operators.dedup import minhash_near_dup_pairs_native
+
+    pages = spark.read.parquet(docs_path)
+    docs = pages.select(F.col("url").alias("doc_id"), "text")
+    plan = _plan(
+        minhash_near_dup_pairs_native(docs, "doc_id",
+                                      jaccard_max_distance=0.3)
+    )
+    # signature computation is native (no ML fit/UDF); the join keys are
+    # (band, bkey) so partition sizes stay bounded at any corpus size
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    tree = plan.split("\n\n")[0]
+    n_joins = sum(tree.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, tree  # exactly one band-key self-join
+
+
+def test_sentiment_udf_single_python_stage(spark, docs_path):
+    from prose_spark.operators.sentiment_ops import add_sentiment
+
+    pages = spark.read.parquet(docs_path)
+    plan = _plan(add_sentiment(pages.select("url", "text"), use_ml=True))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1  # one vectorized stage
+    assert "Exchange" not in plan
