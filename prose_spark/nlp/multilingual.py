@@ -92,6 +92,29 @@ def is_stop_word(word: str, lang: str = "en") -> bool:
     return word.lower() in FULL_STOPWORDS.get(lang, FULL_STOPWORDS["en"])
 
 
+# language-specific tokenization rules (multilingual.go:378-392)
+_TOKENIZATION_RULES = {
+    "de": ("der", "die", "das", "des", "dem", "den"),
+    "fr": ("l'", "d'", "n'", "m'", "t'", "s'", "c'", "qu'"),
+    "es": ("al", "del"),
+}
+
+
+def tokenization_rules(lang: str) -> tuple[str, ...]:
+    """GetTokenizationRules (multilingual.go:378-392)."""
+    return _TOKENIZATION_RULES.get(lang, ())
+
+
+def is_supported(lang: str) -> bool:
+    """IsMultilingualSupported (multilingual.go:441-449)."""
+    return lang in SUPPORTED
+
+
+def supported_languages() -> tuple[str, ...]:
+    """GetSupportedLanguages (multilingual.go:452-454)."""
+    return SUPPORTED
+
+
 _DE_MAP = {"ß": "ss", "ä": "ae", "ö": "oe", "ü": "ue",
            "Ä": "Ae", "Ö": "Oe", "Ü": "Ue"}
 

@@ -291,22 +291,27 @@ class PerceptronTagger:
         rng = random.Random(seed)
         data = list(sentences)
         for _ in range(iterations):
-            for words, tags in data:
-                p1, p2 = START[0], START[1]
-                # ctx must index-align with `words` exactly as in tag():
-                # filtering empties here would desync context features for
-                # any sentence containing an empty token
-                ctx = [p1, p2] + [normalize(w) for w in words] + END
-                for i, word in enumerate(words):
-                    guess = self.tag_map.get(word)
-                    if guess is None:
-                        feats = featurize(i, ctx, word, p1, p2)
-                        guess = self.model.predict(feats)
-                        self.model.update(tags[i], guess, feats)
-                    p2 = p1
-                    p1 = guess
+            self.train_epoch(data)
             rng.shuffle(data)
         self.model.average_weights()
+
+    def train_epoch(self, data: list[tuple[list[str], list[str]]]) -> None:
+        """One perceptron pass over ``data`` (no shuffle, no averaging) —
+        the unit the Trainer drives for early stopping."""
+        for words, tags in data:
+            p1, p2 = START[0], START[1]
+            # ctx must index-align with `words` exactly as in tag():
+            # filtering empties here would desync context features for
+            # any sentence containing an empty token
+            ctx = [p1, p2] + [normalize(w) for w in words] + END
+            for i, word in enumerate(words):
+                guess = self.tag_map.get(word)
+                if guess is None:
+                    feats = featurize(i, ctx, word, p1, p2)
+                    guess = self.model.predict(feats)
+                    self.model.update(tags[i], guess, feats)
+                p2 = p1
+                p1 = guess
 
     # -- evaluation (training.go:218-314) -------------------------------------
 
