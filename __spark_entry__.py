@@ -44,7 +44,7 @@ PINNED_QUERIES = (
     "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
     "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_simhash_pairs", "sim_topk_lsh",
-    "ta_html_extract",
+    "sim_topk_ivf", "ta_html_extract",
 )
 
 _PAGES_N = 500
@@ -378,6 +378,20 @@ def q_sim_topk_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    from prose_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    top = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8)
+    return top.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def q_nlp_sentiment(spark, sf_dir):
     from prose_spark.operators.sentiment_ops import sentiment_lexicon_udf
 
@@ -630,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_topk_ivf": q_sim_topk_ivf,
         "rel_q1": q_rel_q1,
         "rel_top_customers": q_rel_top_customers,
         "rel_window_topk": q_rel_window_topk,

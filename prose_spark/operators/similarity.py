@@ -3,9 +3,16 @@
 - brute-force cosine top-k: native F.aggregate/F.zip_with dot products —
   exact baseline, O(Q x N) but fully codegen'd and shuffle-free except the
   final top-k window;
-- LSH-bucketed approximate variant (random hyperplane signatures computed
-  natively from deterministic per-dimension weights): the scale path —
-  candidates only join within matching signature buckets.
+- multi-table hyperplane LSH (OR-construction over independent signature
+  tables): candidates only join within matching (table, signature)
+  buckets; recall@5 >= 0.9 asserted vs brute force;
+- IVF (inverted-file) variant: deterministic hash-seeded k-means coarse
+  quantizer; queries exact-rerank only their n_probe nearest Voronoi
+  cells. At scale the cell id is a partition key — fit once, write the
+  cell column, probe-prune forever.
+
+Everything is deterministic (hash-derived randomness, decimal-exact
+centroid means) so driver goldens stay stable across runs/partitionings.
 """
 
 from __future__ import annotations
@@ -47,6 +54,132 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _dot_lit(vec_col, centroid: list[float]):
+    """Dot product of a vector column with a literal centroid (native)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), c, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_fit(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+            vec_col: str = "embedding", lloyd_iters: int = 1) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeds = the n_cells rows with
+    the smallest xxhash64(id) (hash-ordered sample — no RNG), refined by
+    ``lloyd_iters`` k-means steps run as DataFrame jobs (assign via
+    native argmax-dot, re-center via posexplode + groupBy avg). Returns
+    L2-normalized centroids (driver-side list: n_cells x dim floats —
+    tiny, broadcast into the assignment expressions)."""
+    import math
+
+    def normalize(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    seeds = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"),
+                      F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [normalize(list(r["v"])) for r in seeds]
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(lloyd_iters):
+        assign = _argmax_cell("v", centroids)
+        means = (
+            base.select(assign.alias("cell"), F.posexplode("v")
+                        .alias("pos", "x"))
+            .groupBy("cell", "pos")
+            # decimal accumulator: exact, partition-order-insensitive
+            # (float avg would make the centroids nondeterministic)
+            .agg(F.avg(F.col("x").cast("decimal(28,14)"))
+                 .cast("double").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        dim = len(centroids[0])
+        centroids = [
+            normalize([by_cell.get(c, {}).get(p, centroids[c][p])
+                       for p in range(dim)])
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def _cell_dots(vec_col: str, centroids: list[list[float]]):
+    """Array of dot products with each centroid (parallel to cell ids)."""
+    return F.array(*[_dot_lit(vec_col, c) for c in centroids])
+
+
+def _argmax_cell(vec_col: str, centroids: list[list[float]]):
+    """Native argmax over centroid dot products -> cell id column (ties
+    -> first index, deterministic)."""
+    dots = _cell_dots(vec_col, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _top_cells(vec_col: str, centroids: list[list[float]], n_probe: int):
+    """Array of the n_probe nearest cell ids (native sort desc)."""
+    dots = _cell_dots(vec_col, centroids)
+    pairs = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, i: F.struct(d.alias("dot"), i.alias("cell")),
+    )
+    return F.slice(
+        F.transform(F.sort_array(pairs, asc=False),
+                    lambda s: s.getField("cell")),
+        1, n_probe,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is bucketed into
+    Voronoi cells around ivf_fit centroids; each query exact-reranks only
+    its n_probe nearest cells. At scale the cell column is a partition
+    key (write once, probe-prune forever); recall tunes via n_probe.
+    Deterministic end to end (hash-seeded k-means, no RNG)."""
+    if centroids is None:
+        centroids = ivf_fit(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", _argmax_cell("cv", centroids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_top_cells("qv", centroids, n_probe))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     )

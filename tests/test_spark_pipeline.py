@@ -203,6 +203,39 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f}"
 
 
+def test_ivf_topk_recall_beats_random_probing(spark):
+    """IVF coarse quantizer must concentrate true neighbors: probing
+    n_probe of n_cells cells has a 'random' recall baseline of
+    n_probe/n_cells; the hash-seeded k-means cells must do much better,
+    and recall must rise with n_probe. (Isotropic vectors are IVF's
+    worst case — real embedding corpora cluster far more.)"""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(q, emb, k=5).collect()}
+    cents = ivf_fit(emb, n_cells=16)
+    assert len(cents) == 16
+
+    def recall(n_probe):
+        iv = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(q, emb, k=5, n_probe=n_probe,
+                                centroids=cents).collect()}
+        return len(bf & iv) / len(bf)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 2 * (4 / 16), r4   # >=2x the random-probing baseline
+    assert r8 > r4
+    assert r8 >= 0.75, r8
+
+
 def test_checkpoint_resume_after_crash(spark, pages_df, tmp_path):
     from prose_spark.sources.checkpoints import (
         done_buckets,
