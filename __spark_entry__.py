@@ -44,7 +44,7 @@ PINNED_QUERIES = (
     "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
     "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_simhash_pairs", "sim_topk_lsh",
-    "sim_topk_ivf", "ta_html_extract",
+    "sim_topk_ivf", "ta_html_extract", "ta_winnowing",
 )
 
 _PAGES_N = 500
@@ -269,6 +269,31 @@ def q_ta_quality(spark, sf_dir):
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
     ).orderBy("doc_id")
+
+
+def q_ta_bpe_token_counts(spark, sf_dir):
+    # BPE-ish pretokenizer count — the DuckDB oracle computes the SAME
+    # regex independently (pattern restricted to the RE2 ∩ Java subset)
+    from prose_spark.operators.textstats import bpe_token_count_col
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                bpe_token_count_col("text").cast("long")
+                .alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def q_ta_winnowing(spark, sf_dir):
+    # winnowing fingerprint sketch over the punctuation-rich pages corpus
+    from prose_spark.operators.textstats import winnowing_fingerprints
+
+    w = winnowing_fingerprints(_pages(spark).select("url", "text"))
+    return (
+        w.select("url", F.explode("fingerprints").alias("fingerprint"))
+        .orderBy("url", "fingerprint")
+    )
 
 
 def q_ta_fingerprint(spark, sf_dir):
@@ -635,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality": q_ta_quality,
         "ta_pages_quality": q_ta_pages_quality,
         "ta_html_extract": q_ta_html_extract,
+        "ta_bpe_token_counts": q_ta_bpe_token_counts,
+        "ta_winnowing": q_ta_winnowing,
         "ta_langid": q_ta_langid,
         "ta_fingerprint": q_ta_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -699,6 +726,14 @@ def oracle_sql() -> dict[str, str]:
                             w -> lower(w) IN ({stop_list})))
                          / len(words), 6) AS DOUBLE) AS stopword_ratio
             FROM d ORDER BY doc_id
+        """,
+        "ta_bpe_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE len(regexp_extract_all(text,
+                             '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                   END::BIGINT AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "ta_fingerprint": """
             SELECT doc_id,

@@ -72,6 +72,56 @@ def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer pattern, simplified to the subset RE2 (DuckDB)
+# and Java regex (Spark) BOTH support — no lookahead — so the DuckDB
+# oracle can compute the same counts independently
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text_col: str = "text"):
+    """BPE-ish token count: GPT-2 pretokenizer segments (contractions,
+    letter runs, digit runs, punctuation runs, whitespace runs) counted
+    natively via regexp_extract_all — the cheap budget-token estimator
+    for training-data pipelines (codegen'd, no UDF)."""
+    return F.when(
+        F.length(F.col(text_col)) == 0, F.lit(0)
+    ).otherwise(
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-gram of the normalized text, slide a window of ``window``
+    hashes, keep each window's minimum, distinct the result. Guarantees
+    any shared substring of length >= k + window - 1 produces a shared
+    fingerprint — the standard near-dup/plagiarism sketch. Computed
+    per-row with native higher-order functions (map-only, no shuffle);
+    k-gram hashes use xxhash64 over substrings (same selection guarantee
+    as a Karp-Rabin rolling hash, one JVM hash call per position)."""
+    norm_sql = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    # transform(array(X), v -> ...)[0] is a let-binding: X evaluates ONCE
+    # per row and the lambda reuses it — without it the k-gram hash array
+    # would be recomputed inside every window (O(n*w) hash calls)
+    expr = f"""
+      transform(array({norm_sql}), nm ->
+        CASE WHEN length(nm) < {k} THEN array(xxhash64(nm))
+        ELSE transform(
+               array(transform(sequence(1, length(nm) - {k - 1}),
+                               i -> xxhash64(substring(nm, i, {k})))),
+               hs -> array_distinct(transform(
+                       sequence(1, greatest(size(hs) - {window - 1}, 1)),
+                       j -> array_min(slice(hs, j, {window})))))[0]
+        END
+      )[0]
+    """
+    return df.withColumn(out_col, F.expr(expr))
+
+
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase text (stable across engines for oracle checks) plus a fast

@@ -103,3 +103,41 @@ def test_trigram_language_detection():
     assert detect_language(
         "the thing is that the morning brought information"
     )[0] == "en"
+
+
+def test_bpe_token_count(spark):
+    from prose_spark.operators.textstats import bpe_token_count_col
+
+    df = spark.createDataFrame(
+        [(1, "I can't believe it's 2024! Great-stuff..."),
+         (2, "short"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count_col("text").alias("n")).collect()}
+    # I / ' + can / 't / believe / it / 's / 2024 / ! / Great / -stuff / ...
+    assert out == {1: 12, 2: 1, 3: 0}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing (k, w) guarantees: any shared substring of length
+    >= k + w - 1 yields at least one shared fingerprint; disjoint texts
+    share none."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "unrelated prefix but the quick brown fox jumps again"),
+         (3, "zzz completely disjoint qqq content vvv")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: set(r.fingerprints)
+           for r in winnowing_fingerprints(df, k=8, window=4).collect()}
+    assert fps[1] & fps[2]          # share "the quick brown fox jumps"
+    assert not (fps[1] & fps[3])    # nothing shared
+    # short texts degrade to a single whole-string hash
+    short = spark.createDataFrame([(1, "tiny")], ["doc_id", "text"])
+    row = winnowing_fingerprints(short, k=8, window=4).collect()[0]
+    assert len(row.fingerprints) == 1
