@@ -403,6 +403,32 @@ def q_sim_topk_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH blocking + exact verify.
+    Twins are synthesized with a value-dependent perturbation (both
+    engines can compute it without indexed lambdas); the DuckDB oracle
+    does the brute-force all-pairs cosine independently."""
+    from prose_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + 0.05 * F.sin(1000 * x)
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(perturbed), min_cosine=0.9
+    )
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("a", "b")
+
+
 def q_sim_topk_ivf(spark, sf_dir):
     from prose_spark.operators.similarity import ivf_topk
 
@@ -669,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -773,6 +800,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(x.g, y.g))
                   / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
                   >= 0.5
+            ORDER BY a, b
+        """,
+        "dedup_embedding_pairs": """
+            WITH d AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), u AS (
+                SELECT vec_id, v FROM d
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(v, x -> x + 0.05 * sin(1000 * x))
+                FROM d
+            )
+            SELECT x.vec_id::BIGINT AS a, y.vec_id::BIGINT AS b,
+                   CAST(ROUND(list_cosine_similarity(x.v, y.v), 6)
+                        AS DOUBLE) AS cosine
+            FROM u x JOIN u y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.v, y.v) >= 0.9
             ORDER BY a, b
         """,
         "sim_topk_bruteforce": """

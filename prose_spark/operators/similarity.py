@@ -193,6 +193,57 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, cosine >= threshold).
+
+    Default path: multi-table hyperplane-LSH candidate blocking (the same
+    OR-construction as lsh_topk — at min_cosine 0.9 the angle is ~26° so
+    per-plane collision prob is ~0.86 and 12 tables of 3 planes recall
+    ~0.9999) + exact cosine verify. ``brute_force=True`` switches to the
+    all-pairs exact join — the verification path for small inputs and the
+    DuckDB-oracle twin.
+    """
+    d = df.select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if brute_force:
+        cand = (
+            d.alias("x").crossJoin(d.alias("y"))
+            .filter(F.col("x.k") < F.col("y.k"))
+            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"),
+                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+        )
+    else:
+        sigs = _table_signatures("v", dim, n_planes, n_tables)
+        banded = d.select(
+            "k", "v", F.explode(sigs).alias("s")
+        ).select("k", "v", F.col("s.tbl").alias("tbl"),
+                 F.col("s.sig").alias("sig"))
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["tbl", "sig"])
+            .filter(F.col("x.k") < F.col("y.k"))
+            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"),
+                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        cand.withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("a", "b", "cosine")
+    )
+
+
 def _signature(vec_col: str, dim: int, n_planes: int, salt: str = "p"):
     """Random-hyperplane signature bits from deterministic pseudo-random
     plane weights: w[p][i] derived from a hash of (salt, p, i), mapped to
