@@ -199,18 +199,23 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     dim: int = 64,
-    n_planes: int = 3,
-    n_tables: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 24,
     brute_force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, cosine >= threshold).
 
-    Default path: multi-table hyperplane-LSH candidate blocking (the same
-    OR-construction as lsh_topk — at min_cosine 0.9 the angle is ~26° so
-    per-plane collision prob is ~0.86 and 12 tables of 3 planes recall
-    ~0.9999) + exact cosine verify. ``brute_force=True`` switches to the
-    all-pairs exact join — the verification path for small inputs and the
-    DuckDB-oracle twin.
+    Default path: multi-table hyperplane-LSH candidate blocking + exact
+    cosine verify. Near-dup blocking needs FINE buckets — unlike top-k,
+    where coarse buckets just add rerank work, coarse buckets here blow
+    up quadratically (bucket size N/2^planes). At min_cosine 0.9 the
+    per-plane collision prob is ~0.857, so 24 tables of 8 planes give
+    per-pair miss rate (1-0.857^8)^24 ≈ 2.5e-4 while random pairs
+    collide at ~2^-8 per table. The banded self-join carries IDS ONLY;
+    vectors re-attach to the deduped candidates by key, so the shuffle
+    never moves vector payloads through the pair explosion.
+    ``brute_force=True`` switches to the all-pairs exact join — the
+    verification path for small inputs and the DuckDB-oracle twin.
     """
     d = df.select(
         F.col(key_col).alias("k"),
@@ -226,16 +231,22 @@ def embedding_near_dup_pairs(
     else:
         sigs = _table_signatures("v", dim, n_planes, n_tables)
         banded = d.select(
-            "k", "v", F.explode(sigs).alias("s")
-        ).select("k", "v", F.col("s.tbl").alias("tbl"),
+            "k", F.explode(sigs).alias("s")
+        ).select("k", F.col("s.tbl").alias("tbl"),
                  F.col("s.sig").alias("sig"))
-        cand = (
+        pair_ids = (
             banded.alias("x")
             .join(banded.alias("y"), ["tbl", "sig"])
             .filter(F.col("x.k") < F.col("y.k"))
-            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"),
-                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
             .dropDuplicates(["a", "b"])
+        )
+        cand = (
+            pair_ids
+            .join(d.select(F.col("k").alias("a"), F.col("v").alias("va")),
+                  "a")
+            .join(d.select(F.col("k").alias("b"), F.col("v").alias("vb")),
+                  "b")
         )
     return (
         cand.withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
