@@ -623,6 +623,29 @@ def q_rel_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_rel_range_join(spark, sf_dir):
+    """True range (theta) join: events bucketed into value bands via a
+    BETWEEN condition against a small broadcast bands dimension."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 1.0), ("small", 1.0, 10.0), ("medium", 10.0, 100.0),
+         ("large", 100.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    j = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_rel_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -705,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_anti": q_rel_semi_anti,
         "rel_events_hourly": q_rel_events_hourly,
         "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
         "rel_pivot": q_rel_pivot,
         "rel_cube": q_rel_cube,
         "rel_nation_rollup": q_rel_nation_rollup,
@@ -896,6 +920,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN signups s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id
+        """,
+        "rel_range_join": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('tiny', 0.0, 1.0), ('small', 1.0, 10.0),
+                       ('medium', 10.0, 100.0), ('large', 100.0, 1e9)
+            )
+            SELECT band, COUNT(*)::BIGINT AS n,
+                   CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band ORDER BY band
         """,
         "rel_pivot": """
             SELECT (user_id % 10)::BIGINT AS user_bucket,
