@@ -101,10 +101,15 @@ def ivf_fit(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     centroids = [normalize(list(r["v"])) for r in seeds]
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(lloyd_iters):
-        assign = _argmax_cell("v", centroids)
+        # materialize the assignment BEFORE the explode: projection
+        # collapse would otherwise inline the (interpreted higher-order)
+        # argmax into the post-explode projection and re-evaluate it once
+        # per vector ELEMENT instead of once per vector
+        assigned = base.withColumn(
+            "cell", _argmax_cell("v", centroids)
+        ).localCheckpoint()
         means = (
-            base.select(assign.alias("cell"), F.posexplode("v")
-                        .alias("pos", "x"))
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             # decimal accumulator: exact, partition-order-insensitive
             # (float avg would make the centroids nondeterministic)
@@ -125,8 +130,21 @@ def ivf_fit(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
 
 
 def _cell_dots(vec_col: str, centroids: list[list[float]]):
-    """Array of dot products with each centroid (parallel to cell ids)."""
-    return F.array(*[_dot_lit(vec_col, c) for c in centroids])
+    """Array of dot products with each centroid (parallel to cell ids).
+    One transform over a literal centroid matrix — a single aggregate
+    node regardless of n_cells, instead of n_cells unrolled aggregates
+    (which blow up codegen size and compile time)."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def _argmax_cell(vec_col: str, centroids: list[list[float]]):

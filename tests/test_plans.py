@@ -113,3 +113,36 @@ def test_sentiment_udf_single_python_stage(spark, docs_path):
     tree = plan.split("\n\n")[0]
     assert tree.count("ArrowEvalPython") == 1  # one vectorized stage
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Co-located joins via bucketing: two tables bucketed+sorted on the
+    join key join with NO Exchange — the 100 TB pattern for repeated
+    joins on the same key (bucket once at ingest, join shuffle-free
+    forever)."""
+    import uuid
+
+    # warehouse.dir is a static conf; managed tables land in the session
+    # default warehouse and are dropped (with files) in the finally
+    suffix = uuid.uuid4().hex[:8]
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    t_o, t_c = f"orders_b_{suffix}", f"cust_b_{suffix}"
+    try:
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable(t_o))
+        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable(t_c))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t_o).join(
+            spark.table(t_c),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket-pruned: no shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
