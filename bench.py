@@ -96,7 +96,7 @@ def kg_throughput(cores: int, pages_path: str) -> dict:
 
 
 def fixed_pool_scaling(pages_path: str, lo: int, hi: int,
-                       repeats: int = 3) -> dict:
+                       repeats: int = 2) -> dict:
     """Supplementary scaling evidence with JVM effects held constant: ONE
     local[hi] session, concurrency controlled by partition count
     (coalesce(lo) vs coalesce(hi)), workers warmed once. Isolates the
@@ -168,7 +168,7 @@ def _pure_worker(docs, out, idx):
 
 
 def hardware_control(pages_path: str, lo: int, hi: int,
-                     n_docs: int = 1600) -> dict:
+                     n_docs: int = 1200) -> dict:
     """Framework-free control: the SAME kernel in bare multiprocessing at
     lo and hi process counts. Whatever efficiency THIS loses from lo->hi
     is the host's own concurrency penalty (memory bandwidth / SMT /

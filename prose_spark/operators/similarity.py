@@ -273,48 +273,90 @@ def embedding_near_dup_pairs(
     )
 
 
-def _signature(vec_col: str, dim: int, n_planes: int, salt: str = "p"):
-    """Random-hyperplane signature bits from deterministic pseudo-random
-    plane weights: w[p][i] derived from a hash of (salt, p, i), mapped to
-    ±1. Computed natively — no UDF, no stored plane matrix."""
-    def weight(prefix):
-        # ±1 weights via xxhash64 parity of (plane, index); closure keeps
-        # the lambda 2-ary for zip_with
-        return lambda v, i: F.when(
-            F.xxhash64(F.concat(F.lit(prefix), i.cast("string")))
-            .bitwiseAND(F.lit(1)) == 1,
-            v,
-        ).otherwise(-v)
+def _plane_weights(dim: int, n_planes: int, salt: str = "p") -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights from md5 parity of
+    (salt, plane, index) — computed in Python once and shipped as plan
+    literals, so signature evaluation is pure arithmetic (no per-element
+    hashing at runtime)."""
+    import hashlib
 
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                weight(f"{salt}{p}:"),
-            ),
+    return [
+        [
+            1.0 if hashlib.md5(f"{salt}{p}:{i}".encode()).digest()[0] & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _signature(vec_col: str, dim: int, n_planes: int, salt: str = "p"):
+    """Random-hyperplane signature integer for one table: sign bits of
+    the projections onto ``n_planes`` deterministic ±1 planes."""
+    planes = F.array(*[
+        F.array(*[F.lit(x) for x in row])
+        for row in _plane_weights(dim, n_planes, salt)
+    ])
+    projs = F.transform(
+        planes,
+        lambda w: F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda a, b: a * b),
             F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-    return sum(bits)
+            lambda acc, x: acc + x,
+        ),
+    )
+    powers = F.array(*[F.lit(2 ** p) for p in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(projs, powers,
+                   lambda x, pw: F.when(x >= 0, pw).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, b: acc + b,
+    )
 
 
 def _table_signatures(vec_col: str, dim: int, n_planes: int, n_tables: int):
     """array<struct<tbl,sig>> — one independent hyperplane signature per
     hash table (OR-construction: a pair is a candidate if ANY table's
     signatures collide, which is what keeps recall from collapsing as N
-    grows; a single AND-only table has a recall cliff)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _signature(vec_col, dim, n_planes, salt=f"t{t}p").alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
+    grows; a single AND-only table has a recall cliff). All L x r plane
+    projections are computed in ONE literal-matrix transform pass, then
+    sliced into per-table sign-bit integers — a single small expression
+    regardless of table count."""
+    flat = []
+    for t in range(n_tables):
+        flat.extend(_plane_weights(dim, n_planes, salt=f"t{t}p"))
+    planes = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in flat
+    ])
+    projs = F.transform(
+        planes,
+        lambda w: F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
+    powers = F.array(*[F.lit(2 ** p) for p in range(n_planes)])
+
+    # let-bind projs via single-element transform so the projection pass
+    # evaluates once per row even after projection collapse
+    return F.transform(
+        F.array(projs),
+        lambda pr: F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.cast("int").alias("tbl"),
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(pr, t * n_planes + 1, n_planes), powers,
+                        lambda x, pw: F.when(x >= 0, pw).otherwise(F.lit(0)),
+                    ),
+                    F.lit(0),
+                    lambda acc, b: acc + b,
+                ).alias("sig"),
+            ),
+        ),
+    ).getItem(0)
 
 
 def lsh_topk(
