@@ -45,17 +45,21 @@ def exact_dedup(df: DataFrame, key_col: str, text_col: str = "text") -> DataFram
 
 
 def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as an array column (native, codegen'd)."""
+    """Word n-gram shingles as an array column (native). The word array
+    is let-bound via a single-element transform so the text is
+    normalized+split ONCE per row, not once per shingle."""
     words = F.split(_norm(text_col), " ")
-    return F.when(
-        F.size(words) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split(regexp_replace(lower(trim({text_col})),"
-            f" '\\\\s+', ' '), ' ')) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(split(regexp_replace(lower(trim({text_col})),"
-            f" '\\\\s+', ' '), ' '), i, {n})))"
-        ),
-    ).otherwise(F.array(_norm(text_col)))
+
+    def make(ws):
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+    return F.transform(F.array(words), make).getItem(0)
 
 
 def minhash_near_dup_pairs(
@@ -109,22 +113,42 @@ def banded_minhash_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
 
-    def mh(salt):
-        return lambda s: F.xxhash64(F.lit(salt), s)
+    # One nested let-bound expression (via single-element transforms, so
+    # nothing is re-evaluated after projection collapse):
+    # 1. hash each shingle STRING once (n_hashes x fewer string hashes);
+    # 2. i-th minhash = min over salted rehashes of those longs;
+    # 3. band key = chain-hash of its r signature longs.
+    gh = F.transform(F.col("g"), lambda s: F.xxhash64(s))
 
-    sigs = [
-        F.array_min(F.transform(F.col("g"), mh(f"mh{i}:")))
-        for i in range(n_hashes)
-    ]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*sigs[b * r:(b + 1) * r]).alias("bkey"),
+    def sigs_of(ghv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(ghv, lambda h: F.xxhash64(i, h))
+            ),
         )
-        for b in range(bands)
-    ]
+
+    def bands_of(sg):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.aggregate(
+                    F.slice(sg, b * r + 1, r),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.xxhash64(acc, x),
+                ).alias("bkey"),
+            ),
+        )
+
+    bd = F.transform(
+        F.array(gh),
+        lambda ghv: F.transform(F.array(sigs_of(ghv)), bands_of)
+        .getItem(0),
+    ).getItem(0)
+
     banded = d.select(
-        "k", "g", F.explode(F.array(*band_structs)).alias("bd")
+        "k", "g", F.explode(bd).alias("bd")
     ).select(
         "k", "g",
         F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"),
