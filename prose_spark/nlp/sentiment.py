@@ -186,28 +186,67 @@ class Lexicon:
         return len(self.words)
 
 
+# languageToJSONKey (sentiment_lexicon.go:130-145): external lexicon
+# files key languages by full name
+_LANG_JSON_KEYS = {"en": "english", "es": "spanish", "fr": "french",
+                   "de": "german", "ja": "japanese"}
+
+
 def load_lexicon(lang: str = "en", path: str | None = None) -> Lexicon:
-    """Built-in lexicon, optionally merged with an external JSON file
-    ({"languages": {lang: {words, positive, negative, modifiers,
-    intensifiers, diminishers, negations}}} — EXTERNAL-LEXICON-GUIDE.md)."""
+    """Built-in lexicon, optionally merged with an external JSON file in
+    the reference's documented schema (EXTERNAL-LEXICON-GUIDE.md /
+    sentiment_lexicon.go:29-57): languages keyed by full name
+    ("english"), words/positive/negative as WordEntry lists, modifiers as
+    {word, factor} lists, intensifiers/diminishers as plain word lists
+    merged at the reference's fixed factors 1.5 / 0.5
+    (mergeLanguageData:186-196 — a quirk: far stronger than any built-in
+    modifier). Legacy dict-shaped sections and bare "en" keys are also
+    accepted."""
     words, mods, negs = _BASE.get(lang, _BASE["en"])
     lex = Lexicon(dict(words), dict(mods), set(negs))
     if path:
         ext = json.loads(open(path, encoding="utf-8").read())
-        sect = (ext.get("languages") or {}).get(lang) or {}
-        for w, entry in (sect.get("words") or {}).items():
-            lex.words[w] = (
-                float(entry.get("sentiment", 0.0)),
-                float(entry.get("confidence", 0.8)),
-            )
-        for key, default_sent in (("positive", 0.6), ("negative", -0.6)):
-            for w in sect.get(key) or []:
-                lex.words[w] = (default_sent, 0.8)
-        for src in ("modifiers", "intensifiers", "diminishers"):
-            for w, v in (sect.get(src) or {}).items():
-                lex.modifiers[w] = float(v)
+        langs = ext.get("languages") or {}
+        sect = langs.get(_LANG_JSON_KEYS.get(lang, lang)) \
+            or langs.get(lang) or {}
+
+        def word_entries(section, default_sent):
+            entries = sect.get(section) or []
+            if isinstance(entries, dict):  # legacy {word: {...}} form
+                entries = [{"word": w, **(e if isinstance(e, dict) else {})}
+                           for w, e in entries.items()]
+            for e in entries:
+                if isinstance(e, str):  # legacy bare-word form
+                    yield e, default_sent, 0.8
+                else:
+                    yield (e["word"],
+                           float(e.get("sentiment", default_sent)),
+                           float(e.get("confidence", 0.8)))
+
+        # mergeLanguageData (sentiment_lexicon.go:149-203): words,
+        # positive and negative all merge with their OWN entry values
+        for section, default in (("words", 0.0), ("positive", 0.6),
+                                 ("negative", -0.6)):
+            for w, s, c in word_entries(section, default):
+                lex.words[w.lower()] = (s, c)
+        modifiers = sect.get("modifiers") or []
+        if isinstance(modifiers, dict):  # legacy
+            for w, v in modifiers.items():
+                lex.modifiers[w.lower()] = float(v)
+        else:
+            for e in modifiers:
+                lex.modifiers[e["word"].lower()] = float(e["factor"])
+        for section, factor in (("intensifiers", 1.5),
+                                ("diminishers", 0.5)):
+            entries = sect.get(section) or []
+            if isinstance(entries, dict):  # legacy {word: factor}
+                for w, v in entries.items():
+                    lex.modifiers[w.lower()] = float(v)
+            else:
+                for w in entries:
+                    lex.modifiers[w.lower()] = factor
         for w in sect.get("negations") or []:
-            lex.negations.add(w)
+            lex.negations.add(w.lower())
     return lex
 
 

@@ -366,6 +366,33 @@ def _lang(d: dict, lang: str) -> frozenset:
     return d.get(lang, d["en"])
 
 
+_LANG_JSON_KEYS = {"en": "english", "es": "spanish", "fr": "french",
+                   "de": "german", "ja": "japanese"}
+
+
+def load_external_feature_words(path: str, lang: str = "en") -> dict[str, set]:
+    """External word lists for the rich feature extractor
+    (newSentimentFeatureExtractorWithExternal / loadLanguageWords,
+    sentiment_features.go:33-111): category -> lowercase word set, read
+    from the EXTERNAL-LEXICON-GUIDE.md JSON schema. Pass the result as
+    ``extract_rich_features(..., external=...)``."""
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    langs = data.get("languages") or {}
+    sect = langs.get(_LANG_JSON_KEYS.get(lang, lang)) \
+        or langs.get(lang) or {}
+    out: dict[str, set] = {}
+    for cat in ("positive", "negative", "intensifiers", "diminishers",
+                "negations"):
+        words = set()
+        for e in sect.get(cat) or []:
+            w = e.get("word") if isinstance(e, dict) else e
+            if w:
+                words.add(w.lower())
+        out[cat] = words
+    return out
+
+
 def _is_word(text: str) -> bool:
     return any(c.isalpha() for c in text)
 

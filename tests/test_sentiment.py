@@ -199,3 +199,67 @@ def test_stopword_membership_suite():
         lang, _ = detect_language(text)
         assert lang == want, (text, lang)
         assert stop_words(lang)
+
+
+def test_external_lexicon_reference_schema(tmp_path):
+    """The reference's documented JSON schema (EXTERNAL-LEXICON-GUIDE.md):
+    full-name language keys, WordEntry lists, {word, factor} modifiers,
+    intensifiers/diminishers at the fixed 1.5/0.5 merge factors
+    (sentiment_lexicon.go:149-203)."""
+    ext = {
+        "languages": {
+            "english": {
+                "words": [{"word": "Fantastic", "sentiment": 0.8,
+                           "confidence": 0.9}],
+                "positive": [{"word": "uptime", "sentiment": 0.55,
+                              "confidence": 0.7}],
+                "negative": [{"word": "downtime", "sentiment": -0.65,
+                              "confidence": 0.7}],
+                "modifiers": [{"word": "massively", "factor": 0.45}],
+                "intensifiers": ["ultra"],
+                "diminishers": ["mildly"],
+                "negations": ["nuh-uh"],
+            }
+        }
+    }
+    p = tmp_path / "ref_lex.json"
+    p.write_text(json.dumps(ext))
+    lex = load_lexicon("en", str(p))
+    assert lex.sentiment("fantastic") == 0.8
+    assert lex.confidence("fantastic") == 0.9
+    assert lex.sentiment("uptime") == 0.55
+    assert lex.sentiment("downtime") == -0.65
+    assert lex.modifier("massively") == 0.45
+    assert lex.modifier("ultra") == 1.5  # reference's fixed merge factor
+    assert lex.modifier("mildly") == 0.5
+    assert lex.is_negation("nuh-uh")
+    # built-ins still present
+    assert lex.sentiment("good") == 0.6
+
+
+def test_external_feature_words_for_rich_extractor(tmp_path):
+    from prose_spark.nlp.sentiment_ml import (
+        extract_rich_features,
+        load_external_feature_words,
+    )
+
+    ext = {
+        "languages": {
+            "english": {
+                "positive": [{"word": "Zorptastic", "sentiment": 0.9}],
+                "negations": ["nixnix"],
+            }
+        }
+    }
+    p = tmp_path / "ext.json"
+    p.write_text(json.dumps(ext))
+    words = load_external_feature_words(str(p), "en")
+    assert "zorptastic" in words["positive"]
+    toks = [{"text": "Zorptastic", "tag": "JJ"},
+            {"text": "nixnix", "tag": "RB"}]
+    f = extract_rich_features(toks, "en", external=words)
+    assert f["has_positive"] == 1.0
+    assert f["has_negation"] == 1.0
+    # without the external lists neither fires
+    f0 = extract_rich_features(toks, "en")
+    assert "has_positive" not in f0 and "has_negation" not in f0
