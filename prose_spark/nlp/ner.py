@@ -72,19 +72,31 @@ def _go_title(s: str) -> str:
     return "".join(out)
 
 
+_SHAPE_MEMO: dict[str, str] = {}
+
+
 def shape(word: str) -> str:
-    """Word-shape feature (extract.go:549-564)."""
+    """Word-shape feature (extract.go:549-564); pure function of the
+    word, memoized (word diversity is tiny relative to token volume)."""
+    s = _SHAPE_MEMO.get(word)
+    if s is not None:
+        return s
     if _is_numeric(word):
-        return "number"
-    if _PUNCT_RE.search(word):
-        return "punct"
-    if _WORD_RE.search(word):
+        s = "number"
+    elif _PUNCT_RE.search(word):
+        s = "punct"
+    elif _WORD_RE.search(word):
         if word.lower() == word:
-            return "downcase"
-        if _go_title(word) == word:
-            return "upcase"
-        return "mixedcase"
-    return "other"
+            s = "downcase"
+        elif _go_title(word) == word:
+            s = "upcase"
+        else:
+            s = "mixedcase"
+    else:
+        s = "other"
+    if len(_SHAPE_MEMO) < 1_000_000:
+        _SHAPE_MEMO[word] = s
+    return s
 
 
 def simple_pos(pos: str) -> str:

@@ -80,11 +80,18 @@ def looks_internal(tok: str) -> bool:
     return tok.endswith(INTERNAL_PUNCT)
 
 
+_TYPE_MEMO: dict[str, str] = {}
+
+
 def token_type(tok: str) -> str:
-    """punkt type: lowercase, numbers collapsed to ##number##."""
-    if _NUMBER_RE.match(tok):
-        return "##number##"
-    return tok.lower()
+    """punkt type: lowercase, numbers collapsed to ##number## (pure
+    function of the token, memoized — regex+lower dominate _Tok init)."""
+    t = _TYPE_MEMO.get(tok)
+    if t is None:
+        t = "##number##" if _NUMBER_RE.match(tok) else tok.lower()
+        if len(_TYPE_MEMO) < 1_000_000:
+            _TYPE_MEMO[tok] = t
+    return t
 
 
 @dataclass
