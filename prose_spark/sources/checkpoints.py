@@ -40,8 +40,55 @@ DONE_SCHEMA = T.StructType(
         T.StructField("source_path", T.StringType()),
         T.StructField("engine_version", T.StringType()),
         T.StructField("finished_at", T.TimestampType()),
+        # vs-gold quality metrics (null when no gold table was supplied)
+        T.StructField("precision", T.DoubleType()),
+        T.StructField("recall", T.DoubleType()),
     ]
 )
+
+
+def kg_gold_metrics(
+    spark: SparkSession, out_dir: str, gold: DataFrame, n_buckets: int
+) -> dict[int, tuple[float, float]]:
+    """Per-bucket precision/recall of the WRITTEN triples against a gold
+    (url, subj, pred, obj) table — set semantics over distinct triples,
+    matching the repo's recall oracle. All joins distributed; only the
+    tiny per-bucket counts reach the driver.
+
+    Note: when the gold table covers only a subset of true triples (the
+    synthetic generator's gold lists only TEMPLATED sentences), recall is
+    the meaningful signal and precision is a floor — extra correct
+    extractions from non-templated text count against it."""
+    t = (
+        read_triples(spark, out_dir)
+        .select("bucket", "url", "subj", "pred", "obj")
+        .dropDuplicates(["url", "subj", "pred", "obj"])
+    )
+    g = (
+        with_bucket(gold, n_buckets)
+        .select("bucket", "url", "subj", "pred", "obj")
+        .dropDuplicates(["url", "subj", "pred", "obj"])
+    )
+    t_cnt = t.groupBy("bucket").agg(F.count("*").alias("n_pred"))
+    g_cnt = g.groupBy("bucket").agg(F.count("*").alias("n_gold"))
+    m_cnt = (
+        t.join(g.drop("bucket"), ["url", "subj", "pred", "obj"])
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_match"))
+    )
+    rows = (
+        g_cnt.join(t_cnt, "bucket", "full")
+        .join(m_cnt, "bucket", "left")
+        .fillna(0)
+        .collect()
+    )
+    return {
+        r["bucket"]: (
+            r["n_match"] / r["n_pred"] if r["n_pred"] else 0.0,
+            r["n_match"] / r["n_gold"] if r["n_gold"] else 1.0,
+        )
+        for r in rows
+    }
 
 
 def with_bucket(df: DataFrame, n_buckets: int, key_col: str = "url") -> DataFrame:
@@ -74,6 +121,7 @@ def run_kg_job(
     out_dir: str,
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
+    gold: DataFrame | None = None,
 ) -> DataFrame:
     """Resumable KG-construction job, single-pass: pages -> triples
     parquet partitioned by bucket.
@@ -137,8 +185,15 @@ def run_kg_job(
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            # optional per-bucket quality metrics vs a gold triple table
+            # (SURVEY §2.K K6: "P/R vs golden" per partition)
+            pr = (
+                kg_gold_metrics(spark, out_dir, gold, n_buckets)
+                if gold is not None else {}
+            )
             finished_at = time.strftime("%Y-%m-%dT%H:%M:%S")
             for b in wave:
+                p, r = pr.get(b, (None, None))
                 metrics = {
                     "bucket": b,
                     "n_docs": doc_counts.get(b, 0),
@@ -147,6 +202,8 @@ def run_kg_job(
                     "source_path": "pages",
                     "engine_version": __version__,
                     "finished_at": finished_at,
+                    "precision": round(p, 4) if p is not None else None,
+                    "recall": round(r, 4) if r is not None else None,
                 }
                 record_done(out_dir, metrics)
                 run_metrics.append(metrics)
@@ -166,6 +223,7 @@ def run_kg_job(
             (
                 m["bucket"], m["n_docs"], m["n_triples"], m["wall_sec"],
                 m["source_path"], m["engine_version"], None,
+                m.get("precision"), m.get("recall"),
             )
             for m in run_metrics
         ],

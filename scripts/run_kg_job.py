@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--canonicalize", action="store_true",
                     help="also build entities_canonical + canonical triples")
+    ap.add_argument("--gold-metrics", action="store_true",
+                    help="synthetic pages only: record per-bucket P/R vs "
+                         "the generator's gold triples in the done markers")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,18 +54,39 @@ def main() -> None:
     from prose_spark.sources.checkpoints import read_triples, run_kg_job
     from prose_spark.sources.pages import build_pages_df, read_pages
 
+    gold = None
     if args.pages.startswith("synthetic:"):
-        pages = build_pages_df(spark, int(args.pages.split(":")[1]))
+        n_docs = int(args.pages.split(":")[1])
+        pages = build_pages_df(spark, n_docs)
+        if args.gold_metrics:
+            from prose_spark.sources.pages import generate_pages_rows
+
+            gold_rows = [
+                (url, s, p, o)
+                for url, _, _, _, lang, g in generate_pages_rows(n_docs)
+                if lang == "en"
+                for s, p, o in g
+            ]
+            gold = spark.createDataFrame(
+                gold_rows, "url string, subj string, pred string, obj string"
+            )
     else:
         pages = read_pages(spark, args.pages)
 
     t0 = time.time()
-    metrics = run_kg_job(spark, pages, args.out, n_buckets=args.buckets)
+    metrics = run_kg_job(spark, pages, args.out, n_buckets=args.buckets,
+                         gold=gold)
     done = metrics.count()
     triples = read_triples(spark, args.out)
     n = triples.count()
     print(f"processed {done} buckets this run; {n} triples total "
           f"in {time.time() - t0:.1f}s")
+    if gold is not None and done:
+        row = metrics.agg(
+            F.round(F.avg("precision"), 4).alias("p"),
+            F.round(F.avg("recall"), 4).alias("r"),
+        ).collect()[0]
+        print(f"per-bucket mean precision {row['p']}, recall {row['r']}")
 
     if args.canonicalize:
         from prose_spark.operators.canonicalize import canonicalize_mentions

@@ -403,3 +403,32 @@ def test_stateful_stream_dedup(spark, pages_df, tmp_path):
     urls = [r.url for r in rows]
     assert len(urls) == 20 and len(set(urls)) == 20
     assert all(r.n_in_batch == 2 for r in rows)  # both copies in one batch
+
+
+def test_kg_job_gold_metrics_in_markers(spark, tmp_path):
+    """K6: per-bucket P/R vs a gold triple table lands in the done
+    markers (recall is the meaningful signal against the templated-only
+    gold; precision is a floor)."""
+    from prose_spark.schemas import PAGES_SCHEMA
+    from prose_spark.sources.checkpoints import run_kg_job
+    from prose_spark.sources.pages import generate_pages_rows
+
+    rows = list(generate_pages_rows(120, seed=42, sentences_per_doc=(3, 8)))
+    pages = spark.createDataFrame(
+        [(u, ts, h, t, lg) for u, ts, h, t, lg, _ in rows],
+        schema=PAGES_SCHEMA,
+    )
+    gold = spark.createDataFrame(
+        [(u, s, p, o) for u, _, _, _, lg, g in rows if lg == "en"
+         for s, p, o in g],
+        "url string, subj string, pred string, obj string",
+    )
+    out = str(tmp_path / "kg_gold")
+    metrics = run_kg_job(spark, pages, out, n_buckets=4, gold=gold)
+    rows_m = metrics.collect()
+    assert len(rows_m) == 4
+    for r in rows_m:
+        assert r.precision is not None and 0.0 <= r.precision <= 1.0
+        assert r.recall is not None
+    mean_recall = sum(r.recall for r in rows_m) / len(rows_m)
+    assert mean_recall >= 0.9, mean_recall
