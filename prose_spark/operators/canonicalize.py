@@ -37,14 +37,22 @@ PRONOUNS = frozenset(
 )
 
 
+def norm_col(text_col: str = "text"):
+    """The canonical surface normalization (lowercase, punctuation ->
+    space, squeeze): use this SAME expression everywhere a surface must
+    join against the ``norm`` column of the canonical table."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(norm, r"\s+", " "))
+
+
 def normalize_mentions(
     mentions: DataFrame, text_col: str = "text", drop_pronouns: bool = True
 ) -> DataFrame:
     """Add a ``norm`` column: lowercased, punctuation-stripped, squeezed;
     optionally drop closed-class (pronoun/determiner) surfaces."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", " ")
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
-    out = mentions.withColumn("norm", norm).filter(F.col("norm") != "")
+    out = mentions.withColumn("norm", norm_col(text_col)).filter(
+        F.col("norm") != ""
+    )
     if drop_pronouns:
         out = out.filter(~F.col("norm").isin(*PRONOUNS))
     return out

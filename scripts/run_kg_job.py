@@ -89,22 +89,32 @@ def main() -> None:
         print(f"per-bucket mean precision {row['p']}, recall {row['r']}")
 
     if args.canonicalize:
-        from prose_spark.operators.canonicalize import canonicalize_mentions
+        from prose_spark.operators.canonicalize import (
+            canonicalize_mentions,
+            norm_col,
+        )
 
         mentions = triples.select(
             F.col("subj").alias("text")
         ).unionAll(triples.select(F.col("obj").alias("text")))
         canon = canonicalize_mentions(mentions)
         canon.write.mode("overwrite").parquet(f"{args.out}/entities_canonical")
+        # join surfaces through the SAME normalization used to build the
+        # canonical table (plain lower() would never match punctuated
+        # surfaces like "Acme Corp."); the canonical table is small ->
+        # broadcast, so hot entities cause no shuffle skew
         canon_triples = (
-            triples.join(
-                canon.selectExpr("norm AS subj_norm",
-                                 "entity_id AS subj_id").distinct(),
-                F.lower(F.col("subj")) == F.col("subj_norm"), "left")
+            triples
+            .withColumn("subj_norm_key", norm_col("subj"))
+            .withColumn("obj_norm_key", norm_col("obj"))
             .join(
-                canon.selectExpr("norm AS obj_norm",
-                                 "entity_id AS obj_id").distinct(),
-                F.lower(F.col("obj")) == F.col("obj_norm"), "left")
+                F.broadcast(canon.selectExpr(
+                    "norm AS subj_norm", "entity_id AS subj_id").distinct()),
+                F.col("subj_norm_key") == F.col("subj_norm"), "left")
+            .join(
+                F.broadcast(canon.selectExpr(
+                    "norm AS obj_norm", "entity_id AS obj_id").distinct()),
+                F.col("obj_norm_key") == F.col("obj_norm"), "left")
             .select("subj_id", "pred_norm", "obj_id", "url", "confidence")
         )
         canon_triples.write.mode("overwrite").parquet(
