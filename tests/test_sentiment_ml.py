@@ -176,3 +176,93 @@ def test_committed_artifact_predicts():
     for text, want in cases.items():
         got = analyze_document(text, ml_model=model)
         assert got["dominant"] == want, (text, got["dominant"], want)
+
+
+def _naive_gis(corpus, max_iter):
+    """Straight-line mirror of model.go:479-713 (maps and loops, no
+    numpy) — the independent oracle for the vectorized trainer."""
+    import math
+
+    labels, mapping = [], {}
+    for feats, lab in corpus:
+        if lab not in labels:
+            labels.append(lab)
+        for name, val in feats.items():
+            key = f"{name}-{val}-{lab}"
+            mapping.setdefault(key, len(mapping))
+    for lab in labels:
+        mapping.setdefault(f"__BIAS__-1-{lab}", len(mapping))
+    cardinality = max(len(f) + 1 for f, _ in corpus)
+    corpus = [({**f, "__BIAS__": "1"}, lab) for f, lab in corpus]
+    rows = len(mapping) + 1
+    emp = [0.0] * rows
+    for feats, lab in corpus:
+        for name, val in feats.items():
+            idx = mapping.get(f"{name}-{val}-{lab}")
+            if idx is not None:
+                emp[idx] += 1
+    unattested = [i for i in range(rows) if emp[i] == 0.0]
+    log_emp = [math.log(c) if c > 0 else c for c in emp]
+    w = [0.0] * rows
+    for i in unattested:
+        w[i] = -math.inf
+    c_inv = 1.0 / cardinality
+    for it in range(max_iter):
+        est = [0.0] * rows
+        for feats, _ in corpus:
+            scores = {}
+            for lab in labels:
+                s = 0.0
+                for name, val in feats.items():
+                    idx = mapping.get(f"{name}-{val}-{lab}")
+                    if idx is not None and not math.isinf(w[idx]):
+                        s += w[idx]
+                scores[lab] = math.exp(s)
+            z = sum(scores.values())
+            for lab in labels:
+                p = scores[lab] / z
+                for name, val in feats.items():
+                    idx = mapping.get(f"{name}-{val}-{lab}")
+                    if idx is not None:
+                        est[idx] += p
+        for i in unattested:
+            est[i] += 1.0
+        log_est = [math.log(c) if c > 0 else c for c in est]
+        delta = [(log_emp[i] - log_est[i]) * c_inv for i in range(rows)]
+        for i in range(rows):
+            if not math.isinf(w[i]):
+                w[i] += delta[i]
+        if it > 0 and it % 10 == 0:
+            avg = sum(abs(delta[i]) for i in range(rows)
+                      if not math.isinf(w[i])) / rows
+            if avg < 0.0005 and it > 30:
+                break
+    return labels, mapping, w, cardinality
+
+
+def test_vectorized_gis_matches_naive_reference():
+    """The numpy GIS trainer must reproduce the reference algorithm's
+    weights exactly (same mapping, same updates, same early stopping) —
+    checked against a loop-for-loop mirror of model.go."""
+    import numpy as np
+
+    corpus = [
+        ({"word:great": "1.000000", "pos_count": "1.000000"}, "positive"),
+        ({"word:bad": "1.000000", "neg_count": "1.000000"}, "negative"),
+        ({"word:great": "1.000000", "word:bad": "1.000000"}, "neutral"),
+        ({"word:fine": "1.000000"}, "neutral"),
+        ({"word:great": "2.000000", "pos_count": "2.000000"}, "positive"),
+    ]
+    model = train_gis([(dict(f), lab) for f, lab in corpus], max_iter=45)
+    labels, mapping, w, card = _naive_gis(
+        [(dict(f), lab) for f, lab in corpus], max_iter=45
+    )
+    assert model.labels == labels
+    assert model.mapping == mapping
+    assert model.cardinality == card
+    assert len(model.weights) == len(w)
+    for i, (a, b) in enumerate(zip(model.weights.tolist(), w)):
+        if np.isinf(b):
+            assert np.isinf(a), i
+        else:
+            assert abs(a - b) < 1e-9, (i, a, b)
