@@ -132,9 +132,10 @@ def fixed_pool_scaling(pages_path: str, lo: int, hi: int,
         for _ in range(repeats):
             lo_runs.append(timed(en_lo))
             hi_runs.append(timed(en_hi))
-        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-        lo_thr = med([r[0] for r in lo_runs])
-        hi_thr = med([r[0] for r in hi_runs])
+        # symmetric means (a "median" of 2 would silently pick the max)
+        avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+        lo_thr = avg([r[0] for r in lo_runs])
+        hi_thr = avg([r[0] for r in hi_runs])
         eff = (hi_thr / lo_thr) / (hi / lo)
         return {
             "cores_lo": lo,
@@ -143,10 +144,10 @@ def fixed_pool_scaling(pages_path: str, lo: int, hi: int,
             "thr_lo_triples_per_sec": round(lo_thr, 2),
             "thr_hi_triples_per_sec": round(hi_thr, 2),
             "efficiency": round(eff, 3),
-            "cpus_busy_lo": round(med([r[1] for r in lo_runs]), 2),
-            "cpus_busy_hi": round(med([r[1] for r in hi_runs]), 2),
-            "cpus_steal_lo": round(med([r[2] for r in lo_runs]), 2),
-            "cpus_steal_hi": round(med([r[2] for r in hi_runs]), 2),
+            "cpus_busy_lo": round(avg([r[1] for r in lo_runs]), 2),
+            "cpus_busy_hi": round(avg([r[1] for r in hi_runs]), 2),
+            "cpus_steal_lo": round(avg([r[2] for r in lo_runs]), 2),
+            "cpus_steal_hi": round(avg([r[2] for r in hi_runs]), 2),
         }
     finally:
         spark.stop()
