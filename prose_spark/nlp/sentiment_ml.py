@@ -735,7 +735,15 @@ class MaxentSentiment:
     @classmethod
     def load(cls, path: str) -> "MaxentSentiment":
         with gzip.open(path, "rt", encoding="utf-8") as f:
-            blob = json.load(f)
+            return cls._from_blob(json.load(f))
+
+    @classmethod
+    def load_bytes(cls, data: bytes) -> "MaxentSentiment":
+        """Load from gzipped-JSON bytes (zip-safe artifact path)."""
+        return cls._from_blob(json.loads(gzip.decompress(data)))
+
+    @classmethod
+    def _from_blob(cls, blob: dict) -> "MaxentSentiment":
         w = np.array(
             [-math.inf if x is None else x for x in blob["weights"]],
             dtype=np.float64,

@@ -101,6 +101,12 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     if len(text) > cfg.max_text_bytes:
         text = text[: cfg.max_text_bytes]
 
+    # resolve models BEFORE starting the clock: one-time per-worker model
+    # loads must not count against the first document's budget
+    segmenter = default_segmenter() if cfg.segment else None
+    tagger = cfg.tagger if cfg.tagger is not None else default_tagger()
+    ner = _resolve_ner(cfg) if cfg.extract else None
+
     deadline = (
         time.monotonic() + cfg.timeout_sec if cfg.timeout_sec else None
     )
@@ -114,7 +120,7 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     report = cfg.progress_callback or (lambda p: None)
 
     check_deadline()
-    sentences = default_segmenter().segment(text) if cfg.segment else []
+    sentences = segmenter.segment(text) if cfg.segment else []
     if cfg.segment:
         report(0.25)
 
@@ -129,7 +135,6 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     tag_stage = cfg.tag or cfg.extract
     if tag_stage:
         check_deadline()
-    tagger = cfg.tagger if cfg.tagger is not None else default_tagger()
     tags = tagger.tag(words) if tag_stage else [""] * len(words)
     if tag_stage:
         report(0.75)
@@ -158,7 +163,7 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     # NER runs over the whole token stream (document.go:239-250)
     if cfg.extract and words:
         check_deadline()
-        labels, confs = _resolve_ner(cfg).classify(words, tags)
+        labels, confs = ner.classify(words, tags)
     else:
         labels, confs = ["O"] * len(words), [0.0] * len(words)
 
@@ -199,7 +204,13 @@ def annotate(
         for pdf in batches:
             sents_col, toks_col, ents_col = [], [], []
             for text in pdf[text_col]:
-                s, t, e = annotate_document(text, cfg)
+                try:
+                    s, t, e = annotate_document(text, cfg)
+                except DocumentTimeout:
+                    # per-document failure semantics (the reference's
+                    # NewDocument returns an error for THAT document):
+                    # emit empty annotations, never abort the task
+                    s, t, e = [], [], []
                 sents_col.append(s)
                 toks_col.append(t)
                 ents_col.append(e)

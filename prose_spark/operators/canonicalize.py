@@ -139,7 +139,7 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return row["n"], int(row["h"])
 
 
-def _union_find_local(spark, pairs: list, id_type,
+def _union_find_local(spark, pairs: list, node_list: list, id_type,
                       stats: dict | None) -> DataFrame:
     """Driver-side union-find for small edge sets — identical output
     contract (comp = min member). Attaching the larger root under the
@@ -154,7 +154,7 @@ def _union_find_local(spark, pairs: list, id_type,
             parent[x], x = root, parent[x]
         return root
 
-    nodes = set()
+    nodes = set(node_list)
     for a, b in pairs:
         nodes.add(a)
         nodes.add(b)
@@ -199,12 +199,6 @@ def connected_components(
     tiny relative to the corpus. Above the gate (the 100 TB case) the
     distributed contraction runs unchanged.
     """
-    nodes = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     e = (
         edges.select("a", "b")
         .filter(F.col("a") != F.col("b"))
@@ -216,8 +210,26 @@ def connected_components(
         if n_edges <= driver_threshold:
             spark = e.sparkSession
             pairs = [(r["a"], r["b"]) for r in e.collect()]
+            # node set from the RAW edges so self-loop-only nodes are
+            # kept, matching the distributed path's contract
+            node_list = [
+                r["node"]
+                for r in edges.select(F.col("a").alias("node"))
+                .union(edges.select(F.col("b").alias("node")))
+                .distinct()
+                .collect()
+            ]
             id_type = e.schema["a"].dataType
-            return _union_find_local(spark, pairs, id_type, stats)
+            return _union_find_local(spark, pairs, node_list, id_type,
+                                     stats)
+    # materialized only on the distributed path (the gate path never
+    # uses the DataFrame form)
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     prev = _edge_checksum(e)
     rounds = 0
     converged = prev[0] == 0
@@ -272,22 +284,25 @@ def connected_components(
 def canonicalize_mentions(
     mentions: DataFrame,
     jaccard_max_distance: float = 0.3,
-    lsh_tables: int = 6,
+    lsh_tables: int = 10,
 ) -> DataFrame:
     """mentions(url, text, label, ...) ->
     entities_canonical(entity_id, canonical_text, norm, n_mentions).
 
     Returns one row per normalized surface form with its cluster's
     canonical text and id, ready to join back onto mentions/triples.
+    ``lsh_tables`` = number of 3-row MinHash bands (more -> higher
+    blocking recall, more candidates).
     """
     m = normalize_mentions(mentions)
     form_counts = m.groupBy("norm").agg(F.count("*").alias("n_mentions"))
 
-    # r=3 rows x 10 bands: collision prob 0.985 at the s=0.7 threshold
-    # boundary, ~1e-3 for unrelated forms; candidates are exact-verified
+    # r=3 rows x lsh_tables bands: at the default 10 bands, collision
+    # prob 0.985 at the s=0.7 threshold boundary, ~1e-3 for unrelated
+    # forms; candidates are exact-verified
     pairs = lsh_candidate_pairs(
         form_counts.select("norm"), jaccard_max_distance,
-        n_hashes=30, bands=10,
+        n_hashes=3 * lsh_tables, bands=lsh_tables,
     )
     # post-blocking entity-form graphs are orders of magnitude smaller
     # than the corpus; the gate keeps small graphs driver-local and

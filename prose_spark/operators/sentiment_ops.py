@@ -9,17 +9,11 @@ with UseML=true and the 0.4/0.6 combine weights).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MODEL_PATH = str(
-    Path(__file__).resolve().parent.parent / "models"
-    / "sentiment_maxent.json.gz"
-)
 _MODEL = None
 
 SENTIMENT_TYPE = T.StructType([
@@ -31,12 +25,18 @@ SENTIMENT_TYPE = T.StructType([
 
 
 def default_sentiment_model():
-    """Committed GIS-trained Maxent sentiment model (worker singleton)."""
+    """Committed GIS-trained Maxent sentiment model (worker singleton).
+    Loaded via the zip-safe artifact reader so it works under
+    spark-submit --py-files dist/prose_spark.zip, like the tagger/NER
+    artifacts."""
     global _MODEL
     if _MODEL is None:
+        from prose_spark.artifacts import read_bytes
         from prose_spark.nlp.sentiment_ml import MaxentSentiment
 
-        _MODEL = MaxentSentiment.load(_MODEL_PATH)
+        _MODEL = MaxentSentiment.load_bytes(
+            read_bytes("sentiment_maxent.json.gz")
+        )
     return _MODEL
 
 

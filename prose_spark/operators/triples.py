@@ -165,7 +165,11 @@ def annotate_and_extract_triples(
     materializing the nested token arrays through Arrow between stages and
     halves the number of Python workers per task slot — the production
     path when only triples are needed downstream."""
-    from prose_spark.operators.annotate import AnnotateConfig, annotate_document
+    from prose_spark.operators.annotate import (
+        AnnotateConfig,
+        DocumentTimeout,
+        annotate_document,
+    )
 
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))
@@ -177,7 +181,10 @@ def annotate_and_extract_triples(
             rows = []
             keys = pdf[list(key_cols)].to_dict("records")
             for key_row, text in zip(keys, pdf[text_col]):
-                _, tokens, _ = annotate_document(text, cfg)
+                try:
+                    _, tokens, _ = annotate_document(text, cfg)
+                except DocumentTimeout:
+                    continue  # per-document failure: skip, never abort
                 for tr in extract_triples_doc(tokens):
                     rows.append({**key_row, **tr})
             yield pd.DataFrame(rows, columns=col_names)

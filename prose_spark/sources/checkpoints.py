@@ -25,6 +25,7 @@ import shutil
 import time
 from pathlib import Path
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -177,7 +178,10 @@ def run_kg_job(
                     .agg(F.count("*").alias("n"))
                     .collect()
                 }
-            except Exception:  # zero triples written -> no partitions yet
+            except AnalysisException:
+                # ONLY "path does not exist" (zero triples ever written)
+                # is a benign miss; any other read failure must abort the
+                # wave rather than record n_triples=0 done markers
                 tri_counts = {}
             doc_counts = {
                 r["bucket"]: r["n"]

@@ -432,3 +432,19 @@ def test_kg_job_gold_metrics_in_markers(spark, tmp_path):
         assert r.recall is not None
     mean_recall = sum(r.recall for r in rows_m) / len(rows_m)
     assert mean_recall >= 0.9, mean_recall
+
+
+def test_connected_components_gate_paths_agree_on_self_loops(spark):
+    """The driver-gate (local union-find) and distributed paths must
+    return the same labels for the same input, including nodes whose
+    only edges are self-loops."""
+    edges = spark.createDataFrame(
+        [("x", "x"), ("a", "b")], ["a", "b"]
+    )
+    from prose_spark.operators.canonicalize import connected_components
+
+    local = {(r.node, r.comp) for r in
+             connected_components(edges, driver_threshold=100).collect()}
+    dist = {(r.node, r.comp) for r in
+            connected_components(edges, driver_threshold=0).collect()}
+    assert local == dist == {("x", "x"), ("a", "a"), ("b", "a")}
