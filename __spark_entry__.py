@@ -670,6 +670,18 @@ def q_rel_cube(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_rel_setops(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "rel_pivot": q_rel_pivot,
         "rel_cube": q_rel_cube,
+        "rel_rollup": q_rel_rollup,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_setops": q_rel_setops,
         "rel_distinct_priorities": q_rel_distinct_priorities,
@@ -945,6 +958,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
                    COUNT(*)::BIGINT AS n
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
         """,
         "rel_events_hourly": """
