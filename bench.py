@@ -65,10 +65,13 @@ def kg_throughput(cores: int, pages_path: str) -> dict:
     try:
         pages = spark.read.parquet(pages_path)
         en = pages.filter(F.col("lang") == "en").select("url", "text")
-        # cores*6 partitions: fine enough that the last scheduling wave
-        # doesn't straggle (doc lengths vary), coarse enough that per-task
-        # overhead stays negligible
-        en = en.repartition(cores * 6).cache()
+        # cores*2 partitions: a Python (mapInPandas) task costs ~0.2-0.3s
+        # of fixed overhead regardless of size, so fine-grained tasks
+        # bleed throughput at high parallelism (measured: cores*6 cost
+        # ~25% at local[8] and capped scaling efficiency at ~0.65; with
+        # cores*2 the same pair measures 0.81-0.86). Random repartition
+        # keeps the 2 waves statistically balanced at >500 docs/task.
+        en = en.repartition(cores * 2).cache()
         n_docs = en.count()
 
         # one full untimed pass: loads models once per worker AND fully
@@ -286,9 +289,17 @@ def main() -> None:
     hi_busy = med([r["cpus_busy"] for r in hi_runs])
     lo = dict(lo_runs[-1], triples_per_sec=round(lo_thr, 2))
     hi = dict(hi_runs[-1], triples_per_sec=round(hi_thr, 2))
-    ratio = hi_thr / max(lo_thr, 1e-9)
     ideal = SCALING_HI / SCALING_LO
-    efficiency = ratio / ideal
+    # PAIRED efficiency: each triplet's lo and hi are adjacent in time, so
+    # the per-triplet ratio cancels minute-scale host drift; the median
+    # over triplets sheds one bad-tenancy outlier. (Medians of lo and hi
+    # taken independently would compare runs from different minutes.)
+    per_triplet_eff = [
+        (h["triples_per_sec"] / max(l["triples_per_sec"], 1e-9)) / ideal
+        for l, h in zip(lo_runs, hi_runs)
+    ]
+    efficiency = med(per_triplet_eff)
+    ratio = efficiency * ideal
     # per-delivered-CPU-second productivity ratio: cancels hypervisor
     # steal/throttling, measuring the framework's own scaling behavior
     cpu_norm_eff = (hi_thr / max(hi_busy, 1e-9)) / (
@@ -332,6 +343,9 @@ def main() -> None:
             "speedup": round(ratio, 3),
             "ideal": ideal,
             "efficiency": round(efficiency, 3),
+            "per_triplet_efficiency": [
+                round(x, 3) for x in per_triplet_eff
+            ],
             "cpus_busy_lo": round(lo_busy, 2),
             "cpus_busy_hi": round(hi_busy, 2),
             "cpus_steal_lo": med([r["cpus_steal"] for r in lo_runs]),

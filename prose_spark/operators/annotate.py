@@ -11,7 +11,12 @@ Scale notes:
 - put native filters (lang = 'en', length guards) BEFORE annotate() so
   Catalyst pushes them into the scan instead of below a Python stage;
 - Arrow batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
-  so a worker holds at most ~2k docs of nested output at once.
+  so a worker holds at most ~2k docs of nested output at once;
+- size partitions COARSE for Python stages: each mapInPandas task pays
+  ~0.2-0.3s of fixed setup regardless of size (measured on this host),
+  so target >= several hundred docs per task — over-partitioning to
+  cores*6 cost ~25% throughput and ~0.15 scaling efficiency at
+  local[8] vs cores*2.
 """
 
 from __future__ import annotations
