@@ -45,7 +45,12 @@ class AnnotateConfig:
 
     - ``timeout_sec`` (WithTimeout/WithContext): cooperative per-document
       budget, checked BEFORE each stage exactly like the reference's
-      ctx.Done() selects — an in-flight stage is never interrupted;
+      ctx.Done() selects — an in-flight stage is never interrupted.
+      Default None = no budget, matching the reference's defaultOpts
+      (a Document built without WithContext never times out) — so the
+      bulk Spark path can never silently drop slow documents on a noisy
+      host. ``timeout_sec <= 0`` means an immediate deadline (every
+      stage check fires), mirroring an already-cancelled ctx;
     - ``progress_callback`` (WithProgressCallback): called with
       0.25/0.5/0.75/1.0 after segment/tokenize/tag/NER;
     - ``tokenizer`` (UsingTokenizer), ``tagger``/``ner`` (UsingModel):
@@ -63,7 +68,7 @@ class AnnotateConfig:
     tag: bool = True
     extract: bool = True
     max_text_bytes: int = 1 << 20  # defensive cap per document
-    timeout_sec: float | None = 30.0
+    timeout_sec: float | None = None
     progress_callback: Callable[[float], None] | None = None
     tokenizer: object | None = None
     tagger: object | None = None
@@ -113,7 +118,8 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     ner = _resolve_ner(cfg) if cfg.extract else None
 
     deadline = (
-        time.monotonic() + cfg.timeout_sec if cfg.timeout_sec else None
+        time.monotonic() + cfg.timeout_sec
+        if cfg.timeout_sec is not None else None
     )
 
     def check_deadline():
@@ -201,28 +207,42 @@ def annotate(
     df: DataFrame,
     text_col: str = "text",
     cfg: AnnotateConfig = AnnotateConfig(),
+    timeout_acc=None,
 ) -> DataFrame:
-    """Add sentences/tokens/entities nested columns to ``df``."""
-    out_schema = T.StructType(list(df.schema.fields) + list(ANNOTATION_FIELDS))
+    """Add sentences/tokens/entities nested columns to ``df``, plus an
+    ``annotate_error`` column (NULL on success, 'timeout' when the
+    per-document budget expired) — a timed-out doc is observable, never
+    indistinguishable from a genuinely empty one. ``timeout_acc``: an
+    optional ``spark.sparkContext.accumulator(0)`` incremented once per
+    timed-out document, for job-level counts across all partitions."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + list(ANNOTATION_FIELDS)
+        + [T.StructField("annotate_error", T.StringType())]
+    )
 
     def run(batches):
         for pdf in batches:
-            sents_col, toks_col, ents_col = [], [], []
+            sents_col, toks_col, ents_col, err_col = [], [], [], []
             for text in pdf[text_col]:
                 try:
                     s, t, e = annotate_document(text, cfg)
+                    err = None
                 except DocumentTimeout:
                     # per-document failure semantics (the reference's
                     # NewDocument returns an error for THAT document):
-                    # emit empty annotations, never abort the task
-                    s, t, e = [], [], []
+                    # emit empty annotations + the error, never abort
+                    s, t, e, err = [], [], [], "timeout"
+                    if timeout_acc is not None:
+                        timeout_acc.add(1)
                 sents_col.append(s)
                 toks_col.append(t)
                 ents_col.append(e)
+                err_col.append(err)
             pdf = pdf.copy()
             pdf["sentences"] = sents_col
             pdf["tokens"] = toks_col
             pdf["entities"] = ents_col
+            pdf["annotate_error"] = err_col
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

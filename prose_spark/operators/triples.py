@@ -159,12 +159,20 @@ def annotate_and_extract_triples(
     df: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("url",),
+    cfg=None,
+    timeout_acc=None,
 ) -> DataFrame:
     """Fully fused single-stage pipeline: raw text -> triples in ONE
     mapInPandas (annotate kernel + pattern chunker per document). Avoids
     materializing the nested token arrays through Arrow between stages and
     halves the number of Python workers per task slot — the production
-    path when only triples are needed downstream."""
+    path when only triples are needed downstream.
+
+    With the default cfg there is no per-document timeout (no doc can be
+    silently dropped). When a caller opts into ``cfg.timeout_sec``, each
+    timed-out doc is skipped AND counted in ``timeout_acc`` (a Spark
+    accumulator) so the job can surface how many documents the budget
+    dropped — never indistinguishable from triple-less docs."""
     from prose_spark.operators.annotate import (
         AnnotateConfig,
         DocumentTimeout,
@@ -173,7 +181,8 @@ def annotate_and_extract_triples(
 
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))
-    cfg = AnnotateConfig()
+    if cfg is None:
+        cfg = AnnotateConfig()
     col_names = [f.name for f in out_schema.fields]
 
     def run(batches):
@@ -184,7 +193,11 @@ def annotate_and_extract_triples(
                 try:
                     _, tokens, _ = annotate_document(text, cfg)
                 except DocumentTimeout:
-                    continue  # per-document failure: skip, never abort
+                    # per-document failure: skip the doc, never abort the
+                    # task — but COUNT it so the job can report the drop
+                    if timeout_acc is not None:
+                        timeout_acc.add(1)
+                    continue
                 for tr in extract_triples_doc(tokens):
                     rows.append({**key_row, **tr})
             yield pd.DataFrame(rows, columns=col_names)

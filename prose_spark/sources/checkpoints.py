@@ -44,6 +44,9 @@ DONE_SCHEMA = T.StructType(
         # vs-gold quality metrics (null when no gold table was supplied)
         T.StructField("precision", T.DoubleType()),
         T.StructField("recall", T.DoubleType()),
+        # docs dropped by the per-document timeout budget (0 when the job
+        # runs with the default no-timeout config; null in pre-r3 markers)
+        T.StructField("n_doc_timeouts", T.LongType()),
     ]
 )
 
@@ -123,6 +126,7 @@ def run_kg_job(
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
     gold: DataFrame | None = None,
+    timeout_sec: float | None = None,
 ) -> DataFrame:
     """Resumable KG-construction job, single-pass: pages -> triples
     parquet partitioned by bucket.
@@ -139,7 +143,13 @@ def run_kg_job(
 
     ``fail_after_bucket`` switches to one-bucket waves and injects a
     crash for the pytest kill/restart test.
+
+    ``timeout_sec`` opts into a per-document budget; dropped docs are
+    counted via a Spark accumulator and recorded as ``n_doc_timeouts``
+    in every done marker, so a slow-host wave that sheds documents is
+    visible in the lineage, not silently "done".
     """
+    from prose_spark.operators.annotate import AnnotateConfig
     from prose_spark.operators.triples import annotate_and_extract_triples
 
     en = pages.filter(F.col("lang") == "en").select("url", "text")
@@ -162,13 +172,20 @@ def run_kg_job(
         for wave in waves:
             t0 = time.time()
             part = work.filter(F.col("bucket").isin(wave))
+            timeout_acc = (
+                spark.sparkContext.accumulator(0)
+                if timeout_sec is not None else None
+            )
             triples = annotate_and_extract_triples(
-                part, key_cols=("url", "bucket")
+                part, key_cols=("url", "bucket"),
+                cfg=AnnotateConfig(timeout_sec=timeout_sec),
+                timeout_acc=timeout_acc,
             )
             triples.write.mode("overwrite").partitionBy("bucket").parquet(
                 f"{out_dir}/triples"
             )
             wall = round(time.time() - t0, 3)
+            n_timeouts = timeout_acc.value if timeout_acc is not None else 0
             try:
                 tri_counts = {
                     r["bucket"]: r["n"]
@@ -178,10 +195,18 @@ def run_kg_job(
                     .agg(F.count("*").alias("n"))
                     .collect()
                 }
-            except AnalysisException:
-                # ONLY "path does not exist" (zero triples ever written)
-                # is a benign miss; any other read failure must abort the
-                # wave rather than record n_triples=0 done markers
+            except AnalysisException as e:
+                # benign ONLY when zero triples were ever written: the
+                # path is missing, or it holds no parquet footers to
+                # infer from (an all-empty partitioned write). Anything
+                # else (corruption, permission) aborts the wave rather
+                # than recording n_triples=0 done markers.
+                cond = getattr(e, "getCondition", lambda: None)() or str(e)
+                benign = ("PATH_NOT_FOUND" in cond
+                          or "UNABLE_TO_INFER_SCHEMA" in cond
+                          or "Path does not exist" in str(e))
+                if not benign:
+                    raise
                 tri_counts = {}
             doc_counts = {
                 r["bucket"]: r["n"]
@@ -208,6 +233,10 @@ def run_kg_job(
                     "finished_at": finished_at,
                     "precision": round(p, 4) if p is not None else None,
                     "recall": round(r, 4) if r is not None else None,
+                    # accumulators are wave-scoped: this is the count for
+                    # the write wave that produced this marker (== the
+                    # bucket itself in one-bucket waves)
+                    "n_doc_timeouts": n_timeouts,
                 }
                 record_done(out_dir, metrics)
                 run_metrics.append(metrics)
@@ -228,6 +257,7 @@ def run_kg_job(
                 m["bucket"], m["n_docs"], m["n_triples"], m["wall_sec"],
                 m["source_path"], m["engine_version"], None,
                 m.get("precision"), m.get("recall"),
+                m.get("n_doc_timeouts", 0),
             )
             for m in run_metrics
         ],

@@ -50,8 +50,60 @@ def test_timeout_raises_between_stages():
     cfg = AnnotateConfig(timeout_sec=-1.0)  # already expired
     with pytest.raises(DocumentTimeout):
         annotate_document("Some text to process.", cfg)
-    # generous budget -> fine
+    # 0 is an immediate deadline too (an already-cancelled ctx), NOT
+    # "no timeout" — only None disables the budget
+    with pytest.raises(DocumentTimeout):
+        annotate_document("Some text to process.",
+                          AnnotateConfig(timeout_sec=0.0))
+    # generous budget -> fine; default (None) -> no budget at all
     annotate_document("Some text.", AnnotateConfig(timeout_sec=30.0))
+    assert AnnotateConfig().timeout_sec is None
+    annotate_document("Some text.", AnnotateConfig())
+
+
+def test_timeouts_are_counted_not_silent(spark):
+    """A timed-out doc must be observable: annotate() marks it in the
+    annotate_error column, and both bulk operators count it in a Spark
+    accumulator — never indistinguishable from an empty/triple-less doc."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.annotate import annotate
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    docs = spark.createDataFrame(
+        [(1, "Victor Hugo founded Acme Corp. in Boston in 2001."),
+         (2, "Alice Johnson joined Globex Inc. in 1999.")],
+        ["doc_id", "text"],
+    )
+    acc = spark.sparkContext.accumulator(0)
+    ann = annotate(docs, cfg=AnnotateConfig(timeout_sec=0.0),
+                   timeout_acc=acc).cache()
+    assert ann.filter(F.col("annotate_error") == "timeout").count() == 2
+    assert acc.value == 2
+    # success path: error column is NULL
+    ok = annotate(docs).filter(F.col("annotate_error").isNull())
+    assert ok.count() == 2
+
+    acc2 = spark.sparkContext.accumulator(0)
+    tr = annotate_and_extract_triples(
+        docs, key_cols=("doc_id",),
+        cfg=AnnotateConfig(timeout_sec=0.0), timeout_acc=acc2)
+    assert tr.count() == 0 and acc2.value == 2
+
+
+def test_kg_job_records_timeout_counts(spark, pages_df, tmp_path):
+    from prose_spark.sources.checkpoints import run_kg_job
+
+    out = str(tmp_path / "kg_t")
+    metrics = run_kg_job(spark, pages_df.limit(40), out, n_buckets=2,
+                         timeout_sec=0.0)
+    rows = metrics.collect()
+    assert rows and all(r["n_doc_timeouts"] > 0 for r in rows)
+    assert all(r["n_triples"] == 0 for r in rows)
+    # default config: no budget, zero drops recorded
+    out2 = str(tmp_path / "kg_nt")
+    m2 = run_kg_job(spark, pages_df.limit(40), out2, n_buckets=2).collect()
+    assert m2 and all(r["n_doc_timeouts"] == 0 for r in m2)
 
 
 def test_using_tokenizer_injection():
