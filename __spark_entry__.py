@@ -5,13 +5,19 @@ queries()      — one callable per implemented operator family
                  (SURVEY.md §2): NLP kernels, text analysis, dedup,
                  similarity search, relational plumbing.
 oracle_sql()   — DuckDB-equivalent SQL for every query. SQL-expressible
-                 queries get independently-computed DuckDB oracles;
-                 model-dependent queries (tagger/NER/triples/sentiment/
-                 LSH) get PINNED-GOLDEN parquet oracles: the expected
-                 output is committed under tests/goldens/driver/<name>/
-                 (re-pin with scripts/pin_driver_goldens.py, hand-review
-                 the diff) and the oracle is read_parquet over it, so
-                 rows+schema+values are hard-checked every round.
+                 queries get independently-computed DuckDB oracles —
+                 including the full minhash/simhash/winnowing sketch
+                 pipelines, recomputed end-to-end via the portable
+                 md5-derived hash family both engines share;
+                 model-dependent queries (tagger/NER/triples/sentiment)
+                 get PINNED-GOLDEN parquet oracles: the expected output
+                 is committed under tests/goldens/driver/<PINNED_SF>/
+                 <name>/ (re-pin with scripts/pin_driver_goldens.py,
+                 hand-review the diff) and the oracle is read_parquet
+                 over it, so rows+schema+values are hard-checked every
+                 round. Pinned goldens are regression guards, not
+                 independent recomputation — the distinction is explicit
+                 in COVERAGE.md.
 
 Entity-bearing queries run over the deterministic synthetic pages corpus
 (sources/pages.py, seed=42) — the sf documents tables contain no capital
@@ -37,15 +43,30 @@ from pyspark.sql import types as T  # noqa: E402
 
 GOLDEN_DIR = Path(__file__).resolve().parent / "tests" / "goldens" / "driver"
 
-# queries whose oracle is a pinned-golden parquet (see module docstring)
+# Pinned goldens are pinned AT THIS SCALE FACTOR and live under
+# GOLDEN_DIR/<PINNED_SF>/<name>/ — the sf is part of the path so running
+# the gate at any other scale factor fails LOUDLY (read_parquet on a
+# missing directory) instead of silently comparing against wrong-scale
+# expectations. Queries reading ONLY the synthetic pages corpus are
+# sf-independent but are pinned under the same directory for uniformity.
+PINNED_SF = "sf0.01"
+
+# queries whose oracle is a pinned-golden parquet (see module docstring).
+# r3: dedup_minhash_pairs / dedup_simhash / dedup_simhash_pairs /
+# ta_winnowing moved OFF this list — their operators now run the portable
+# md5-derived hash family that DuckDB recomputes end-to-end, so their
+# oracles are independent cross-engine recomputations.
 PINNED_QUERIES = (
     "nlp_pos_tag_dist", "nlp_entity_mentions", "nlp_canonical_entities",
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
-    "nlp_sentiment_ml", "ta_langid", "dedup_minhash_pairs",
-    "dedup_simhash", "dedup_simhash_pairs", "sim_topk_lsh",
-    "sim_topk_ivf", "ta_html_extract", "ta_winnowing",
+    "nlp_sentiment_ml", "ta_langid", "sim_topk_lsh",
+    "sim_topk_ivf", "ta_html_extract",
 )
+
+
+def golden_path(name: str) -> Path:
+    return GOLDEN_DIR / PINNED_SF / name
 
 _PAGES_N = 500
 
@@ -73,6 +94,28 @@ def _pages(spark: SparkSession) -> DataFrame:
     if not os.path.exists(path + "/_SUCCESS"):
         write_pages_parquet(spark, path, _PAGES_N, seed=42)
     return spark.read.parquet(path)
+
+
+def _oracle_pages_parquet() -> str:
+    """DuckDB-side copy of the pages corpus, written with PYARROW from
+    the same deterministic generator (seed=42) — no Spark involvement, so
+    a pages-table oracle never depends on the Spark query having run
+    first, and the oracle's input provably comes from the generator, not
+    from the engine under test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prose_spark.sources.pages import generate_pages_rows
+
+    path = _pages_path() + "_oracle.parquet"
+    if not os.path.exists(path):
+        rows = [
+            {"url": url, "text": text, "lang": lang}
+            for url, _, _, text, lang, _ in
+            generate_pages_rows(_PAGES_N, seed=42)
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), path)
+    return path
 
 STOPWORDS_EN = (
     "the", "a", "an", "and", "or", "but", "is", "are", "was", "were", "in",
@@ -128,14 +171,6 @@ def q_nlp_tokens_by_lang(spark, sf_dir):
             F.count("*").cast("long").alias("n_docs"),
         )
         .orderBy("lang")
-    )
-
-
-def q_nlp_sentence_counts(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", sentence_count(F.col("text")).alias("n_sentences"))
-        .orderBy("doc_id")
     )
 
 
@@ -286,10 +321,13 @@ def q_ta_bpe_token_counts(spark, sf_dir):
 
 
 def q_ta_winnowing(spark, sf_dir):
-    # winnowing fingerprint sketch over the punctuation-rich pages corpus
+    # winnowing fingerprint sketch over the punctuation-rich pages
+    # corpus, in the portable md5-hash mode: the DuckDB oracle re-runs
+    # the whole k-gram-hash -> window-min -> distinct selection itself
     from prose_spark.operators.textstats import winnowing_fingerprints
 
-    w = winnowing_fingerprints(_pages(spark).select("url", "text"))
+    w = winnowing_fingerprints(_pages(spark).select("url", "text"),
+                               hash_fn="md5")
     return (
         w.select("url", F.explode("fingerprints").alias("fingerprint"))
         .orderBy("url", "fingerprint")
@@ -333,13 +371,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     # native banded-MinHash core (no pyspark.ml fit); the ML variant is
-    # cross-checked against it in tests/test_spark_pipeline.py
+    # cross-checked against it in tests/test_spark_pipeline.py. Portable
+    # md5 hash family: the DuckDB oracle recomputes shingling, minhash
+    # signatures, banding, the candidate join AND the exact Jaccard
+    # verify independently.
     from prose_spark.operators.dedup import minhash_near_dup_pairs_native
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs_native(
         docs, key_col="doc_id", jaccard_max_distance=0.3, n_hashes=32,
-        bands=8, shingle_n=3,
+        bands=8, shingle_n=3, hash_fn="md5",
     )
     return pairs.select(
         F.col("a").cast("long").alias("a"),
@@ -349,10 +390,15 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    # portable md5 token hash: DuckDB recomputes the 64-bit fingerprint
+    # (per-token hash, bit votes, signed fold) bit-for-bit
     from prose_spark.operators.dedup import add_simhash
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return add_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+    return (
+        add_simhash(docs, hash_fn="md5")
+        .select("doc_id", "simhash").orderBy("doc_id")
+    )
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -365,7 +411,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzgloss")).alias("text"),
     )
-    sh = add_simhash(docs.unionByName(perturbed))
+    sh = add_simhash(docs.unionByName(perturbed), hash_fn="md5")
     pairs = simhash_candidate_pairs(sh, "doc_id", max_hamming=3)
     return pairs.select(
         F.col("a").cast("long").alias("a"),
@@ -708,7 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nlp_token_counts": q_nlp_token_counts,
         "nlp_tokens_by_lang": q_nlp_tokens_by_lang,
-        "nlp_sentence_counts": q_nlp_sentence_counts,
+        # (nlp_sentence_counts was dropped in r3: on the single-sentence
+        # documents corpus its oracle was the constant 1 — vacuous; the
+        # pages variant below carries the real punkt signal)
         "nlp_pages_token_counts": q_nlp_pages_token_counts,
         "nlp_pages_sentence_counts": q_nlp_pages_sentence_counts,
         "nlp_pos_tag_dist": q_nlp_pos_tag_dist,
@@ -750,13 +798,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# normalized whitespace expression shared by several DuckDB oracles
+_D_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _minhash_oracle_sql() -> str:
+    """Independent DuckDB recomputation of the FULL banded-MinHash path
+    (portable md5 family, matching dedup.banded_minhash_pairs
+    hash_fn='md5' at n_hashes=32, bands=8, shingle_n=3, threshold 0.3):
+    shingling, 60-bit md5 base hash, (a*h+b) mod 2^31-1 signatures,
+    band-key strings, candidate self-join, exact Jaccard verify."""
+    from prose_spark.operators.dedup import minhash_salts
+
+    A, B = minhash_salts(32)
+    salts = ", ".join(f"({i}, {A[i]}, {B[i]})" for i in range(32))
+    return f"""
+        WITH salts(i, sa, sb) AS (VALUES {salts}),
+        w AS (SELECT doc_id, string_split({_D_NORM}, ' ') AS w
+              FROM documents),
+        d AS (SELECT doc_id, list_distinct(
+                CASE WHEN len(w) >= 3 THEN list_transform(
+                       range(1, len(w)-1),
+                       i -> array_to_string(w[i:i+2], ' '))
+                     ELSE [array_to_string(w, ' ')] END) AS g FROM w),
+        sh AS (SELECT doc_id,
+                      ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647 AS h
+               FROM (SELECT doc_id, unnest(g) AS s FROM d)),
+        sig AS (SELECT doc_id, s.i,
+                       MIN((s.sa * h + s.sb) % 2147483647) AS m
+                FROM sh CROSS JOIN salts s GROUP BY doc_id, s.i),
+        banded AS (SELECT doc_id, i // 4 AS band,
+                          string_agg(m::VARCHAR, ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.bkey = y.bkey
+                  AND x.doc_id < y.doc_id),
+        j AS (SELECT c.a, c.b,
+                     1.0 - len(list_intersect(dx.g, dy.g))::DOUBLE
+                         / greatest(len(dx.g) + len(dy.g)
+                                    - len(list_intersect(dx.g, dy.g)), 1)
+                         AS jd
+              FROM cand c JOIN d dx ON dx.doc_id = c.a
+                          JOIN d dy ON dy.doc_id = c.b)
+        SELECT a::BIGINT AS a, b::BIGINT AS b,
+               ROUND(jd, 6) AS jaccard_dist
+        FROM j WHERE jd <= 0.3 ORDER BY a, b
+    """
+
+
+# per-token 64-bit simhash vote pipeline over a `doubled` doc CTE (the
+# signed fold mirrors Spark's shiftleft two's-complement wrap exactly)
+_SIMHASH_FOLD = """
+        toks AS (SELECT doc_id,
+                        unnest(string_split({norm}, ' ')) AS t
+                 FROM {src}),
+        th AS (SELECT doc_id,
+                      ('0x' || substr(md5(t),1,16))::UBIGINT AS h
+               FROM toks),
+        votes AS (SELECT doc_id, b,
+                         SUM(CASE WHEN (h >> b) & 1 = 1
+                             THEN 1 ELSE -1 END) AS v
+                  FROM th, range(64) r(b) GROUP BY doc_id, b),
+        folded AS (SELECT doc_id,
+                          SUM(CASE WHEN v > 0
+                              THEN (1::UBIGINT << b)::HUGEINT
+                              ELSE 0::HUGEINT END) AS uval
+                   FROM votes GROUP BY doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     pinned = {
-        name: f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}/*.parquet')"
+        name: f"SELECT * FROM read_parquet('{golden_path(name)}/*.parquet')"
         for name in PINNED_QUERIES
     }
+    simhash_docs = _SIMHASH_FOLD.format(norm=_D_NORM, src="documents")
+    simhash_doubled = _SIMHASH_FOLD.format(norm=_D_NORM, src="doubled")
     return pinned | {
+        "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_simhash": f"""
+            WITH {simhash_docs}
+            SELECT doc_id,
+                   (CASE WHEN uval >= 9223372036854775808::HUGEINT
+                         THEN uval - 18446744073709551616::HUGEINT
+                         ELSE uval END)::BIGINT AS simhash
+            FROM folded ORDER BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH doubled AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' zzgloss' FROM documents
+            ),
+            {simhash_doubled},
+            s AS (SELECT doc_id, uval::UBIGINT AS u FROM folded),
+            pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       bit_count(xor(x.u, y.u))::BIGINT AS hamming
+                FROM s x JOIN s y ON x.doc_id < y.doc_id AND (
+                     ((x.u >> 0) & 65535) = ((y.u >> 0) & 65535)
+                  OR ((x.u >> 16) & 65535) = ((y.u >> 16) & 65535)
+                  OR ((x.u >> 32) & 65535) = ((y.u >> 32) & 65535)
+                  OR ((x.u >> 48) & 65535) = ((y.u >> 48) & 65535)))
+            SELECT a::BIGINT AS a, b::BIGINT AS b, hamming
+            FROM pairs WHERE hamming <= 3 ORDER BY a, b
+        """,
+        "ta_winnowing": f"""
+            WITH p AS (SELECT url, {_D_NORM} AS nm
+                       FROM read_parquet('{_oracle_pages_parquet()}')),
+            hs AS (SELECT url,
+                     CASE WHEN length(nm) < 8
+                          THEN [('0x'||substr(md5(nm),1,15))::BIGINT]
+                          ELSE list_transform(range(1, length(nm) - 6),
+                               i -> ('0x'||substr(md5(substr(nm, i, 8)),
+                                                  1,15))::BIGINT)
+                     END AS h FROM p),
+            fp AS (SELECT url, list_distinct(list_transform(
+                       range(1, greatest(len(h) - 3, 1) + 1),
+                       j -> list_aggregate(h[j:j+3], 'min'))) AS f
+                   FROM hs)
+            SELECT url, unnest(f) AS fingerprint
+            FROM fp ORDER BY url, fingerprint
+        """,
         # documents text is single-space separated with no punctuation, so
         # the PTB tokenizer reduces to whitespace splitting on this corpus
         "nlp_token_counts": """
@@ -768,10 +933,6 @@ def oracle_sql() -> dict[str, str]:
                    SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens,
                    COUNT(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
-        """,
-        "nlp_sentence_counts": """
-            SELECT doc_id, 1::BIGINT AS n_sentences
-            FROM documents ORDER BY doc_id
         """,
         "ta_quality": f"""
             WITH d AS (

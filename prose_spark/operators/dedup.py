@@ -15,12 +15,45 @@ buckets (empty/boilerplate docs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the portable minhash rehash family: products
+# a_i * (h mod P) stay < 2^62, so the arithmetic is exact in a 64-bit long
+# on Spark AND in DuckDB — no 128-bit intermediate needed on either engine
+_P31 = 2147483647
 
 
 def _norm(text_col: str):
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def md5_long60(c: Column) -> Column:
+    """Portable 60-bit hash both engines compute identically: the first
+    15 hex chars of md5 parsed as an integer (always < 2^60, so it fits a
+    signed 64-bit long without overflow on either side).
+    Spark:  conv(substring(md5(x),1,15),16,10)::long
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT"""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_salts(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) salt pairs for the portable minhash
+    family h_i = (a_i * (h mod P) + b_i) mod P — derived from md5 so both
+    engines inline the SAME literal constants."""
+    A, B = [], []
+    for i in range(n_hashes):
+        a = int.from_bytes(
+            hashlib.md5(f"mh_a{i}".encode()).digest()[:8], "big"
+        ) % (_P31 - 1) + 1
+        b = int.from_bytes(
+            hashlib.md5(f"mh_b{i}".encode()).digest()[:8], "big"
+        ) % _P31
+        A.append(a)
+        B.append(b)
+    return A, B
 
 
 def exact_duplicate_groups(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
@@ -97,62 +130,48 @@ def banded_minhash_pairs(
     jaccard_max_distance: float,
     n_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Core native banded-MinHash join: d(k, g: array of distinct
     shingles) -> (a, b, jaccard_dist) — no pyspark.ml, no model fit,
     every step codegen'd:
 
-    1. per row, i-th minhash = min over shingles of
-       xxhash64(salt_i, shingle) (array_min over transform — map-only);
-    2. band keys = hash of each r-signature group (AND within a band,
+    1. per row, i-th minhash = min over salted rehashes of the
+       once-hashed shingles (array_min over transform — map-only);
+    2. band keys = one key per r-signature group (AND within a band,
        OR across bands: collision prob = 1-(1-s^r)^bands);
     3. band-local self-equi-join -> candidate pairs (the only shuffle
        that matters; band keys bound partition sizes at any scale);
     4. exact Jaccard verify on the shingle arrays, filter.
+
+    ``hash_fn``: 'xxhash64' (default, fastest JVM hash; band key is an
+    xxhash64 chain) or 'md5' — the PORTABLE family (md5-derived 60-bit
+    base hash, (a_i*h+b_i) mod 2^31-1 rehash, comma-joined band-key
+    string) that DuckDB recomputes end-to-end, making the driver oracle
+    an independent cross-engine recomputation rather than a pinned
+    golden. Same algorithm, same guarantees; only the hash primitive
+    differs.
+
+    ``max_bucket_size``: optional cap on band-bucket membership. A
+    boilerplate-heavy corpus (thousands of near-identical docs) makes a
+    single band key quadratic — AQE splits the partition but not the
+    O(n^2) pair explosion. Buckets larger than the cap are DROPPED from
+    candidate generation (their members still pair via their other,
+    discriminating bands; a bucket that big is boilerplate, not signal —
+    the standard MinHash-LSH production guard). Count dropped buckets
+    via ``oversized_band_buckets`` for observability.
     """
-    assert n_hashes % bands == 0
-    r = n_hashes // bands
-
-    # One nested let-bound expression (via single-element transforms, so
-    # nothing is re-evaluated after projection collapse):
-    # 1. hash each shingle STRING once (n_hashes x fewer string hashes);
-    # 2. i-th minhash = min over salted rehashes of those longs;
-    # 3. band key = chain-hash of its r signature longs.
-    gh = F.transform(F.col("g"), lambda s: F.xxhash64(s))
-
-    def sigs_of(ghv):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(ghv, lambda h: F.xxhash64(i, h))
-            ),
+    banded = _banded_keys(d, n_hashes, bands, hash_fn)
+    if max_bucket_size is not None:
+        # window over the SAME keys the join shuffles on: the count
+        # reuses the join's exchange, so the guard adds no extra shuffle
+        wb = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
         )
-
-    def bands_of(sg):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.cast("int").alias("band"),
-                F.aggregate(
-                    F.slice(sg, b * r + 1, r),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: F.xxhash64(acc, x),
-                ).alias("bkey"),
-            ),
-        )
-
-    bd = F.transform(
-        F.array(gh),
-        lambda ghv: F.transform(F.array(sigs_of(ghv)), bands_of)
-        .getItem(0),
-    ).getItem(0)
-
-    banded = d.select(
-        "k", "g", F.explode(bd).alias("bd")
-    ).select(
-        "k", "g",
-        F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"),
-    )
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])
@@ -174,6 +193,78 @@ def banded_minhash_pairs(
     )
 
 
+def _banded_keys(d: DataFrame, n_hashes: int, bands: int,
+                 hash_fn: str) -> DataFrame:
+    """d(k, g: array of distinct shingles) -> (k, g, band, bkey): the
+    map-only minhash-signature + band-key projection shared by the pair
+    join and the bucket-stats observability query.
+
+    One nested let-bound expression (via single-element transforms, so
+    nothing is re-evaluated after projection collapse):
+    1. hash each shingle STRING once (n_hashes x fewer string hashes);
+    2. i-th minhash = min over salted rehashes of those longs;
+    3. band key = one key per r signature longs.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    if hash_fn == "md5":
+        A, B = minhash_salts(n_hashes)
+        a_arr = F.array(*[F.lit(a) for a in A])
+        b_arr = F.array(*[F.lit(b) for b in B])
+        gh = F.transform(F.col("g"), lambda s: md5_long60(s) % _P31)
+
+        def rehash(i, h):
+            return (F.element_at(a_arr, i + 1) * h
+                    + F.element_at(b_arr, i + 1)) % _P31
+
+        def band_key(sig_slice):
+            return F.concat_ws(
+                ",", F.transform(sig_slice, lambda x: x.cast("string"))
+            )
+    else:
+        gh = F.transform(F.col("g"), lambda s: F.xxhash64(s))
+
+        def rehash(i, h):
+            return F.xxhash64(i, h)
+
+        def band_key(sig_slice):
+            return F.aggregate(
+                sig_slice, F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            )
+
+    def sigs_of(ghv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(ghv, lambda h: rehash(i, h))
+            ),
+        )
+
+    def bands_of(sg):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                band_key(F.slice(sg, b * r + 1, r)).alias("bkey"),
+            ),
+        )
+
+    bd = F.transform(
+        F.array(gh),
+        lambda ghv: F.transform(F.array(sigs_of(ghv)), bands_of)
+        .getItem(0),
+    ).getItem(0)
+
+    return d.select(
+        "k", "g", F.explode(bd).alias("bd")
+    ).select(
+        "k", "g",
+        F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"),
+    )
+
+
 def minhash_near_dup_pairs_native(
     df: DataFrame,
     key_col: str,
@@ -182,34 +273,77 @@ def minhash_near_dup_pairs_native(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate (a, b, jaccard_dist) pairs over word n-gram
     shingles via the native banded-MinHash core. Same output contract as
     minhash_near_dup_pairs (verified identical pair sets at threshold
     0.3 on the sf0.1 documents table) with ~2-3x less overhead — no ML
-    fit/transform — and a plain shuffle-on-band-key plan at scale."""
+    fit/transform — and a plain shuffle-on-band-key plan at scale.
+    See banded_minhash_pairs for ``hash_fn`` / ``max_bucket_size``."""
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),
     )
-    return banded_minhash_pairs(d, jaccard_max_distance, n_hashes, bands)
+    return banded_minhash_pairs(d, jaccard_max_distance, n_hashes, bands,
+                                hash_fn=hash_fn,
+                                max_bucket_size=max_bucket_size)
+
+
+def oversized_band_buckets(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    max_bucket_size: int = 1000,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Observability twin of the ``max_bucket_size`` guard: one row per
+    band bucket that the guard would drop, with its member count — so a
+    truncated run can LOG what it skipped instead of silently shedding
+    boilerplate clusters. Same signature plan as the pair join; a
+    groupBy on the same keys (no pair explosion)."""
+    d = df.select(
+        F.col(key_col).alias("k"),
+        F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),
+    )
+    return (
+        _banded_keys(d, n_hashes, bands, hash_fn)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
 
 
 def add_simhash(df: DataFrame, text_col: str = "text",
-                out_col: str = "simhash") -> DataFrame:
+                out_col: str = "simhash",
+                hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word tokens, computed per-row with native
-    higher-order functions: xxhash64 per token, bit votes accumulated into
-    a 64-long array, sign fold back into one long (bit 63 lands on
-    Long.MIN via shiftleft wrap, i.e. two's-complement reinterpret of the
-    unsigned fingerprint).
+    higher-order functions: one 64-bit hash per token, bit votes
+    accumulated into a 64-long array, sign fold back into one long (bit
+    63 lands on Long.MIN via shiftleft wrap, i.e. two's-complement
+    reinterpret of the unsigned fingerprint).
+
+    ``hash_fn``: 'xxhash64' (default, fastest JVM hash) or 'md5' — the
+    portable token hash (first 16 md5 hex chars as a signed 64-bit long
+    via conv(...,16,-10)) whose bit pattern DuckDB reproduces exactly
+    (('0x'||substr(md5(t),1,16))::UBIGINT), so the driver oracle
+    recomputes the whole fingerprint independently.
 
     Map-only — no explode, no shuffle, no generated row id — so it stays a
     narrow projection inside whatever stage consumes it, at any scale.
     """
+    tok_hash = (
+        "cast(conv(substring(md5(t),1,16),16,-10) as bigint)"
+        if hash_fn == "md5" else "xxhash64(t)"
+    )
     norm_sql = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     expr = f"""
       aggregate(
-        transform(split({norm_sql}, ' '), t -> xxhash64(t)),
+        transform(split({norm_sql}, ' '), t -> {tok_hash}),
         array_repeat(0L, 64),
         (acc, h) -> zip_with(
             acc,
@@ -229,10 +363,18 @@ def add_simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,
                             simhash_col: str = "simhash",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs whose simhashes agree on >=1 of 4 16-bit bands
     (guaranteed to cover all pairs with Hamming distance <= 3), verified
-    by exact popcount on the XOR."""
+    by exact popcount on the XOR.
+
+    ``max_bucket_size`` drops band buckets above the cap (same quadratic
+    guard as banded_minhash_pairs: a 16-bit band shared by thousands of
+    near-identical boilerplate docs would explode the self-join; capped
+    buckets are dropped, members still pair via their other 3 bands).
+    The window counts on the join's own shuffle keys — no extra shuffle.
+    """
     d = df_with_simhash.select(F.col(key_col).alias("k"), F.col(simhash_col).alias("sh"))
     bands = d.select(
         "k", "sh",
@@ -250,6 +392,13 @@ def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,
             )
         ).alias("bd"),
     ).select("k", "sh", F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bkey")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     joined = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
@@ -272,10 +421,28 @@ def ngram_jaccard_pairs(
     df: DataFrame, key_col: str, text_col: str = "text",
     shingle_n: int = 3, min_jaccard: float = 0.8,
     block_col: str | None = None,
+    allow_all_pairs: bool = False,
+    all_pairs_row_limit: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs, blocked by ``block_col``
     (or all-pairs when None — small inputs / verification of LSH
-    candidates). Jaccard computed natively with array_intersect/union."""
+    candidates). Jaccard computed natively with array_intersect/union.
+
+    Foot-gun guard: ``block_col=None`` is O(n^2). Above
+    ``all_pairs_row_limit`` input rows it raises unless the caller sets
+    ``allow_all_pairs=True`` — at web scale an accidental unblocked call
+    would otherwise launch a ~10^18-pair self-join. The size probe is a
+    cheap ``limit(k+1).count()`` (stops scanning at k+1 rows, never a
+    full count)."""
+    if block_col is None and not allow_all_pairs:
+        probe = df.limit(all_pairs_row_limit + 1).count()
+        if probe > all_pairs_row_limit:
+            raise ValueError(
+                f"ngram_jaccard_pairs(block_col=None) on >"
+                f"{all_pairs_row_limit} rows is an all-pairs self-join; "
+                "pass a block_col (or allow_all_pairs=True if the "
+                "quadratic cost is intentional)"
+            )
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),

@@ -17,8 +17,23 @@ centroid means) so driver goldens stay stable across runs/partitionings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-bound frame to the session's parallelism
+    when it arrives under-partitioned. Small parquet inputs load as ONE
+    partition, which serializes every downstream signature/verify
+    expression onto one core; AQE won't fix it (it coalesces by BYTES,
+    and these stages are compute-heavy on tiny bytes). At 100 TB inputs
+    already carry enough partitions and this is a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def _cosine(a, b):
@@ -48,10 +63,10 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -186,10 +201,10 @@ def ivf_topk(
     Deterministic end to end (hash-seeded k-means, no RNG)."""
     if centroids is None:
         centroids = ivf_fit(corpus, n_cells, id_col, vec_col)
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", _argmax_cell("cv", centroids))
+    )).withColumn("cell", _argmax_cell("cv", centroids))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -217,29 +232,62 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 24,
+    n_planes: int = 16,
+    n_tables: int = 96,
     brute_force: bool = False,
+    allow_all_pairs: bool = False,
+    all_pairs_row_limit: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, cosine >= threshold).
 
     Default path: multi-table hyperplane-LSH candidate blocking + exact
     cosine verify. Near-dup blocking needs FINE buckets — unlike top-k,
     where coarse buckets just add rerank work, coarse buckets here blow
-    up quadratically (bucket size N/2^planes). At min_cosine 0.9 the
-    per-plane collision prob is ~0.857, so 24 tables of 8 planes give
-    per-pair miss rate (1-0.857^8)^24 ≈ 2.5e-4 while random pairs
-    collide at ~2^-8 per table. The banded self-join carries IDS ONLY;
-    vectors re-attach to the deduped candidates by key, so the shuffle
-    never moves vector payloads through the pair explosion.
+    up quadratically with the candidate rate: at 8 planes a RANDOM pair
+    collides in some table with prob ~24·2^-8 ≈ 9%, which means the
+    exact verify runs on ~10% of ALL pairs — O(n^2) smuggled back in
+    (measured: 832k candidate pairs for a 4k corpus). The defaults are
+    therefore 16-bit signatures × 96 tables: random-pair candidate rate
+    ~96·2^-16 ≈ 0.15%, while at min_cosine 0.9 (per-plane agreement
+    p = 1 - θ/π ≈ 0.857) the per-pair miss rate stays
+    (1-0.857^16)^96 ≈ 2e-4. Rule of thumb at other scales: planes ≈
+    log2(n) + 4 so buckets stay O(1), tables to hit the recall target.
+    The banded self-join carries IDS ONLY; vectors re-attach to the
+    deduped candidates by key, so the shuffle never moves vector
+    payloads through the pair explosion.
+
+    The (tbl, sig) signature frame is computed ONCE (numpy matmul in an
+    Arrow-batched pandas UDF — see _signatures_pandas) and
+    localCheckpointed before the self-join, so nothing re-evaluates it on
+    the second join side. The production analogue at 100 TB is the same
+    move — persist the signature table once, self-join the materialized
+    keys. The candidate ids are re-spread across the session's
+    parallelism before vectors re-attach, so the JVM exact verify (which
+    must match the oracle's float-for-float) runs on all cores instead
+    of one AQE-coalesced partition.
+
     ``brute_force=True`` switches to the all-pairs exact join — the
-    verification path for small inputs and the DuckDB-oracle twin.
+    verification path for small inputs and the DuckDB-oracle twin. It
+    raises above ``all_pairs_row_limit`` input rows unless
+    ``allow_all_pairs=True`` (an accidental all-pairs cross join at web
+    scale is a ~10^18-row plan); the probe is limit(k+1).count(), never
+    a full scan.
     """
-    d = df.select(
+    d = _spread(df.select(
         F.col(key_col).alias("k"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ))
     if brute_force:
+        if not allow_all_pairs:
+            probe = d.limit(all_pairs_row_limit + 1).count()
+            if probe > all_pairs_row_limit:
+                raise ValueError(
+                    f"embedding_near_dup_pairs(brute_force=True) on >"
+                    f"{all_pairs_row_limit} rows is an all-pairs cross "
+                    "join; use the LSH path (brute_force=False) or pass "
+                    "allow_all_pairs=True if the quadratic cost is "
+                    "intentional"
+                )
         cand = (
             d.alias("x").crossJoin(d.alias("y"))
             .filter(F.col("x.k") < F.col("y.k"))
@@ -247,11 +295,13 @@ def embedding_near_dup_pairs(
                     F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
         )
     else:
-        sigs = _table_signatures("v", dim, n_planes, n_tables)
+        sigs = _signatures_pandas(dim, n_planes, n_tables)
         banded = d.select(
-            "k", F.explode(sigs).alias("s")
-        ).select("k", F.col("s.tbl").alias("tbl"),
-                 F.col("s.sig").alias("sig"))
+            "k", F.posexplode(sigs("v")).alias("tbl", "sig")
+        )
+        # materialize the signatures so the Python stage runs once, not
+        # once per join side
+        banded = banded.localCheckpoint(eager=True)
         pair_ids = (
             banded.alias("x")
             .join(banded.alias("y"), ["tbl", "sig"])
@@ -259,8 +309,11 @@ def embedding_near_dup_pairs(
             .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
             .dropDuplicates(["a", "b"])
         )
+        # unconditional respread: AQE coalesces the id-only dedup output
+        # to ~1 partition by BYTES, which would serialize the verify
+        nparts = df.sparkSession.sparkContext.defaultParallelism
         cand = (
-            pair_ids
+            pair_ids.repartition(nparts)
             .join(d.select(F.col("k").alias("a"), F.col("v").alias("va")),
                   "a")
             .join(d.select(F.col("k").alias("b"), F.col("v").alias("vb")),
@@ -312,6 +365,38 @@ def _signature(vec_col: str, dim: int, n_planes: int, salt: str = "p"):
         F.lit(0),
         lambda acc, b: acc + b,
     )
+
+
+def _signatures_pandas(dim: int, n_planes: int, n_tables: int):
+    """Arrow-vectorized twin of _table_signatures: one numpy matmul per
+    batch computes ALL L x r plane projections ((batch, dim) @ (dim,
+    L*r)), sign bits fold into per-table signature ints. The interpreted
+    higher-order-function path costs ~2.5 ms/row at 192 planes (measured
+    — Catalyst evaluates the literal-matrix lambdas per element); numpy
+    does the same arithmetic in ~2 µs/row. Signatures only GATE
+    candidates — the exact cosine verify stays JVM-side — so float
+    summation-order differences vs the literal-matrix path can only
+    perturb which candidates are probed, never a verified value."""
+    import numpy as np
+
+    flat = np.array(
+        [w for t in range(n_tables)
+         for w in _plane_weights(dim, n_planes, salt=f"t{t}p")],
+        dtype=np.float64,
+    )  # (n_tables*n_planes, dim)
+    powers = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy())                      # (n, dim)
+        bits = (V @ flat.T) >= 0                           # (n, L*r)
+        B = bits.reshape(len(V), n_tables, n_planes)
+        S = (B * powers).sum(axis=2).astype(np.int32)      # (n, L)
+        return pd.Series(list(S))
+
+    return sigs
 
 
 def _table_signatures(vec_col: str, dim: int, n_planes: int, n_tables: int):
@@ -374,20 +459,20 @@ def lsh_topk(
     signatures): candidates are pairs colliding in >=1 table, deduped,
     then exact-cosine re-ranked. At scale the (tbl, sig) equi-join
     replaces the cross join; recall tunes via n_planes (fewer ->
-    bigger buckets) and n_tables (more -> more probes)."""
-    sigs = _table_signatures(vec_col, dim, n_planes, n_tables)
+    bigger buckets) and n_tables (more -> more probes). Signatures run
+    as one numpy matmul per Arrow batch (_signatures_pandas); the exact
+    rerank stays JVM-side."""
+    sigs = _signatures_pandas(dim, n_planes, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode(sigs).alias("s"),
-    ).select("query_id", "qv", F.col("s.tbl").alias("tbl"),
-             F.col("s.sig").alias("sig"))
-    c = corpus.select(
+    ).select("query_id", "qv",
+             F.posexplode(sigs("qv")).alias("tbl", "sig"))
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        F.explode(sigs).alias("s"),
-    ).select("neighbor_id", "cv", F.col("s.tbl").alias("tbl"),
-             F.col("s.sig").alias("sig"))
+    )).select("neighbor_id", "cv",
+              F.posexplode(sigs("cv")).alias("tbl", "sig"))
     cand = (
         c.join(F.broadcast(q), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

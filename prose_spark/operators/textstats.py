@@ -93,26 +93,38 @@ def bpe_token_count_col(text_col: str = "text"):
 
 def winnowing_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4,
-    out_col: str = "fingerprints",
+    out_col: str = "fingerprints", hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS): hash
     every k-gram of the normalized text, slide a window of ``window``
     hashes, keep each window's minimum, distinct the result. Guarantees
     any shared substring of length >= k + window - 1 produces a shared
     fingerprint — the standard near-dup/plagiarism sketch. Computed
-    per-row with native higher-order functions (map-only, no shuffle);
-    k-gram hashes use xxhash64 over substrings (same selection guarantee
-    as a Karp-Rabin rolling hash, one JVM hash call per position)."""
+    per-row with native higher-order functions (map-only, no shuffle).
+
+    ``hash_fn``: 'xxhash64' (default — one JVM hash call per position,
+    same selection guarantee as a Karp-Rabin rolling hash) or 'md5' —
+    the portable 60-bit hash (first 15 md5 hex chars) that DuckDB
+    computes identically, so the driver oracle re-runs the WHOLE
+    winnowing selection (k-gram hash, window min, distinct)
+    independently instead of comparing against a pinned golden."""
+    if hash_fn == "md5":
+        def h(e: str) -> str:
+            return f"cast(conv(substring(md5({e}),1,15),16,10) as bigint)"
+    else:
+        def h(e: str) -> str:
+            return f"xxhash64({e})"
+
     norm_sql = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     # transform(array(X), v -> ...)[0] is a let-binding: X evaluates ONCE
     # per row and the lambda reuses it — without it the k-gram hash array
     # would be recomputed inside every window (O(n*w) hash calls)
     expr = f"""
       transform(array({norm_sql}), nm ->
-        CASE WHEN length(nm) < {k} THEN array(xxhash64(nm))
+        CASE WHEN length(nm) < {k} THEN array({h('nm')})
         ELSE transform(
                array(transform(sequence(1, length(nm) - {k - 1}),
-                               i -> xxhash64(substring(nm, i, {k})))),
+                               i -> {h(f'substring(nm, i, {k})')})),
                hs -> array_distinct(transform(
                        sequence(1, greatest(size(hs) - {window - 1}, 1)),
                        j -> array_min(slice(hs, j, {window})))))[0]

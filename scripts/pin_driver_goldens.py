@@ -1,9 +1,12 @@
 """Pin the driver-contract golden parquet oracles.
 
 For each query in __spark_entry__.PINNED_QUERIES, runs the Spark query at
-sf0.01 and writes its output to tests/goldens/driver/<name>/ — the DuckDB
-oracle then reads that parquet back, turning rows-only queries into hard
-rows+schema+value-hash checks.
+PINNED_SF (sf0.01) and writes its output to
+tests/goldens/driver/<PINNED_SF>/<name>/ — the DuckDB oracle then reads
+that parquet back, turning rows-only queries into hard
+rows+schema+value-hash checks. The sf is part of the path: a gate run at
+any other scale factor fails loudly on the missing directory instead of
+silently comparing wrong-scale expectations.
 
 Re-run ONLY on intentional kernel/operator changes, and hand-review the
 resulting diff (row counts are printed; spot-check values with duckdb).
@@ -22,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as entrymod  # noqa: E402
 from prose_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = f"/root/testdata/{entrymod.PINNED_SF}"
 
 
 def main() -> None:
@@ -33,7 +36,8 @@ def main() -> None:
         if only and name not in only:
             continue
         df = qs[name](spark, SF_DIR)
-        dest = entrymod.GOLDEN_DIR / name
+        dest = entrymod.golden_path(name)
+        dest.parent.mkdir(parents=True, exist_ok=True)
         shutil.rmtree(dest, ignore_errors=True)
         df.coalesce(1).write.mode("overwrite").parquet(str(dest))
         # drop Spark bookkeeping files; keep the parquet part only

@@ -1,0 +1,117 @@
+"""Scale-robustness guards: band-bucket caps against boilerplate
+quadratic blow-up, and all-pairs foot-gun raises.
+
+The LSH candidate joins are bucket-local, so partition sizes stay
+bounded — EXCEPT when thousands of near-identical docs share every band
+key (boilerplate). AQE splits oversized partitions but not the O(n^2)
+pair explosion itself; the max_bucket_size cap does.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    # 1000 identical docs + 2 distinct near-dup docs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(1000)]
+    other = ("an entirely separate document about mountains rivers "
+             "forests valleys glaciers and long winding hiking trails "
+             "that stretch across the quiet northern countryside")
+    rows.append((2001, other + " today"))
+    rows.append((2002, other + " tomorrow"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark, boilerplate_docs):
+    from prose_spark.operators.dedup import (
+        minhash_near_dup_pairs_native,
+        oversized_band_buckets,
+    )
+
+    # uncapped, the identical cluster alone is ~500k pairs; with the cap
+    # the boilerplate buckets are dropped and the output stays tiny
+    capped = minhash_near_dup_pairs_native(
+        boilerplate_docs, key_col="doc_id", jaccard_max_distance=0.3,
+        max_bucket_size=100,
+    )
+    rows = capped.collect()
+    assert len(rows) < 1000  # bounded: no quadratic explosion
+    # the two distinct near-dups still pair (their buckets are small)
+    assert {(r["a"], r["b"]) for r in rows} >= {(2001, 2002)}
+
+    # observability: the dropped buckets are reportable, with sizes
+    over = oversized_band_buckets(
+        boilerplate_docs, key_col="doc_id", max_bucket_size=100
+    ).collect()
+    assert len(over) == 8  # all 8 bands of the identical cluster
+    assert all(r["n_members"] == 1000 for r in over)
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark, boilerplate_docs):
+    from prose_spark.operators.dedup import (
+        add_simhash,
+        simhash_candidate_pairs,
+    )
+
+    # survivor pair: two identical docs (hamming 0, bucket size 2)
+    extra = boilerplate_docs.sparkSession.createDataFrame(
+        [(3001, "a small island of unique text"),
+         (3002, "a small island of unique text")], ["doc_id", "text"])
+    sh = add_simhash(boilerplate_docs.unionByName(extra))
+    capped = simhash_candidate_pairs(sh, "doc_id", max_hamming=3,
+                                     max_bucket_size=100)
+    rows = capped.collect()
+    assert len(rows) < 1000
+    assert {(r["a"], r["b"]) for r in rows} >= {(3001, 3002)}
+
+
+def test_ngram_jaccard_all_pairs_raises(spark, boilerplate_docs):
+    from prose_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="all-pairs self-join"):
+        ngram_jaccard_pairs(boilerplate_docs, key_col="doc_id",
+                            all_pairs_row_limit=100)
+    # explicit override runs (block_col path never probes)
+    small = boilerplate_docs.limit(5)
+    ngram_jaccard_pairs(small, key_col="doc_id",
+                        all_pairs_row_limit=100).count()
+    ngram_jaccard_pairs(boilerplate_docs, key_col="doc_id",
+                        all_pairs_row_limit=100,
+                        allow_all_pairs=True).limit(1).count()
+
+
+def test_embedding_brute_force_raises(spark):
+    from prose_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs cross join"):
+        embedding_near_dup_pairs(emb, brute_force=True,
+                                 all_pairs_row_limit=100)
+    # under the limit: runs
+    embedding_near_dup_pairs(emb.limit(50), dim=8, brute_force=True,
+                             all_pairs_row_limit=100).count()
+
+
+def test_minhash_md5_mode_single_band_join_plan(spark, boilerplate_docs):
+    """The portable md5 hash family keeps the same physical shape as the
+    xxhash64 default: native expressions only, exactly one band-key
+    self-join (the plan obligation of test_plans.py holds per-mode)."""
+    from prose_spark.operators.dedup import minhash_near_dup_pairs_native
+
+    df = minhash_near_dup_pairs_native(
+        boilerplate_docs.limit(10), key_col="doc_id",
+        jaccard_max_distance=0.3, hash_fn="md5",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    tree = plan.split("\n\n")[0]
+    n_joins = sum(tree.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, tree
