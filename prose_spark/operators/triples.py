@@ -72,9 +72,91 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         nps = [(m.start(), m.end()) for m in _NP_RE.finditer(code)]
         if len(nps) < 2:
             continue
+
+        def phrase(span):
+            toks = [tokens[idxs[k]] for k in range(span[0], span[1])]
+            # drop leading determiner from the phrase surface
+            while toks and toks[0]["tag"] in ("DT", "PDT"):
+                toks = toks[1:]
+            return toks
+
+        def conf(toks):
+            cs = [t["confidence"] for t in toks if t["label"] != "O"]
+            return min(cs) if cs else 1.0
+
+        def ent_label(toks):
+            labs = [t["label"] for t in toks if t["label"] != "O"]
+            if not labs:
+                return ""
+            return labs[0].split("-", 1)[-1]
+
+        # --- appositive pattern: "NP1 , NP2 (P NP)* ," ----------------
+        # "Robert Chen, the founder of Globex Inc., visited ..." emits
+        # (Robert Chen, is, founder) and re-binds the following verb's
+        # subject to NP1 (without this, the nearest-NP rule would pick
+        # "Globex Inc." as the subject of "visited"). subj_override maps
+        # the LAST NP of the appositive chain -> NP1.
+        commas = {
+            k for k in range(len(idxs))
+            if tokens[idxs[k]]["text"] == ","
+        }
+        subj_override: dict[tuple[int, int], tuple[int, int]] = {}
+        for ni in range(len(nps) - 1):
+            s1, e1 = nps[ni]
+            s2, e2 = nps[ni + 1]
+            if e1 not in commas or s2 != e1 + 1:
+                continue
+            # precision guards against clause boundaries that mimic the
+            # pattern ("...per hour, workers in..."): a true appositive
+            # describes a NAMED entity (NP1 carries a proper noun) with
+            # a determinered NP ("the founder", "a subsidiary")
+            if code[s2] != "D":
+                continue
+            if not any(tokens[idxs[k]]["tag"].startswith("NNP")
+                       for k in range(s1, e1)):
+                continue
+            # extend the chain over PP attachments: NP2 (P NP)*
+            chain_end, nj = e2, ni + 1
+            while (chain_end < len(code) and code[chain_end] == "P"
+                   and nj + 1 < len(nps) and nps[nj + 1][0] == chain_end + 1):
+                nj += 1
+                chain_end = nps[nj][1]
+            # the tokenizer peels some abbreviation periods ("Acme Corp,"
+            # -> Corp + "." + ","): step over bare periods before the
+            # trailing-comma test
+            while (chain_end < len(code)
+                   and tokens[idxs[chain_end]]["text"] == "."):
+                chain_end += 1
+            if chain_end not in commas:
+                continue
+            s_toks = phrase((s1, e1))
+            o_toks = phrase((s2, e2))
+            if not s_toks or not o_toks:
+                continue
+            subj_override[nps[nj]] = (s1, e1)
+            out.append(
+                {
+                    "sent_idx": si,
+                    "subj": " ".join(t["text"] for t in s_toks),
+                    "pred": "is",
+                    "obj": " ".join(t["text"] for t in o_toks),
+                    "pred_norm": "be",
+                    "subj_label": ent_label(s_toks),
+                    "obj_label": ent_label(o_toks),
+                    "confidence": min(conf(s_toks), conf(o_toks)),
+                }
+            )
+
         for vm in _VP_RE.finditer(code):
             vs, ve = vm.span()
             if "V" not in code[vs:ve]:
+                continue
+            # suppress a bare participle acting adjectivally inside an
+            # NP ("a renowned engineer" must not yield <subj> renowned
+            # <engineer>): single VBN, no aux/particle, preceded by a
+            # determiner or adjective
+            if (ve - vs == 1 and vs > 0 and code[vs - 1] in "DJ"
+                    and tokens[idxs[vs]]["tag"] == "VBN"):
                 continue
             subj_span = None
             for s, e in nps:
@@ -82,32 +164,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     subj_span = (s, e)
                 else:
                     break
+            # appositive re-binding: the NP just before the verb may be
+            # the tail of an appositive chain describing the true subject
+            if subj_span in subj_override:
+                subj_span = subj_override[subj_span]
             obj_span = next(((s, e) for s, e in nps if s >= ve), None)
             if subj_span is None or obj_span is None:
                 continue
-
-            def phrase(span):
-                toks = [tokens[idxs[k]] for k in range(span[0], span[1])]
-                # drop leading determiner from the phrase surface
-                while toks and toks[0]["tag"] in ("DT", "PDT"):
-                    toks = toks[1:]
-                return toks
 
             s_toks = phrase(subj_span)
             o_toks = phrase(obj_span)
             if not s_toks or not o_toks:
                 continue
             v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
-
-            def conf(toks):
-                cs = [t["confidence"] for t in toks if t["label"] != "O"]
-                return min(cs) if cs else 1.0
-
-            def ent_label(toks):
-                labs = [t["label"] for t in toks if t["label"] != "O"]
-                if not labs:
-                    return ""
-                return labs[0].split("-", 1)[-1]
 
             # passive voice: "<obj> BE VBN by <subj>" inverts the triple
             # and takes the participle as the predicate

@@ -53,6 +53,37 @@ def test_triple_precision_recall(corpus):
     assert recall >= 0.95, f"recall {recall:.4f}"
 
 
+def test_triple_pr_extended_templates():
+    """Precision AND recall >= 0.95 against a templated-only gold that
+    includes the r3 copular ("X is the R of Y") and appositive
+    ("X, the R of Y, founded Z") constructions. One templated sentence
+    per doc, so every extracted triple is gold-attributable and
+    precision is a real measurement, not a floor."""
+    from prose_spark.sources.pages import TEMPLATES_V2
+
+    rows = list(generate_pages_rows(
+        300, seed=7, sentences_per_doc=(1, 1),
+        templates=TEMPLATES_V2, template_prob=1.0,
+    ))
+    gold, pred = set(), set()
+    n_en = 0
+    for url, _, _, text, lang, g in rows:
+        if lang != "en":
+            continue
+        n_en += 1
+        for s, p, o in g:
+            gold.add((url, s, p, o))
+        _, toks, _ = annotate_document(text)
+        for tr in extract_triples_doc(toks):
+            pred.add((url, tr["subj"], tr["pred"], tr["obj"]))
+    assert n_en > 150 and len(gold) > 150
+    tp = len(gold & pred)
+    precision = tp / len(pred)
+    recall = tp / len(gold)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
 def test_annotation_dumps_exact(corpus):
     pinned = json.loads((GOLDENS / "golden_annotations.json").read_text())
     by_url = {r[0]: r for r in corpus}
