@@ -216,6 +216,120 @@ def hardware_control(pages_path: str, lo: int, hi: int,
     }
 
 
+def _last_exec_shuffle_bytes(spark) -> int:
+    """Total 'shuffle bytes written' across Exchange nodes of the most
+    recent SQL execution, from the SQL status store (the UI's numbers).
+    Formatted totals like '12.3 MiB' are parsed back to bytes."""
+    units = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30,
+             "TiB": 1 << 40}
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        eid = store.executionsList().last().executionId()
+        vals = store.executionMetrics(eid)
+        total = 0
+        nit = store.planGraph(eid).allNodes().iterator()
+        while nit.hasNext():
+            node = nit.next()
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                m = mit.next()
+                if m.name() != "shuffle bytes written":
+                    continue
+                if not vals.contains(m.accumulatorId()):
+                    continue
+                # "total (min, med, max ...)\n448.0 B (56.0 B, ...)"
+                text = vals.apply(m.accumulatorId()).split("\n")[-1]
+                num, unit = text.split(" ")[0], text.split(" ")[1]
+                total += int(float(num) * units.get(unit.strip("("), 1))
+        return total
+    except Exception:
+        return -1  # metric extraction is best-effort, never fails bench
+
+
+def scale_up(cores: int) -> dict:
+    """Scale-up extrapolation evidence (north rule: 'would still work at
+    1000x'): the fused KG path at 1x and 10x the bench corpus and the
+    native banded-MinHash join at 1x and 4x, in ONE local[cores]
+    session — reporting throughput at each scale plus the band-join
+    shuffle bytes. Flat-or-better per-doc throughput and linearly
+    scaling (not quadratic) shuffle bytes are the two claims a 100 TB
+    run depends on."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.dedup import minhash_near_dup_pairs_native
+    from prose_spark.operators.triples import annotate_and_extract_triples
+    from prose_spark.session import get_spark
+    from prose_spark.sources.pages import write_pages_parquet
+
+    n10 = N_PAGES * 10
+    path10 = f"/tmp/prose_spark_bench_pages_{n10}"
+    spark = get_spark(app_name="bench_scale", cores=cores,
+                      shuffle_partitions=max(32, cores * 2))
+    try:
+        if not os.path.exists(path10 + "/_SUCCESS"):
+            write_pages_parquet(spark, path10, n10)
+        pages = spark.read.parquet(path10)
+        en10 = (pages.filter(F.col("lang") == "en").select("url", "text")
+                .repartition(cores * 2).cache())
+        n_docs10 = en10.count()
+        # 1x / 4x slices of the SAME corpus (limit is deterministic here:
+        # single source, no shuffle below it)
+        en1 = en10.limit(n_docs10 // 10).repartition(cores * 2).cache()
+        en4 = en10.limit((n_docs10 * 4) // 10).repartition(cores * 2).cache()
+        n_docs1, n_docs4 = en1.count(), en4.count()
+        annotate_and_extract_triples(en1).count()  # warm workers
+
+        out: dict = {"cores": cores}
+
+        def kg_point(df, n_docs, tag):
+            t0 = time.time()
+            n = annotate_and_extract_triples(df).count()
+            dt = time.time() - t0
+            out[f"kg_{tag}"] = {
+                "n_docs": n_docs, "n_triples": n,
+                "seconds": round(dt, 2),
+                "triples_per_sec": round(n / dt, 1),
+            }
+
+        kg_point(en1, n_docs1, "1x")
+        kg_point(en10, n_docs10, "10x")
+        out["kg_throughput_ratio_10x_vs_1x"] = round(
+            out["kg_10x"]["triples_per_sec"]
+            / out["kg_1x"]["triples_per_sec"], 3)
+
+        def mh_point(df, n_docs, tag):
+            t0 = time.time()
+            n_pairs = minhash_near_dup_pairs_native(
+                df, "url", jaccard_max_distance=0.3).count()
+            dt = time.time() - t0
+            out[f"minhash_{tag}"] = {
+                "n_docs": n_docs, "n_pairs": n_pairs,
+                "seconds": round(dt, 2),
+                "docs_per_sec": round(n_docs / dt, 1),
+                "shuffle_bytes": _last_exec_shuffle_bytes(spark),
+            }
+
+        # pin the band join to its at-scale physical form (shuffle join):
+        # under the default threshold AQE broadcasts the banded side at
+        # 1x but not 4x, which would compare two different plans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        minhash_near_dup_pairs_native(  # warm the join/codegen path
+            en1.limit(300), "url", jaccard_max_distance=0.3).count()
+        mh_point(en1, n_docs1, "1x")
+        mh_point(en4, n_docs4, "4x")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        m1, m4 = out["minhash_1x"], out["minhash_4x"]
+        out["minhash_docs_per_sec_ratio_4x_vs_1x"] = round(
+            m4["docs_per_sec"] / m1["docs_per_sec"], 3)
+        if m1["shuffle_bytes"] > 0 and m4["shuffle_bytes"] > 0:
+            # linear-in-n shuffle (banded keys), not quadratic pairs
+            out["minhash_shuffle_growth_4x_vs_1x"] = round(
+                m4["shuffle_bytes"] / m1["shuffle_bytes"], 2)
+        return out
+    finally:
+        spark.stop()
+
+
 def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     """Time a representative subset of __spark_entry__ queries."""
     import __spark_entry__ as entrymod
@@ -325,6 +439,10 @@ def main() -> None:
     pool = fixed_pool_scaling(pages_path, SCALING_LO, SCALING_HI)
     log(str(pool))
 
+    log("== scale-up block (1x/4x/10x) ==")
+    scale = scale_up(int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "16")))
+    log(str(scale))
+
     log("== per-query timings ==")
     queries = run_queries(SF_DIR, CPUS)
 
@@ -357,6 +475,7 @@ def main() -> None:
         },
         "scaling_fixed_pool": pool,
         "scaling_hardware_control": control,
+        "scale_up": scale,
         "wall_clock_sec": round(time.time() - t_start, 1),
     }
     print(json.dumps(result), flush=True)

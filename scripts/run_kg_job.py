@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--gold-metrics", action="store_true",
                     help="synthetic pages only: record per-bucket P/R vs "
                          "the generator's gold triples in the done markers")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="write triples to this Iceberg table "
+                         "(catalog.db.table) via writeTo/overwritePartitions"
+                         " instead of parquet under --out; requires an "
+                         "Iceberg catalog in the session conf")
+    ap.add_argument("--timeout-sec", type=float, default=None,
+                    help="per-document budget; dropped docs are counted "
+                         "as n_doc_timeouts in the done markers")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,7 +83,8 @@ def main() -> None:
 
     t0 = time.time()
     metrics = run_kg_job(spark, pages, args.out, n_buckets=args.buckets,
-                         gold=gold)
+                         gold=gold, timeout_sec=args.timeout_sec,
+                         iceberg_table=args.iceberg_table)
     done = metrics.count()
     triples = read_triples(spark, args.out)
     n = triples.count()

@@ -35,6 +35,26 @@ def test_fused_triples_equal_two_stage(spark, pages_df):
     assert fused == two_stage and len(fused) > 0
 
 
+def test_iceberg_sink_dispatch(spark, pages_df, tmp_path):
+    """Capability gating of the production Iceberg sink: this image has
+    no Iceberg runtime, so iceberg_available is False, an explicit
+    iceberg_table request fails loudly (never silently falls back), and
+    the default parquet path is what runs."""
+    from prose_spark.sources.checkpoints import (
+        iceberg_available,
+        run_kg_job,
+        write_triples_sink,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_triples_sink(spark, pages_df.limit(1), str(tmp_path),
+                           iceberg_table="cat.db.triples")
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        run_kg_job(spark, pages_df.limit(10), str(tmp_path / "kg"),
+                   n_buckets=2, iceberg_table="cat.db.triples")
+
+
 def test_triple_recall_vs_templated_gold(spark):
     from prose_spark.operators.triples import annotate_and_extract_triples
     from prose_spark.sources.pages import generate_pages_rows
