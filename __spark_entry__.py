@@ -59,9 +59,9 @@ PINNED_SF = "sf0.01"
 PINNED_QUERIES = (
     "nlp_pos_tag_dist", "nlp_entity_mentions", "nlp_canonical_entities",
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
-    "nlp_pages_sentence_counts", "ta_pages_quality", "nlp_sentiment",
+    "nlp_pages_sentence_counts", "nlp_sentiment",
     "nlp_sentiment_ml", "ta_langid", "sim_topk_lsh",
-    "sim_topk_ivf", "ta_html_extract",
+    "sim_topk_ivf",
 )
 
 
@@ -904,6 +904,39 @@ def oracle_sql() -> dict[str, str]:
                   OR ((x.u >> 48) & 65535) = ((y.u >> 48) & 65535)))
             SELECT a::BIGINT AS a, b::BIGINT AS b, hamming
             FROM pairs WHERE hamming <= 3 ORDER BY a, b
+        """,
+        # the north-rule per-row invariant IS the oracle: text extracted
+        # from html must be byte-identical to the generator's source
+        # text per url — DuckDB reads the pyarrow-written generator
+        # corpus, so any extraction drift hash-mismatches
+        "ta_html_extract": f"""
+            SELECT url, text
+            FROM read_parquet('{_oracle_pages_parquet()}')
+            ORDER BY url
+        """,
+        "ta_pages_quality": f"""
+            WITH d AS (
+                SELECT url,
+                       string_split(regexp_replace(trim(text), '\\s+', ' ',
+                                                   'g'), ' ') AS words,
+                       len(regexp_replace(text, '\\s+', '', 'g'))
+                           AS n_nonspace,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[\\w\\s]+', '', 'g'))
+                           AS n_punct,
+                       text
+                FROM read_parquet('{_oracle_pages_parquet()}')
+            )
+            SELECT url,
+                   len(words)::BIGINT AS n_tokens,
+                   CAST(ROUND(n_nonspace / len(words), 6) AS DOUBLE)
+                       AS avg_word_len,
+                   CAST(ROUND(n_punct / n_chars, 6) AS DOUBLE)
+                       AS punct_ratio,
+                   CAST(ROUND(len(list_filter(words,
+                            w -> lower(w) IN ({stop_list})))
+                         / len(words), 6) AS DOUBLE) AS stopword_ratio
+            FROM d ORDER BY url
         """,
         "ta_winnowing": f"""
             WITH p AS (SELECT url, {_D_NORM} AS nm

@@ -115,7 +115,8 @@ def main() -> None:
                 for r in list(dn - sn)[:3]:
                     print(f"  duck-only:  {r}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    n_reg = len(qs) if not only else len(only)
+    print(f"\n{n_pass} pass, {n_fail} fail ({n_reg} registered)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
