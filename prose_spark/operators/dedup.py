@@ -141,9 +141,14 @@ def banded_minhash_pairs(
        once-hashed shingles (array_min over transform — map-only);
     2. band keys = one key per r-signature group (AND within a band,
        OR across bands: collision prob = 1-(1-s^r)^bands);
-    3. band-local self-equi-join -> candidate pairs (the only shuffle
-       that matters; band keys bound partition sizes at any scale);
-    4. exact Jaccard verify on the shingle arrays, filter.
+    3. band-local self-equi-join over (k, band, bkey) — IDS ONLY: the
+       shingle arrays never ride the 8x band explosion through the
+       shuffle (at web scale the arrays dominate row width, so carrying
+       them per-band would multiply the dominant shuffle by the band
+       count); band keys bound partition sizes at any scale;
+    4. shingle arrays re-attach to the deduped candidate pairs by key
+       (each doc's array moves once per candidate side, not once per
+       band), then exact Jaccard verify + filter.
 
     ``hash_fn``: 'xxhash64' (default, fastest JVM hash; band key is an
     xxhash64 chain) or 'md5' — the PORTABLE family (md5-derived 60-bit
@@ -172,15 +177,17 @@ def banded_minhash_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    pairs = (
+    pair_ids = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])
         .filter(F.col("x.k") < F.col("y.k"))
-        .select(
-            F.col("x.k").alias("a"), F.col("y.k").alias("b"),
-            F.col("x.g").alias("ga"), F.col("y.g").alias("gb"),
-        )
+        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    pairs = (
+        pair_ids
+        .join(d.select(F.col("k").alias("a"), F.col("g").alias("ga")), "a")
+        .join(d.select(F.col("k").alias("b"), F.col("g").alias("gb")), "b")
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
@@ -195,9 +202,10 @@ def banded_minhash_pairs(
 
 def _banded_keys(d: DataFrame, n_hashes: int, bands: int,
                  hash_fn: str) -> DataFrame:
-    """d(k, g: array of distinct shingles) -> (k, g, band, bkey): the
+    """d(k, g: array of distinct shingles) -> (k, band, bkey): the
     map-only minhash-signature + band-key projection shared by the pair
-    join and the bucket-stats observability query.
+    join and the bucket-stats observability query. Deliberately drops
+    ``g`` so the band self-join shuffles ids+keys only.
 
     One nested let-bound expression (via single-element transforms, so
     nothing is re-evaluated after projection collapse):
@@ -267,9 +275,9 @@ def _banded_keys(d: DataFrame, n_hashes: int, bands: int,
     ).getItem(0)
 
     return d.select(
-        "k", "g", F.explode(bd).alias("bd")
+        "k", F.explode(bd).alias("bd")
     ).select(
-        "k", "g",
+        "k",
         F.col("bd.band").alias("band"), F.col("bd.bkey").alias("bkey"),
     )
 

@@ -114,4 +114,4 @@ def test_minhash_md5_mode_single_band_join_plan(spark, boilerplate_docs):
     tree = plan.split("\n\n")[0]
     n_joins = sum(tree.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins == 1, tree
+    assert n_joins == 3, tree  # id-only band join + two key attaches

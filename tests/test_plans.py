@@ -92,17 +92,26 @@ def test_native_minhash_shuffles_only_on_band_keys(spark, docs_path):
 
     pages = spark.read.parquet(docs_path)
     docs = pages.select(F.col("url").alias("doc_id"), "text")
-    plan = _plan(
-        minhash_near_dup_pairs_native(docs, "doc_id",
-                                      jaccard_max_distance=0.3)
-    )
+    df = minhash_near_dup_pairs_native(docs, "doc_id",
+                                       jaccard_max_distance=0.3)
+    plan = _plan(df)
     # signature computation is native (no ML fit/UDF); the join keys are
     # (band, bkey) so partition sizes stay bounded at any corpus size
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     tree = plan.split("\n\n")[0]
     n_joins = sum(tree.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins == 1, tree  # exactly one band-key self-join
+    # one band-key self-join over IDS ONLY + two key-attach joins that
+    # bring the shingle arrays back for the exact verify: the arrays
+    # never ride the 8x band explosion through the shuffle
+    assert n_joins == 3, tree
+    # the band self-join inputs are id+key projections — the shingle
+    # array column g never appears in any node output alongside the
+    # band keys (it re-attaches later, keyed by id)
+    bkey_outputs = [ln for ln in plan.splitlines()
+                    if ln.strip().startswith("Output") and "bkey#" in ln]
+    assert bkey_outputs
+    assert all("g#" not in ln for ln in bkey_outputs), bkey_outputs
 
 
 def test_sentiment_udf_single_python_stage(spark, docs_path):
