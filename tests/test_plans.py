@@ -114,6 +114,32 @@ def test_native_minhash_shuffles_only_on_band_keys(spark, docs_path):
     assert all("g#" not in ln for ln in bkey_outputs), bkey_outputs
 
 
+def test_embedding_near_dup_pair_join_is_id_only(spark):
+    """The LSH near-dup candidate self-join must carry ids+signature
+    keys only — vectors re-attach by key AFTER dedup, so the pair
+    explosion never moves embedding payloads through a shuffle."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = embedding_near_dup_pairs(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # signature stage is Arrow-vectorized (exactly one Python stage in
+    # the checkpointed lineage is not visible here; the main plan must
+    # have none — signatures were materialized by localCheckpoint)
+    sig_outputs = [ln for ln in plan.splitlines()
+                   if ln.strip().startswith("Output") and "sig#" in ln]
+    assert sig_outputs
+    # no vector column next to the signature keys anywhere in the plan
+    assert all("v#" not in ln for ln in sig_outputs), sig_outputs
+
+
 def test_sentiment_udf_single_python_stage(spark, docs_path):
     from prose_spark.operators.sentiment_ops import add_sentiment
 
