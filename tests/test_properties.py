@@ -88,3 +88,33 @@ def test_annotate_document_total(text):
     sents, toks, ents = annotate_document(text)
     assert all(t["sent_idx"] < len(sents) for t in toks)
     assert all(e["label"] != "O" for e in ents)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_portable_hash_python_reference(text):
+    """The portable md5-derived hash family (dedup.md5_long60 semantics,
+    simhash's signed 64-bit variant) matches a pure-Python reference on
+    arbitrary unicode — the property both the Spark expression
+    (conv(md5-hex, 16, ±10)) and the DuckDB oracle expression
+    (('0x'||substr(md5,1,n))::U/BIGINT) were verified against by value
+    in scripts/check_oracles runs. Guards the two engines' shared
+    contract: first 15 hex chars parse below 2^60 (always fits a signed
+    long) and the 16-char parse reinterprets as two's complement."""
+    import hashlib
+
+    hexd = hashlib.md5(text.encode("utf-8")).hexdigest()
+    h60 = int(hexd[:15], 16)
+    assert 0 <= h60 < 1 << 60
+    u64 = int(hexd[:16], 16)
+    s64 = u64 - (1 << 64) if u64 >= 1 << 63 else u64
+    # bit pattern is preserved by the signed reinterpretation
+    assert s64 & ((1 << 64) - 1) == u64
+    # minhash rehash family stays inside the Mersenne field
+    from prose_spark.operators.dedup import _P31, minhash_salts
+
+    A, B = minhash_salts(4)
+    for a, b in zip(A, B):
+        v = (a * (h60 % _P31) + b) % _P31
+        assert 0 <= v < _P31
+        assert a * (h60 % _P31) + b < 1 << 63  # no 64-bit overflow
