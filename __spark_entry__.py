@@ -389,6 +389,28 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_dedup_fuzzy_clusters(spark, sf_dir):
+    """End-to-end fuzzy dedup over the doubled corpus (each doc +
+    its identical twin under a shifted id, plus the corpus's natural
+    near-dups): banded-MinHash pairs -> star-contraction connected
+    components -> (doc_id, keep_doc_id=min of cluster). The DuckDB
+    oracle recomputes the pairs AND the components (recursive
+    transitive closure) independently."""
+    from prose_spark.operators.dedup import near_dup_doc_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    clusters = near_dup_doc_clusters(
+        doubled, key_col="doc_id", jaccard_max_distance=0.3, hash_fn="md5"
+    )
+    return clusters.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     # portable md5 token hash: DuckDB recomputes the 64-bit fingerprint
     # (per-token hash, bit votes, signed fold) bit-for-bit
@@ -776,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -802,20 +825,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _D_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
-def _minhash_oracle_sql() -> str:
-    """Independent DuckDB recomputation of the FULL banded-MinHash path
+def _minhash_pairs_ctes(source_sql: str) -> str:
+    """CTE chain recomputing the FULL banded-MinHash path in DuckDB
     (portable md5 family, matching dedup.banded_minhash_pairs
-    hash_fn='md5' at n_hashes=32, bands=8, shingle_n=3, threshold 0.3):
-    shingling, 60-bit md5 base hash, (a*h+b) mod 2^31-1 signatures,
-    band-key strings, candidate self-join, exact Jaccard verify."""
+    hash_fn='md5' at n_hashes=32, bands=8, shingle_n=3): shingling,
+    60-bit md5 base hash, (a*h+b) mod 2^31-1 signatures, band-key
+    strings, candidate self-join — ends with cand(a, b) and the shingle
+    table d(doc_id, g) for the exact Jaccard verify."""
     from prose_spark.operators.dedup import minhash_salts
 
     A, B = minhash_salts(32)
     salts = ", ".join(f"({i}, {A[i]}, {B[i]})" for i in range(32))
-    return f"""
-        WITH salts(i, sa, sb) AS (VALUES {salts}),
+    return f"""salts(i, sa, sb) AS (VALUES {salts}),
         w AS (SELECT doc_id, string_split({_D_NORM}, ' ') AS w
-              FROM documents),
+              FROM ({source_sql})),
         d AS (SELECT doc_id, list_distinct(
                 CASE WHEN len(w) >= 3 THEN list_transform(
                        range(1, len(w)-1),
@@ -840,10 +863,38 @@ def _minhash_oracle_sql() -> str:
                                     - len(list_intersect(dx.g, dy.g)), 1)
                          AS jd
               FROM cand c JOIN d dx ON dx.doc_id = c.a
-                          JOIN d dy ON dy.doc_id = c.b)
+                          JOIN d dy ON dy.doc_id = c.b)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes("SELECT doc_id, text FROM documents")}
         SELECT a::BIGINT AS a, b::BIGINT AS b,
                ROUND(jd, 6) AS jaccard_dist
         FROM j WHERE jd <= 0.3 ORDER BY a, b
+    """
+
+
+def _fuzzy_clusters_oracle_sql() -> str:
+    """Independent recomputation of the END-TO-END fuzzy-dedup pipeline:
+    the minhash pair CTEs over the doubled corpus, then connected
+    components as a recursive transitive closure with cluster id =
+    MIN(reachable node) — the same contract as the star-contraction CC
+    (comp = min node id in the component)."""
+    doubled = ("SELECT doc_id, text FROM documents "
+               "UNION ALL "
+               "SELECT doc_id + 1000000, text FROM documents")
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes(doubled)},
+        p AS (SELECT a, b FROM j WHERE jd <= 0.3),
+        edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(n, m) AS (
+            SELECT a AS n, a AS m FROM edges
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        )
+        SELECT n::BIGINT AS doc_id, MIN(m)::BIGINT AS keep_doc_id
+        FROM reach GROUP BY n ORDER BY doc_id
     """
 
 
@@ -878,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_doubled = _SIMHASH_FOLD.format(norm=_D_NORM, src="doubled")
     return pinned | {
         "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_fuzzy_clusters": _fuzzy_clusters_oracle_sql(),
         "dedup_simhash": f"""
             WITH {simhash_docs}
             SELECT doc_id,

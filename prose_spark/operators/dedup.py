@@ -477,3 +477,39 @@ def ngram_jaccard_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= min_jaccard)
+
+
+def near_dup_doc_clusters(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    jaccard_max_distance: float = 0.2,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: (key, keep_key) for every document that
+    belongs to a near-duplicate cluster, where keep_key is the cluster
+    representative (minimum key — the standard keep-first policy).
+    Documents with no near-duplicate are omitted (they keep themselves).
+
+    Pipeline: banded-MinHash candidate pairs (exact-Jaccard verified)
+    -> alternating star-contraction connected components (O(log n)
+    rounds — transitive near-dup chains collapse into ONE cluster, so
+    'A~B, B~C' dedups to a single survivor even when A!~C) -> comp id,
+    which IS the min key by the CC contract. This is the operation a
+    training-data pipeline actually runs; pair listing is its debug
+    view."""
+    from prose_spark.operators.canonicalize import connected_components
+
+    pairs = minhash_near_dup_pairs_native(
+        df, key_col, text_col, jaccard_max_distance, n_hashes, bands,
+        shingle_n, hash_fn=hash_fn, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return comp.select(
+        F.col("node").alias(key_col),
+        F.col("comp").alias("keep_" + key_col),
+    )

@@ -67,6 +67,33 @@ def test_simhash_bucket_cap_bounds_pairs(spark, boilerplate_docs):
     assert {(r["a"], r["b"]) for r in rows} >= {(3001, 3002)}
 
 
+def test_near_dup_doc_clusters_transitive(spark):
+    """Fuzzy dedup collapses transitive near-dup CHAINS into one
+    cluster: A~B and B~C must share one survivor even when A!~C (the
+    pair listing alone can't express that)."""
+    from prose_spark.operators.dedup import near_dup_doc_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    # chain: each doc replaces 3 more trailing words — adjacent docs are
+    # near-dups, the ends are not
+    docs = []
+    for i in range(4):
+        w = words[:]
+        for k in range(3 * i):
+            w[-(k + 1)] = f"sub{i}_{k}"
+        docs.append((i + 1, " ".join(w)))
+    docs.append((99, "an unrelated island of entirely different text"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["keep_doc_id"]
+           for r in near_dup_doc_clusters(
+               df, "doc_id", jaccard_max_distance=0.5).collect()}
+    chain = {k: v for k, v in out.items() if k <= 4}
+    assert len(chain) >= 3 and set(chain.values()) == {1}, out
+    assert 99 not in out  # no near-dup -> keeps itself, omitted
+
+
 def test_ngram_jaccard_all_pairs_raises(spark, boilerplate_docs):
     from prose_spark.operators.dedup import ngram_jaccard_pairs
 
