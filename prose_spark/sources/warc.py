@@ -1,0 +1,169 @@
+"""WARC source: Common-Crawl-style archives -> the pages table.
+
+The production corpus for this pipeline ships as WARC (ISO 28500)
+response records — each record a block of WARC headers, an HTTP
+response (status line, headers, HTML body), and a blank-line trailer.
+This module reads them into the BASELINE.json input schema
+(url, warc_ts, html, text, lang) with no external WARC library (the
+image has none): a small, strict parser over the public record format.
+
+Spark shape: ``spark.read.format("binaryFile")`` lists the archive
+files (one task per file — WARC is a concatenation of records, and
+Common Crawl ships ~1 GB member-gzipped files, a natural task size),
+then one mapInPandas stage parses records, derives text from the html
+body (operators.html.extract_text — byte-identity invariant preserved)
+and fills lang via the n-gram language-ID. Everything downstream of the
+scan is the ordinary pages pipeline.
+
+Scale notes: file-granular parallelism matches how Common Crawl is
+published (segments of ~1 GB .warc.gz); no shuffle is introduced — the
+parse is map-only. For pathological single-file inputs, split upstream
+(the record format is not block-splittable when member-gzipped).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+RAW_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    return headers
+
+
+def parse_warc_bytes(blob: bytes) -> Iterator[dict]:
+    """Yield {url, warc_ts, html} for every WARC *response* record in a
+    (possibly gzipped) WARC byte blob.
+
+    Strict on the parts that carry data (Content-Length framing), lenient
+    on the rest: non-response records (warcinfo, request, metadata) are
+    skipped; a record with a malformed HTTP payload yields its raw
+    payload as html rather than being dropped silently.
+    """
+    if blob[:2] == b"\x1f\x8b":  # gzip magic (member-gzip or whole-file)
+        blob = gzip.decompress(bytes(blob))
+    else:
+        blob = bytes(blob)
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record blank lines
+        while blob.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        header_end = blob.find(_CRLF + _CRLF, pos)
+        if header_end < 0:
+            break
+        head = blob[pos:header_end]
+        if not head.startswith(b"WARC/"):
+            raise ValueError(
+                f"not a WARC record at byte {pos}: {head[:40]!r}"
+            )
+        headers = _parse_headers(head)
+        length = int(headers.get("content-length", "0"))
+        body_start = header_end + 4
+        body = blob[body_start:body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+        except ValueError:
+            ts = None
+        # payload = HTTP response; body follows the first blank line
+        http_sep = body.find(_CRLF + _CRLF)
+        html = body[http_sep + 4:] if (
+            http_sep >= 0 and body[:5] == b"HTTP/"
+        ) else body
+        yield {"url": url, "warc_ts": ts, "html": html}
+
+
+def read_warc_raw(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file glob -> (url, warc_ts, html): binaryFile listing + one
+    map-only parse stage (one task per archive file)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(parse_warc_bytes(blob))
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html"]
+            )
+            yield out
+
+    return files.select("content").mapInPandas(run, schema=RAW_WARC_SCHEMA)
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archives -> the full pages schema
+    (url, warc_ts, html, text, lang): text extracted from the html body
+    (byte-identity invariant), lang filled by the n-gram language-ID."""
+    from prose_spark.operators.html import html_to_text
+    from prose_spark.operators.textstats import detect_language
+
+    raw = read_warc_raw(spark, path)
+    with_text = raw.withColumn("text", html_to_text(F.col("html")))
+    return with_text.withColumn(
+        "lang", detect_language(F.col("text"))["lang_pred"]
+    ).select("url", "warc_ts", "html", "text", "lang")
+
+
+# -- synthetic archive writer (test fixture; deterministic) ----------------
+
+def write_warc(rows, path: str, compress: bool | None = None) -> None:
+    """Serialize (url, warc_ts, html) rows as a WARC file — the test
+    fixture twin of parse_warc_bytes (round-trip asserted in pytest).
+    ``compress=None`` infers from a .gz suffix."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    buf = io.BytesIO()
+    for url, ts, html in rows:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(html)).encode() + _CRLF + _CRLF
+            + html
+        )
+        ts_str = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"WARC-Date: " + ts_str.encode() + _CRLF
+            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        )
+        buf.write(head + _CRLF + http + _CRLF + _CRLF)
+    data = buf.getvalue()
+    if compress:
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -34,7 +34,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True,
-                    help="pages path (iceberg/parquet) or synthetic:<n>")
+                    help="pages path (iceberg/parquet), WARC glob "
+                         "(*.warc / *.warc.gz), or synthetic:<n>")
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--canonicalize", action="store_true",
@@ -78,6 +79,10 @@ def main() -> None:
             gold = spark.createDataFrame(
                 gold_rows, "url string, subj string, pred string, obj string"
             )
+    elif ".warc" in args.pages:
+        from prose_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.pages)
     else:
         pages = read_pages(spark, args.pages)
 

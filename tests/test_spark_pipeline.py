@@ -468,3 +468,48 @@ def test_connected_components_gate_paths_agree_on_self_loops(spark):
     dist = {(r.node, r.comp) for r in
             connected_components(edges, driver_threshold=0).collect()}
     assert local == dist == {("x", "x"), ("a", "a"), ("b", "a")}
+
+
+def test_warc_roundtrip_to_pages(spark, tmp_path):
+    """WARC source: synthetic pages serialized as WARC (+member gzip),
+    read back through binaryFile + the record parser into the full
+    pages schema — url/ts/html survive byte-identically and the
+    extracted text equals the generator's source text per url (the
+    north-rule invariant through a real archive format)."""
+    from prose_spark.sources.pages import generate_pages_rows
+    from prose_spark.sources.warc import read_warc_pages, write_warc
+
+    rows = list(generate_pages_rows(30, seed=11, sentences_per_doc=(2, 6)))
+    expected = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
+    half = len(rows) // 2
+    write_warc([(r[0], r[1], r[2]) for r in rows[:half]],
+               str(tmp_path / "a.warc"))
+    write_warc([(r[0], r[1], r[2]) for r in rows[half:]],
+               str(tmp_path / "b.warc.gz"))
+
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc*"))
+    got = {r["url"]: r for r in pages.collect()}
+    assert set(got) == set(expected)
+    for url, (ts, html, text, lang) in expected.items():
+        r = got[url]
+        assert bytes(r["html"]) == html
+        assert r["warc_ts"].replace(tzinfo=None) == ts.replace(tzinfo=None)
+        assert r["text"] == text  # byte-identity through the archive
+    # language-ID fills lang sensibly on the en-dominated corpus
+    langs = [r["lang"] for r in got.values()]
+    assert langs.count("en") >= len(langs) // 2
+
+
+def test_warc_parser_skips_non_response_records(tmp_path):
+    from prose_spark.sources.warc import parse_warc_bytes
+
+    rec = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+           b"\r\nabcd\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 47\r\n\r\n"
+           b"HTTP/1.1 200 OK\r\nContent-Length: 9\r\n\r\n<p>hi</p>\r\n\r\n")
+    out = list(parse_warc_bytes(rec))
+    assert len(out) == 1
+    assert out[0]["url"] == "https://x.example/"
+    assert out[0]["html"] == b"<p>hi</p>"
