@@ -714,6 +714,29 @@ def q_rel_range_join(spark, sf_dir):
     )
 
 
+def q_rel_sessions(spark, sf_dir):
+    """Batch sessionization (30-min gap rule) aggregated per session —
+    promotes the sessionize operator from tests-only to oracle-verified:
+    DuckDB recomputes the lag/cumulative-sum window logic independently."""
+    from prose_spark.operators.streaming import sessionize_events
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_events(ev, gap_minutes=30)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events", "total_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def q_rel_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -812,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_hourly": q_rel_events_hourly,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "rel_sessions": q_rel_sessions,
         "rel_pivot": q_rel_pivot,
         "rel_cube": q_rel_cube,
         "rel_rollup": q_rel_rollup,
@@ -1189,6 +1213,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band ORDER BY band
+        """,
+        "rel_sessions": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, value,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM g
+            )
+            SELECT user_id::BIGINT AS user_id,
+                   session_seq::BIGINT AS session_seq,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "rel_pivot": """
             SELECT (user_id % 10)::BIGINT AS user_bucket,

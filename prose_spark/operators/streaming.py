@@ -139,7 +139,10 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Assign session ids per user: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast via timestamp so TIMESTAMP_NTZ inputs work (session tz is UTC,
+    # so the NTZ wall-clock reading equals DuckDB's epoch(ts))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     new_sess = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
