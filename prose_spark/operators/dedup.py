@@ -508,7 +508,12 @@ def near_dup_doc_clusters(
         df, key_col, text_col, jaccard_max_distance, n_hashes, bands,
         shingle_n, hash_fn=hash_fn, max_bucket_size=max_bucket_size,
     )
-    comp = connected_components(pairs.select("a", "b"))
+    # near-dup graphs are tiny relative to the corpus (edges only between
+    # actual near-dups): the ≤2M-edge driver union-find gate replaces
+    # ~2 shuffles+1 collect per contraction round with one collect; the
+    # distributed star-contraction path runs unchanged above the gate
+    comp = connected_components(pairs.select("a", "b"),
+                                driver_threshold=2_000_000)
     return comp.select(
         F.col("node").alias(key_col),
         F.col("comp").alias("keep_" + key_col),
