@@ -338,8 +338,11 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     names = [
         "nlp_token_counts", "nlp_triples", "ta_quality", "ta_fingerprint",
         "ta_bpe_token_counts",
-        "dedup_exact_groups", "dedup_minhash_pairs",
-        "dedup_fuzzy_clusters", "dedup_simhash",
+        # (dedup_fuzzy_clusters is correctness-gated but not timed here:
+        # its doubled-corpus input makes it the longest query and the
+        # most host-noise-sensitive; dedup_minhash_pairs already times
+        # the dominant kernel)
+        "dedup_exact_groups", "dedup_minhash_pairs", "dedup_simhash",
         "dedup_embedding_pairs",
         "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
         "rel_q1", "rel_top_customers", "rel_window_topk",
