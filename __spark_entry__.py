@@ -334,6 +334,19 @@ def q_ta_winnowing(spark, sf_dir):
     )
 
 
+def q_ta_unigram_logprob(spark, sf_dir):
+    """Corpus-frequency unigram log-prob quality score; the DuckDB
+    oracle recomputes vocab counts, OOV smoothing, and the per-doc mean
+    independently."""
+    from prose_spark.operators.textstats import unigram_logprob_scores
+
+    d = unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_tokens",
+        F.round("avg_neg_log2_p", 6).alias("avg_neg_log2_p"),
+    ).orderBy("doc_id")
+
+
 def q_ta_fingerprint(spark, sf_dir):
     from prose_spark.operators.textstats import add_fingerprint
 
@@ -817,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bpe_token_counts": q_ta_bpe_token_counts,
         "ta_winnowing": q_ta_winnowing,
         "ta_langid": q_ta_langid,
+        "ta_unigram_logprob": q_ta_unigram_logprob,
         "ta_fingerprint": q_ta_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1068,6 +1082,24 @@ def oracle_sql() -> dict[str, str]:
                              '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
                    END::BIGINT AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "ta_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_D_NORM}, ' ')) AS w
+                FROM documents
+            ), t2 AS (SELECT doc_id, w FROM toks WHERE w != ''),
+            counts AS (SELECT w, COUNT(*) AS c FROM t2 GROUP BY w),
+            total AS (SELECT SUM(c) AS total FROM counts),
+            vocab AS (SELECT w, c FROM counts WHERE c >= 5),
+            scored AS (
+                SELECT t2.doc_id,
+                       -log2(COALESCE(v.c::DOUBLE, 0.5)
+                             / (SELECT total FROM total)) AS nlp
+                FROM t2 LEFT JOIN vocab v ON t2.w = v.w
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   CAST(ROUND(AVG(nlp), 6) AS DOUBLE) AS avg_neg_log2_p
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "ta_fingerprint": """
             SELECT doc_id,

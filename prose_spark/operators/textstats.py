@@ -72,6 +72,48 @@ def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-frequency unigram log-probability score per document — the
+    classic cheap perplexity proxy for training-data quality filtering
+    (low mean -log2 p = repetitive/boilerplate, high = rare-token noise).
+
+    Two-aggregate plan: (1) corpus vocab = token counts with
+    ``count >= min_count`` (a COUNT THRESHOLD, not top-K — top-K tie
+    selection is nondeterministic and unverifiable cross-engine);
+    (2) per-doc mean of -log2(count/total) over tokens, OOV smoothed as
+    count 0.5. Token explode -> broadcast vocab join -> per-doc
+    aggregate. Scale note: the broadcast hint fits while the thresholded
+    vocab is tens of MB (true far beyond the test scales — vocab grows
+    sublinearly, ~Heaps' law); at full web scale raise ``min_count``
+    with corpus size or drop the hint and let the vocab join shuffle on
+    the token key like any dimension that outgrows broadcast.
+
+    -> (key_col, n_tokens, avg_neg_log2_p)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(key_col), F.explode(F.split(norm, " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    vocab = counts.filter(F.col("c") >= min_count)
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "neg_log2_p",
+            -F.log2(F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                    / F.col("total")),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg("neg_log2_p").alias("avg_neg_log2_p"),
+    )
+
+
 # GPT-2-style pretokenizer pattern, simplified to the subset RE2 (DuckDB)
 # and Java regex (Spark) BOTH support — no lookahead — so the DuckDB
 # oracle can compute the same counts independently
