@@ -513,3 +513,28 @@ def test_warc_parser_skips_non_response_records(tmp_path):
     assert len(out) == 1
     assert out[0]["url"] == "https://x.example/"
     assert out[0]["html"] == b"<p>hi</p>"
+
+
+def test_oracle_pages_copy_matches_spark_corpus(spark):
+    """Three driver oracles (ta_winnowing, ta_html_extract,
+    ta_pages_quality) read a PYARROW-written copy of the pages generator
+    output instead of the Spark-written corpus the queries scan; this
+    pins the assumption that both materializations carry identical
+    (url, text, lang) content."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    spark_rows = {
+        r["url"]: (r["text"], r["lang"])
+        for r in em._pages(spark).select("url", "text", "lang").collect()
+    }
+    con = duckdb.connect()
+    oracle_rows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT url, text, lang FROM "
+            f"read_parquet('{em._oracle_pages_parquet()}')"
+        ).fetchall()
+    }
+    assert spark_rows == oracle_rows
