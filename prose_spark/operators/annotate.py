@@ -46,11 +46,14 @@ class AnnotateConfig:
     - ``timeout_sec`` (WithTimeout/WithContext): cooperative per-document
       budget, checked BEFORE each stage exactly like the reference's
       ctx.Done() selects — an in-flight stage is never interrupted.
-      Default None = no budget, matching the reference's defaultOpts
-      (a Document built without WithContext never times out) — so the
-      bulk Spark path can never silently drop slow documents on a noisy
-      host. ``timeout_sec <= 0`` means an immediate deadline (every
-      stage check fires), mirroring an already-cancelled ctx;
+      ``timeout_sec <= 0`` means NO timeout, matching the reference's
+      gate (NewDocument arms a deadline only when Timeout > 0,
+      document.go:168-172). Default None also means no timeout — a
+      DELIBERATE divergence from the reference's single-doc default of
+      30s (defaultOpts, document.go:139-148): the bulk Spark path must
+      never silently shed slow documents on a noisy host, so budgets are
+      strictly opt-in here (pass a positive timeout_sec to get the
+      reference's 30s behavior);
     - ``progress_callback`` (WithProgressCallback): called with
       0.25/0.5/0.75/1.0 after segment/tokenize/tag/NER;
     - ``tokenizer`` (UsingTokenizer), ``tagger``/``ner`` (UsingModel):
@@ -117,9 +120,11 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     tagger = cfg.tagger if cfg.tagger is not None else default_tagger()
     ner = _resolve_ner(cfg) if cfg.extract else None
 
+    # armed only for POSITIVE budgets — the reference treats Timeout <= 0
+    # as "no timeout" (document.go:168-172) and so do we
     deadline = (
         time.monotonic() + cfg.timeout_sec
-        if cfg.timeout_sec is not None else None
+        if cfg.timeout_sec is not None and cfg.timeout_sec > 0 else None
     )
 
     def check_deadline():

@@ -137,12 +137,18 @@ def write_triples_sink(spark: SparkSession, triples: DataFrame,
                 "iceberg-spark-runtime jar); in this sandbox use the "
                 "parquet fallback (iceberg_table=None)"
             )
-        try:
-            triples.writeTo(iceberg_table).overwritePartitions()
-        except Exception:
-            # first write: the table does not exist yet
+        # Dispatch on explicit table existence, NOT on write failure: a
+        # bare try/except here would turn any transient commit conflict /
+        # schema mismatch on wave N into a createOrReplace that destroys
+        # waves 0..N-1 while their done markers still say complete. First
+        # write creates (never replaces); after that, every failure from
+        # overwritePartitions propagates and aborts the wave before its
+        # done marker is recorded, so resume re-runs it.
+        if not spark.catalog.tableExists(iceberg_table):
             (triples.writeTo(iceberg_table)
-             .partitionedBy(F.col("bucket")).createOrReplace())
+             .partitionedBy(F.col("bucket")).create())
+        else:
+            triples.writeTo(iceberg_table).overwritePartitions()
         return
     triples.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/triples"

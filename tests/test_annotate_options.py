@@ -47,14 +47,14 @@ def test_progress_callback_order():
 
 
 def test_timeout_raises_between_stages():
-    cfg = AnnotateConfig(timeout_sec=-1.0)  # already expired
+    # a vanishingly small positive budget expires before the first stage
+    cfg = AnnotateConfig(timeout_sec=1e-9)
     with pytest.raises(DocumentTimeout):
         annotate_document("Some text to process.", cfg)
-    # 0 is an immediate deadline too (an already-cancelled ctx), NOT
-    # "no timeout" — only None disables the budget
-    with pytest.raises(DocumentTimeout):
-        annotate_document("Some text to process.",
-                          AnnotateConfig(timeout_sec=0.0))
+    # reference parity (document.go:168-172): Timeout <= 0 arms NO
+    # deadline — 0 and negative budgets run to completion
+    annotate_document("Some text.", AnnotateConfig(timeout_sec=0.0))
+    annotate_document("Some text.", AnnotateConfig(timeout_sec=-1.0))
     # generous budget -> fine; default (None) -> no budget at all
     annotate_document("Some text.", AnnotateConfig(timeout_sec=30.0))
     assert AnnotateConfig().timeout_sec is None
@@ -76,7 +76,7 @@ def test_timeouts_are_counted_not_silent(spark):
         ["doc_id", "text"],
     )
     acc = spark.sparkContext.accumulator(0)
-    ann = annotate(docs, cfg=AnnotateConfig(timeout_sec=0.0),
+    ann = annotate(docs, cfg=AnnotateConfig(timeout_sec=1e-9),
                    timeout_acc=acc).cache()
     assert ann.filter(F.col("annotate_error") == "timeout").count() == 2
     assert acc.value == 2
@@ -87,7 +87,7 @@ def test_timeouts_are_counted_not_silent(spark):
     acc2 = spark.sparkContext.accumulator(0)
     tr = annotate_and_extract_triples(
         docs, key_cols=("doc_id",),
-        cfg=AnnotateConfig(timeout_sec=0.0), timeout_acc=acc2)
+        cfg=AnnotateConfig(timeout_sec=1e-9), timeout_acc=acc2)
     assert tr.count() == 0 and acc2.value == 2
 
 
@@ -96,7 +96,7 @@ def test_kg_job_records_timeout_counts(spark, pages_df, tmp_path):
 
     out = str(tmp_path / "kg_t")
     metrics = run_kg_job(spark, pages_df.limit(40), out, n_buckets=2,
-                         timeout_sec=0.0)
+                         timeout_sec=1e-9)
     rows = metrics.collect()
     assert rows and all(r["n_doc_timeouts"] > 0 for r in rows)
     assert all(r["n_triples"] == 0 for r in rows)

@@ -55,6 +55,67 @@ def test_iceberg_sink_dispatch(spark, pages_df, tmp_path):
                    n_buckets=2, iceberg_table="cat.db.triples")
 
 
+def test_iceberg_sink_create_vs_overwrite_dispatch(monkeypatch):
+    """The Iceberg branch dispatches on EXPLICIT table existence: first
+    write creates (never replaces), later writes overwritePartitions, and
+    any write failure PROPAGATES — a transient commit conflict on wave N
+    must never degrade into a createOrReplace that wipes waves 0..N-1
+    (no Iceberg jar in this image, so the branch is driven with fakes)."""
+    from prose_spark.sources import checkpoints as cp
+
+    calls: list[tuple[str, str]] = []
+
+    class FakeWriter:
+        def __init__(self, table, fail_overwrite=False):
+            self.table, self.fail = table, fail_overwrite
+
+        def overwritePartitions(self):
+            if self.fail:
+                raise RuntimeError("commit conflict")
+            calls.append(("overwritePartitions", self.table))
+
+        def partitionedBy(self, *_):
+            return self
+
+        def create(self):
+            calls.append(("create", self.table))
+
+        def createOrReplace(self):  # must never be reached
+            calls.append(("createOrReplace", self.table))
+
+    class FakeDF:
+        def __init__(self, fail_overwrite=False):
+            self.fail = fail_overwrite
+
+        def writeTo(self, table):
+            return FakeWriter(table, self.fail)
+
+    class FakeSpark:
+        def __init__(self, exists):
+            class Cat:
+                def tableExists(_, t, _e=exists):
+                    return _e
+            self.catalog = Cat()
+
+    monkeypatch.setattr(cp, "iceberg_available", lambda s: True)
+    # first write: table absent -> create
+    cp.write_triples_sink(FakeSpark(False), FakeDF(), "x",
+                          iceberg_table="c.d.t")
+    assert calls == [("create", "c.d.t")]
+    # subsequent write: table present -> dynamic partition overwrite
+    calls.clear()
+    cp.write_triples_sink(FakeSpark(True), FakeDF(), "x",
+                          iceberg_table="c.d.t")
+    assert calls == [("overwritePartitions", "c.d.t")]
+    # failure on an existing table propagates, never falls back to a
+    # table-replacing write
+    calls.clear()
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        cp.write_triples_sink(FakeSpark(True), FakeDF(fail_overwrite=True),
+                              "x", iceberg_table="c.d.t")
+    assert calls == []
+
+
 def test_triple_recall_vs_templated_gold(spark):
     from prose_spark.operators.triples import annotate_and_extract_triples
     from prose_spark.sources.pages import generate_pages_rows
