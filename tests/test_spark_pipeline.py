@@ -576,6 +576,73 @@ def test_warc_parser_skips_non_response_records(tmp_path):
     assert out[0]["html"] == b"<p>hi</p>"
 
 
+def test_warc_streaming_multi_member_bounded_reads(tmp_path):
+    """The parser streams: a member-gzipped archive (one gzip member per
+    record — Common Crawl's packaging) parses identically to a
+    whole-file-gzipped one, the compressed stream is consumed in bounded
+    chunks (never one whole-archive read), and records come out of a
+    generator one at a time — peak memory ~one record, not ~one archive
+    (the production difference between working and OOMing on ~1 GB
+    segments at 16 tasks/host)."""
+    import datetime as dt
+    import gzip
+    import hashlib
+    import io
+
+    from prose_spark.sources.warc import (
+        parse_warc_bytes,
+        parse_warc_stream,
+        write_warc,
+    )
+
+    def incompressible(i, n=20_000):  # deterministic md5 chain
+        out, h = [], hashlib.md5(f"seed{i}".encode()).digest()
+        while sum(map(len, out)) < n:
+            out.append(h)
+            h = hashlib.md5(h).digest()
+        return b"".join(out)[:n]
+
+    rows = [
+        (f"https://x.example/{i}", dt.datetime(2025, 1, 1, 0, 0, i),
+         incompressible(i))
+        for i in range(50)
+    ]
+    p_member = tmp_path / "m.warc.gz"
+    p_whole = tmp_path / "w.warc.gz"
+    write_warc(rows, str(p_member), member_gzip=True)
+    write_warc(rows, str(p_whole))
+    got_member = list(parse_warc_bytes(p_member.read_bytes()))
+    got_whole = list(parse_warc_bytes(p_whole.read_bytes()))
+    assert got_member == got_whole
+    assert len(got_member) == 50
+    assert all(r["html"] == rows[i][2] for i, r in enumerate(got_member))
+
+    # chunked consumption of the COMPRESSED stream: every read request
+    # is bounded, and far smaller than the archive
+    class Tracking(io.BytesIO):
+        max_req = 0
+
+        def read(self, n=-1):
+            assert n is not None and n >= 0, "unbounded archive read"
+            Tracking.max_req = max(Tracking.max_req, n)
+            return super().read(n)
+
+        def readinto(self, b):
+            Tracking.max_req = max(Tracking.max_req, len(b))
+            return super().readinto(b)
+
+    data = p_member.read_bytes()
+    assert len(data) > 800_000  # incompressible payloads: ~1 MB archive
+    src = Tracking(data)
+    with gzip.GzipFile(fileobj=src) as gz:
+        it = parse_warc_stream(gz)
+        first = next(it)  # one record consumable without the rest
+        assert first == got_member[0]
+        assert Tracking.max_req <= 512 * 1024 < len(data)
+        rest = list(it)
+    assert [first] + rest == got_member
+
+
 def test_oracle_pages_copy_matches_spark_corpus(spark):
     """Three driver oracles (ta_winnowing, ta_html_extract,
     ta_pages_quality) read a PYARROW-written copy of the pages generator
