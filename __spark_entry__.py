@@ -55,13 +55,16 @@ PINNED_SF = "sf0.01"
 # r3: dedup_minhash_pairs / dedup_simhash / dedup_simhash_pairs /
 # ta_winnowing moved OFF this list — their operators now run the portable
 # md5-derived hash family that DuckDB recomputes end-to-end, so their
-# oracles are independent cross-engine recomputations.
+# oracles are independent cross-engine recomputations. r4: sim_topk_lsh /
+# sim_topk_ivf moved off the same way — DuckDB recomputes the hyperplane
+# signatures (md5-parity planes) and the whole IVF fit (md5 seed order +
+# Lloyd step + argmax assignment) from the raw table. Every remaining pin
+# is model-dependent (tagger/NER/punkt/sentiment weights).
 PINNED_QUERIES = (
     "nlp_pos_tag_dist", "nlp_entity_mentions", "nlp_canonical_entities",
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "nlp_sentiment",
-    "nlp_sentiment_ml", "ta_langid", "sim_topk_lsh",
-    "sim_topk_ivf",
+    "nlp_sentiment_ml", "ta_langid",
 )
 
 
@@ -470,6 +473,10 @@ def q_sim_topk_bruteforce(spark, sf_dir):
 
 
 def q_sim_topk_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH top-k. Oracle: INDEPENDENT — the
+    md5-parity plane weights are a public cross-engine contract, so
+    DuckDB recomputes signatures -> candidate buckets -> exact rerank
+    end-to-end from the raw embeddings table (no pinned golden)."""
     from prose_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -511,11 +518,16 @@ def q_dedup_embedding_pairs(spark, sf_dir):
 
 
 def q_sim_topk_ivf(spark, sf_dir):
+    """IVF top-k with the portable md5 seed order (hash_fn='md5' — the
+    same cross-engine hash family the dedup sketches use). Oracle:
+    INDEPENDENT — DuckDB recomputes the ENTIRE fit from the raw table
+    (md5-ordered seeds, one Lloyd step, argmax assignment, n_probe cell
+    pruning, exact rerank); no pinned golden."""
     from prose_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    top = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8)
+    top = ivf_topk(q, emb, k=5, n_cells=16, n_probe=8, hash_fn="md5")
     return top.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -1172,6 +1184,147 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos_raw DESC, neighbor_id ASC
                        ) AS rank
                 FROM scored
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id,
+                   CAST(ROUND(cos_raw, 6) AS DOUBLE) AS cosine,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # INDEPENDENT LSH oracle: recomputes the md5-parity hyperplane
+        # weights (similarity._plane_weights: sign = md5("t{t}p{p}:{i}")
+        # first-byte parity), the per-table sign-bit signatures, the
+        # (table, signature) candidate buckets, and the exact-cosine
+        # rerank — entirely from the raw embeddings table. Signature
+        # parity holds because a sign bit flips only when a projection
+        # sits within float-noise of 0 (never on real-valued data).
+        "sim_topk_lsh": """
+            WITH emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), plane_w AS (
+                SELECT t.t, p.p,
+                       list_transform(range(0, 64), i ->
+                           CASE WHEN (('0x' || substr(md5(
+                                       't' || t.t || 'p' || p.p || ':' || i
+                                      ), 1, 2))::INT % 2) = 1
+                                THEN 1.0 ELSE -1.0 END) AS w
+                FROM (SELECT unnest(range(0, 12)) AS t) t,
+                     (SELECT unnest(range(0, 3)) AS p) p
+            ), sigs AS (
+                SELECT e.vec_id, pw.t,
+                       SUM(CASE WHEN list_inner_product(e.v, pw.w) >= 0
+                                THEN (1 << pw.p) ELSE 0 END)::INT AS sig
+                FROM emb e CROSS JOIN plane_w pw
+                GROUP BY e.vec_id, pw.t
+            ), cand AS (
+                SELECT DISTINCT q.vec_id AS query_id,
+                                c.vec_id AS neighbor_id
+                FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+                WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+            ), ranked AS (
+                SELECT cd.query_id, cd.neighbor_id,
+                       list_cosine_similarity(qe.v, ce.v) AS cos_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cd.query_id
+                           ORDER BY list_cosine_similarity(qe.v, ce.v) DESC,
+                                    cd.neighbor_id ASC) AS rank
+                FROM cand cd
+                JOIN emb qe ON qe.vec_id = cd.query_id
+                JOIN emb ce ON ce.vec_id = cd.neighbor_id
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id,
+                   CAST(ROUND(cos_raw, 6) AS DOUBLE) AS cosine,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # INDEPENDENT IVF oracle: recomputes the ENTIRE coarse-quantizer
+        # fit from the raw table — seeds = 16 smallest md5-long(vec_id)
+        # (the portable hash family), L2-normalize, ONE Lloyd step
+        # (argmax-dot assignment -> elementwise means, empty cells keep
+        # seed coords), re-normalize — then corpus assignment, per-query
+        # n_probe=8 cell pruning, and exact-cosine rerank. Centroid float
+        # drift vs Spark's decimal-mean path is ~1e-15 and can only
+        # matter through argmax flips (gaps ~1e-2): never observed.
+        "sim_topk_ivf": """
+            WITH emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+                SELECT row_number() OVER (
+                           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),
+                                                    1, 15))::BIGINT,
+                                    vec_id
+                       ) - 1 AS cell,
+                       v
+                FROM emb
+                QUALIFY cell < 16
+            ), seed_n AS (
+                SELECT cell,
+                       list_transform(v, x -> x /
+                           CASE WHEN sqrt(list_inner_product(v, v)) > 0
+                                THEN sqrt(list_inner_product(v, v))
+                                ELSE 1.0 END) AS c
+                FROM seeds
+            ), assign0 AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT e.vec_id, e.v, s.cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_inner_product(e.v, s.c) DESC,
+                                        s.cell ASC) AS rn
+                    FROM emb e CROSS JOIN seed_n s
+                ) WHERE rn = 1
+            ), means AS (
+                SELECT cell, pos, avg(x) AS m
+                FROM (SELECT cell, generate_subscripts(v, 1) AS pos,
+                             unnest(v) AS x
+                      FROM assign0)
+                GROUP BY cell, pos
+            ), cent_raw AS (
+                SELECT s.cell,
+                       list(coalesce(m.m, s.c[g.pos]) ORDER BY g.pos) AS c
+                FROM seed_n s
+                CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) g
+                LEFT JOIN means m ON m.cell = s.cell AND m.pos = g.pos
+                GROUP BY s.cell
+            ), cent AS (
+                SELECT cell,
+                       list_transform(c, x -> x /
+                           CASE WHEN sqrt(list_inner_product(c, c)) > 0
+                                THEN sqrt(list_inner_product(c, c))
+                                ELSE 1.0 END) AS c
+                FROM cent_raw
+            ), corpus_cells AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT e.vec_id, e.v, ct.cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_inner_product(e.v, ct.c) DESC,
+                                        ct.cell ASC) AS rn
+                    FROM emb e CROSS JOIN cent ct
+                ) WHERE rn = 1
+            ), query_cells AS (
+                -- n_probe=8 nearest cells; ties cell DESC mirrors
+                -- Spark's sort_array(struct(dot, cell), asc=False)
+                SELECT vec_id, v, cell FROM (
+                    SELECT e.vec_id, e.v, ct.cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_inner_product(e.v, ct.c) DESC,
+                                        ct.cell DESC) AS rn
+                    FROM emb e CROSS JOIN cent ct
+                    WHERE e.vec_id < 20
+                ) WHERE rn <= 8
+            ), ranked AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.v, c.v) AS cos_raw,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM query_cells q
+                JOIN corpus_cells c
+                  ON c.cell = q.cell AND c.vec_id != q.vec_id
             )
             SELECT query_id::BIGINT AS query_id,
                    neighbor_id::BIGINT AS neighbor_id,

@@ -93,23 +93,36 @@ def _dot_lit(vec_col, centroid: list[float]):
 
 
 def ivf_fit(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
-            vec_col: str = "embedding", lloyd_iters: int = 1) -> list[list[float]]:
+            vec_col: str = "embedding", lloyd_iters: int = 1,
+            hash_fn: str = "xxhash64") -> list[list[float]]:
     """Deterministic IVF coarse quantizer: seeds = the n_cells rows with
-    the smallest xxhash64(id) (hash-ordered sample — no RNG), refined by
+    the smallest hash(id) (hash-ordered sample — no RNG), refined by
     ``lloyd_iters`` k-means steps run as DataFrame jobs (assign via
     native argmax-dot, re-center via posexplode + groupBy avg). Returns
     L2-normalized centroids (driver-side list: n_cells x dim floats —
-    tiny, broadcast into the assignment expressions)."""
+    tiny, broadcast into the assignment expressions).
+
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-native) or 'md5'
+    (portable seed order: conv(md5-hex[0:15], 16, 10), the same
+    cross-engine family the dedup sketches use, so a DuckDB oracle can
+    recompute the ENTIRE fit — seeds, Lloyd step, assignment — from the
+    raw table; see __spark_entry__ sim_topk_ivf)."""
     import math
 
     def normalize(v):
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         return [x / n for x in v]
 
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col))
     seeds = (
         corpus.select(F.col(vec_col).cast("array<double>").alias("v"),
-                      F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
+                      h.alias("h"), F.col(id_col).alias("_id"))
+        .orderBy("h", "_id")
         .limit(n_cells)
         .collect()
     )
@@ -193,6 +206,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is bucketed into
     Voronoi cells around ivf_fit centroids; each query exact-reranks only
@@ -200,7 +214,8 @@ def ivf_topk(
     key (write once, probe-prune forever); recall tunes via n_probe.
     Deterministic end to end (hash-seeded k-means, no RNG)."""
     if centroids is None:
-        centroids = ivf_fit(corpus, n_cells, id_col, vec_col)
+        centroids = ivf_fit(corpus, n_cells, id_col, vec_col,
+                            hash_fn=hash_fn)
     c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
