@@ -434,6 +434,28 @@ def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,
     )
 
 
+def attach_all_pairs_guard(df: DataFrame, row_limit: int,
+                           msg: str) -> DataFrame:
+    """In-plan quadratic foot-gun guard: crossJoin a broadcast 1-row
+    count over ``limit(row_limit+1)`` (bounded scan, never a full count)
+    and ``assert_true``-raise DURING the caller's first action when the
+    input exceeds the cap — no separate probe job per call, which the
+    eager ``limit(k+1).count()`` guard used to cost even on tiny inputs.
+    The assert lives inside a filter condition on a column the plan needs,
+    so Catalyst can neither prune nor constant-fold it away."""
+    probe = df.limit(row_limit + 1).agg(F.count("*").alias("_n"))
+    return (
+        df.crossJoin(F.broadcast(probe))
+        .filter(
+            F.when(
+                F.col("_n") > row_limit,
+                F.assert_true(F.lit(False), F.lit(msg)).isNull(),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_n")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, key_col: str, text_col: str = "text",
     shingle_n: int = 3, min_jaccard: float = 0.8,
@@ -446,25 +468,24 @@ def ngram_jaccard_pairs(
     candidates). Jaccard computed natively with array_intersect/union.
 
     Foot-gun guard: ``block_col=None`` is O(n^2). Above
-    ``all_pairs_row_limit`` input rows it raises unless the caller sets
-    ``allow_all_pairs=True`` — at web scale an accidental unblocked call
-    would otherwise launch a ~10^18-pair self-join. The size probe is a
-    cheap ``limit(k+1).count()`` (stops scanning at k+1 rows, never a
-    full count)."""
-    if block_col is None and not allow_all_pairs:
-        probe = df.limit(all_pairs_row_limit + 1).count()
-        if probe > all_pairs_row_limit:
-            raise ValueError(
-                f"ngram_jaccard_pairs(block_col=None) on >"
-                f"{all_pairs_row_limit} rows is an all-pairs self-join; "
-                "pass a block_col (or allow_all_pairs=True if the "
-                "quadratic cost is intentional)"
-            )
+    ``all_pairs_row_limit`` input rows the FIRST ACTION raises unless the
+    caller sets ``allow_all_pairs=True`` — at web scale an accidental
+    unblocked call would otherwise launch a ~10^18-pair self-join. The
+    check rides the plan itself (attach_all_pairs_guard): a broadcast
+    1-row count over limit(k+1), no separate probe job."""
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
     )
+    if block_col is None and not allow_all_pairs:
+        d = attach_all_pairs_guard(
+            d, all_pairs_row_limit,
+            f"ngram_jaccard_pairs(block_col=None) on >"
+            f"{all_pairs_row_limit} rows is an all-pairs self-join; "
+            "pass a block_col (or allow_all_pairs=True if the "
+            "quadratic cost is intentional)",
+        )
     j = (
         d.alias("x").join(d.alias("y"), "blk")
         .filter(F.col("x.k") < F.col("y.k"))

@@ -282,11 +282,12 @@ def embedding_near_dup_pairs(
     of one AQE-coalesced partition.
 
     ``brute_force=True`` switches to the all-pairs exact join — the
-    verification path for small inputs and the DuckDB-oracle twin. It
-    raises above ``all_pairs_row_limit`` input rows unless
+    verification path for small inputs and the DuckDB-oracle twin. Its
+    FIRST ACTION raises above ``all_pairs_row_limit`` input rows unless
     ``allow_all_pairs=True`` (an accidental all-pairs cross join at web
-    scale is a ~10^18-row plan); the probe is limit(k+1).count(), never
-    a full scan.
+    scale is a ~10^18-row plan); the check rides the plan itself
+    (dedup.attach_all_pairs_guard) — a broadcast 1-row count over
+    limit(k+1), no separate probe job per call.
     """
     d = _spread(df.select(
         F.col(key_col).alias("k"),
@@ -294,15 +295,16 @@ def embedding_near_dup_pairs(
     ))
     if brute_force:
         if not allow_all_pairs:
-            probe = d.limit(all_pairs_row_limit + 1).count()
-            if probe > all_pairs_row_limit:
-                raise ValueError(
-                    f"embedding_near_dup_pairs(brute_force=True) on >"
-                    f"{all_pairs_row_limit} rows is an all-pairs cross "
-                    "join; use the LSH path (brute_force=False) or pass "
-                    "allow_all_pairs=True if the quadratic cost is "
-                    "intentional"
-                )
+            from prose_spark.operators.dedup import attach_all_pairs_guard
+
+            d = attach_all_pairs_guard(
+                d, all_pairs_row_limit,
+                f"embedding_near_dup_pairs(brute_force=True) on >"
+                f"{all_pairs_row_limit} rows is an all-pairs cross "
+                "join; use the LSH path (brute_force=False) or pass "
+                "allow_all_pairs=True if the quadratic cost is "
+                "intentional",
+            )
         cand = (
             d.alias("x").crossJoin(d.alias("y"))
             .filter(F.col("x.k") < F.col("y.k"))
