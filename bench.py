@@ -1,16 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+local[$SPARK_GRAFT_CPUS], printing ONE COMPACT JSON line:
 
   {"metric": "triples_per_sec", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ...,
-   "scaling": {"cores_lo": .., "cores_hi": .., "thr_lo": .., "thr_hi": ..,
-               "efficiency": ..}}
+   "scaling": {...summary...}, "detail_file": "BENCH_DETAIL.json"}
+
+Full measurement detail (kg lo/hi runs, per-triplet efficiencies,
+hardware control, fixed-pool scaling, the scale-up block) goes to the
+BENCH_DETAIL.json sidecar — the driver's stdout capture keeps only the
+final ~2000 characters, and r3's all-in-one line overflowed it, so the
+stdout line stays small by construction.
 
 The headline metric is KG-construction throughput (triples/sec) over the
 synthetic Common-Crawl-style pages corpus (annotate -> triple extraction),
 per BASELINE.json. The scaling block evidences the north rule's N->4N
 criterion at two parallelism levels on identical input (sandbox proxy —
 no real cluster here; see BASELINE.md for the pair choice rationale).
+Timed passes that land in a contended host window (hypervisor steal
+above STEAL_RETRY CPUs) are re-measured once while the wall-clock budget
+allows — the r3 artifact was a pure host-tenancy sample.
 """
 
 from __future__ import annotations
@@ -34,6 +42,12 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
 # borrowing; override with SPARK_GRAFT_SCALING_LO/HI.
 SCALING_LO = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "2"))
 SCALING_HI = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8"))
+# a timed lo/hi pair whose worst steal exceeds this many CPUs is a
+# host-tenancy sample, not a measurement: re-run it (bounded by
+# RETRY_BUDGET_SEC of elapsed wall clock and MAX_RETRIES total)
+STEAL_RETRY = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "0.2"))
+MAX_RETRIES = 2
+RETRY_BUDGET_SEC = 240.0
 
 
 def log(msg: str) -> None:
@@ -253,30 +267,62 @@ def scale_up(cores: int) -> dict:
     session — reporting throughput at each scale plus the band-join
     shuffle bytes. Flat-or-better per-doc throughput and linearly
     scaling (not quadratic) shuffle bytes are the two claims a 100 TB
-    run depends on."""
+    run depends on.
+
+    The corpus is PLANTED with near-duplicate twins (every ~50th doc, one
+    appended word, co-sliced with its base via the hash bucket) so both
+    minhash points exercise the candidate-pair/verify leg — r3 measured
+    n_pairs=0, i.e. only the band exchange. Shuffle bytes are also
+    DECOMPOSED: a bands-only groupBy on the same keys measures the
+    one-sided band-exchange leg, so the pair-join contribution
+    (total - 2 x band side) is visible in-artifact instead of leaving
+    superlinear growth unexplained."""
     from pyspark.sql import functions as F
 
-    from prose_spark.operators.dedup import minhash_near_dup_pairs_native
+    from prose_spark.operators.dedup import (
+        _banded_keys,
+        _shingles,
+        minhash_near_dup_pairs_native,
+    )
     from prose_spark.operators.triples import annotate_and_extract_triples
     from prose_spark.session import get_spark
     from prose_spark.sources.pages import write_pages_parquet
 
     n10 = N_PAGES * 10
     path10 = f"/tmp/prose_spark_bench_pages_{n10}"
+    path10t = f"{path10}_twins"
     spark = get_spark(app_name="bench_scale", cores=cores,
                       shuffle_partitions=max(32, cores * 2))
     try:
-        if not os.path.exists(path10 + "/_SUCCESS"):
-            write_pages_parquet(spark, path10, n10)
-        pages = spark.read.parquet(path10)
-        en10 = (pages.filter(F.col("lang") == "en").select("url", "text")
-                .repartition(cores * 2).cache())
-        n_docs10 = en10.count()
-        # 1x / 4x slices of the SAME corpus (limit is deterministic here:
-        # single source, no shuffle below it)
-        en1 = en10.limit(n_docs10 // 10).repartition(cores * 2).cache()
-        en4 = en10.limit((n_docs10 * 4) // 10).repartition(cores * 2).cache()
-        n_docs1, n_docs4 = en1.count(), en4.count()
+        if not os.path.exists(path10t + "/_SUCCESS"):
+            if not os.path.exists(path10 + "/_SUCCESS"):
+                write_pages_parquet(spark, path10, n10)
+            base = (
+                spark.read.parquet(path10)
+                .filter(F.col("lang") == "en").select("url", "text")
+                # slice bucket BEFORE twinning: a twin inherits its
+                # base's bucket, so every 1x/4x slice keeps base+twin
+                # together and emits verified near-dup pairs
+                .withColumn("slice_bucket",
+                            F.pmod(F.xxhash64("url"), F.lit(10))
+                            .cast("int"))
+            )
+            twins = base.filter(
+                F.pmod(F.xxhash64("url", F.lit(7)), F.lit(50)) == 0
+            ).select(
+                F.concat(F.col("url"), F.lit("#twin")).alias("url"),
+                F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+                "slice_bucket",
+            )
+            base.unionByName(twins).write.parquet(path10t)
+        allp = spark.read.parquet(path10t)
+        en10 = allp.select("url", "text").repartition(cores * 2).cache()
+        en1 = (allp.filter(F.col("slice_bucket") == 0)
+               .select("url", "text").repartition(cores * 2).cache())
+        en4 = (allp.filter(F.col("slice_bucket") < 4)
+               .select("url", "text").repartition(cores * 2).cache())
+        n_docs10, n_docs1, n_docs4 = (en10.count(), en1.count(),
+                                      en4.count())
         annotate_and_extract_triples(en1).count()  # warm workers
 
         out: dict = {"cores": cores}
@@ -297,16 +343,35 @@ def scale_up(cores: int) -> dict:
             out["kg_10x"]["triples_per_sec"]
             / out["kg_1x"]["triples_per_sec"], 3)
 
+        def band_exchange_bytes(df) -> int:
+            """One-sided band-exchange cost: shuffle the SAME
+            (k, band, bkey) rows the pair join exchanges, minus the join
+            itself (a groupBy on the join keys)."""
+            d = df.select(
+                F.col("url").alias("k"),
+                F.array_distinct(_shingles("text", 3)).alias("g"),
+            )
+            (_banded_keys(d, 32, 8, "xxhash64")
+             .groupBy("band", "bkey").agg(F.count("*").alias("n"))
+             .count())
+            return _last_exec_shuffle_bytes(spark)
+
         def mh_point(df, n_docs, tag):
             t0 = time.time()
             n_pairs = minhash_near_dup_pairs_native(
                 df, "url", jaccard_max_distance=0.3).count()
             dt = time.time() - t0
+            total = _last_exec_shuffle_bytes(spark)
+            band_side = band_exchange_bytes(df)
             out[f"minhash_{tag}"] = {
                 "n_docs": n_docs, "n_pairs": n_pairs,
                 "seconds": round(dt, 2),
                 "docs_per_sec": round(n_docs / dt, 1),
-                "shuffle_bytes": _last_exec_shuffle_bytes(spark),
+                "shuffle_bytes": total,
+                "band_exchange_bytes_one_side": band_side,
+                # join = 2 band sides; remainder = pair-id dedup +
+                # two payload re-attach exchanges (the pair leg)
+                "pair_leg_bytes_approx": max(total - 2 * band_side, 0),
             }
 
         # pin the band join to its at-scale physical form (shuffle join):
@@ -325,6 +390,9 @@ def scale_up(cores: int) -> dict:
             # linear-in-n shuffle (banded keys), not quadratic pairs
             out["minhash_shuffle_growth_4x_vs_1x"] = round(
                 m4["shuffle_bytes"] / m1["shuffle_bytes"], 2)
+            out["minhash_band_exchange_growth_4x_vs_1x"] = round(
+                m4["band_exchange_bytes_one_side"]
+                / max(m1["band_exchange_bytes_one_side"], 1), 2)
         return out
     finally:
         spark.stop()
@@ -338,10 +406,6 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     names = [
         "nlp_token_counts", "nlp_triples", "ta_quality", "ta_fingerprint",
         "ta_bpe_token_counts",
-        # (dedup_fuzzy_clusters is correctness-gated but not timed here:
-        # its doubled-corpus input makes it the longest query and the
-        # most host-noise-sensitive; dedup_minhash_pairs already times
-        # the dominant kernel)
         "dedup_exact_groups", "dedup_minhash_pairs", "dedup_simhash",
         "dedup_embedding_pairs",
         "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
@@ -359,6 +423,18 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
             n = qs[name](spark, sf_dir).count()
             out[name] = round(time.time() - t0, 3)
             log(f"  {name}: {out[name]}s ({n} rows)")
+        # dedup_fuzzy_clusters is timed at a REDUCED scale (sf0.01, the
+        # oracle-gate corpus): at the bench sf its doubled-corpus input
+        # is the longest, most host-noise-sensitive query (~28s), which
+        # would dominate the timed set — but leaving it untimed is where
+        # a regression hides, so it gets its own reduced-scale entry.
+        sf001 = sf_dir.replace("sf0.1", "sf0.01")
+        if os.path.isdir(sf001):
+            t0 = time.time()
+            n = qs["dedup_fuzzy_clusters"](spark, sf001).count()
+            out["dedup_fuzzy_clusters@sf0.01"] = round(time.time() - t0, 3)
+            log(f"  dedup_fuzzy_clusters@sf0.01: "
+                f"{out['dedup_fuzzy_clusters@sf0.01']}s ({n} rows)")
     finally:
         spark.stop()
     return out
@@ -388,12 +464,22 @@ def main() -> None:
     # ratio. Medians over triplets shed one bad-tenancy outlier.
     runs: list[dict] = []
     controls: list[dict] = []
+    retries_left = MAX_RETRIES
     for rep in range(3):
         log(f"== triplet {rep + 1}/3 ==")
-        r_lo = kg_throughput(SCALING_LO, pages_path)
-        log(str(r_lo))
-        r_hi = kg_throughput(SCALING_HI, pages_path)
-        log(str(r_hi))
+        while True:
+            r_lo = kg_throughput(SCALING_LO, pages_path)
+            log(str(r_lo))
+            r_hi = kg_throughput(SCALING_HI, pages_path)
+            log(str(r_hi))
+            steal = max(r_lo["cpus_steal"], r_hi["cpus_steal"])
+            if (steal <= STEAL_RETRY or retries_left <= 0
+                    or time.time() - t_start > RETRY_BUDGET_SEC):
+                break
+            retries_left -= 1
+            log(f"steal {steal} > {STEAL_RETRY} CPUs: contended host "
+                f"window, re-measuring triplet ({retries_left} retries "
+                "left)")
         c = hardware_control(pages_path, SCALING_LO, SCALING_HI)
         log(str(c))
         runs.extend([r_lo, r_hi])
@@ -450,39 +536,72 @@ def main() -> None:
     log("== per-query timings ==")
     queries = run_queries(SF_DIR, CPUS)
 
+    wall = round(time.time() - t_start, 1)
+    scaling_full = {
+        "cores_lo": SCALING_LO,
+        "cores_hi": SCALING_HI,
+        "thr_lo_triples_per_sec": lo["triples_per_sec"],
+        "thr_hi_triples_per_sec": hi["triples_per_sec"],
+        "speedup": round(ratio, 3),
+        "ideal": ideal,
+        "efficiency": round(efficiency, 3),
+        "per_triplet_efficiency": [
+            round(x, 3) for x in per_triplet_eff
+        ],
+        "cpus_busy_lo": round(lo_busy, 2),
+        "cpus_busy_hi": round(hi_busy, 2),
+        "cpus_steal_lo": med([r["cpus_steal"] for r in lo_runs]),
+        "cpus_steal_hi": med([r["cpus_steal"] for r in hi_runs]),
+        "cpu_normalized_efficiency": round(cpu_norm_eff, 3),
+        # spark efficiency ÷ bare-multiprocessing efficiency on the
+        # same kernel+host: the framework's own scaling behavior
+        "framework_efficiency": framework_eff,
+        "retries_used": MAX_RETRIES - retries_left,
+    }
+    detail = {
+        "kg": {"lo": lo, "hi": hi},
+        "scaling": scaling_full,
+        "scaling_fixed_pool": pool,
+        "scaling_hardware_control": control,
+        "scale_up": scale,
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "wall_clock_sec": wall,
+    }
+    detail_path = str(Path(__file__).resolve().parent
+                      / "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"full detail -> {detail_path}")
+
+    # the ONE stdout line stays compact (the driver keeps only the last
+    # ~2000 chars of stdout; r3's all-in-one line overflowed it and the
+    # round's headline metric was lost)
     result = {
         "metric": "triples_per_sec",
         "value": hi["triples_per_sec"],
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "kg": {"lo": lo, "hi": hi},
         "scaling": {
             "cores_lo": SCALING_LO,
             "cores_hi": SCALING_HI,
-            "thr_lo_triples_per_sec": lo["triples_per_sec"],
-            "thr_hi_triples_per_sec": hi["triples_per_sec"],
-            "speedup": round(ratio, 3),
-            "ideal": ideal,
             "efficiency": round(efficiency, 3),
-            "per_triplet_efficiency": [
-                round(x, 3) for x in per_triplet_eff
-            ],
-            "cpus_busy_lo": round(lo_busy, 2),
-            "cpus_busy_hi": round(hi_busy, 2),
-            "cpus_steal_lo": med([r["cpus_steal"] for r in lo_runs]),
-            "cpus_steal_hi": med([r["cpus_steal"] for r in hi_runs]),
-            "cpu_normalized_efficiency": round(cpu_norm_eff, 3),
-            # spark efficiency ÷ bare-multiprocessing efficiency on the
-            # same kernel+host: the framework's own scaling behavior
             "framework_efficiency": framework_eff,
+            "cpus_steal_hi": scaling_full["cpus_steal_hi"],
         },
-        "scaling_fixed_pool": pool,
-        "scaling_hardware_control": control,
-        "scale_up": scale,
-        "wall_clock_sec": round(time.time() - t_start, 1),
+        "detail_file": "BENCH_DETAIL.json",
+        "wall_clock_sec": wall,
     }
-    print(json.dumps(result), flush=True)
+    line = json.dumps(result)
+    # hard guarantee against a recurrence of the r3 truncation
+    if len(line) > 1900:
+        result["queries"] = {
+            k: v for k, v in sorted(queries.items())[:10]
+        }
+        result["queries_truncated_see_detail_file"] = True
+        line = json.dumps(result)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
