@@ -69,3 +69,42 @@ def test_featurize_keys_shape():
     assert "i suffix rre" in feats
     assert "i pref1 P" in feats
     assert len(feats) == 14
+
+
+def test_tag_heldout_generalization():
+    """Held-out generalization (r4): the reference's own protocol
+    (tag_test.go:40-61) trains and evaluates on the SAME fixture, so its
+    0.9574 floor — and this repo's 0.9935 — are in-corpus numbers. This
+    test trains a fresh tagger on 80% of the treebank pseudo-sentences
+    (interleaved split: every 5th sentence held out) and tags the unseen
+    20%: accuracy must hold >= 0.95 (measured 0.9576 at 5 iterations,
+    seed 42 — deterministic). Recorded next to the in-corpus floor in
+    BASELINE.md."""
+    from prose_spark.nlp.tagger import PerceptronTagger
+
+    toks = json.loads((REF / "testdata/treebank_tokens.json").read_text())
+    words = [t["text"] for t in toks]
+    tags = json.loads((REF / "testdata/treebank_tags.json").read_text())
+    sents, cw, ct = [], [], []
+    for w, t in zip(words, tags):
+        cw.append(w)
+        ct.append(t)
+        if t == "." and len(cw) > 1:
+            sents.append((cw, ct))
+            cw, ct = [], []
+    if cw:
+        sents.append((cw, ct))
+    train = [s for i, s in enumerate(sents) if i % 5 != 0]
+    test = [s for i, s in enumerate(sents) if i % 5 == 0]
+
+    classes = decode_gob_file(
+        str(REF / "model/AveragedPerceptron/classes.gob"))
+    tag_map = decode_gob_file(str(REF / "model/AveragedPerceptron/tags.gob"))
+    tagger = PerceptronTagger(tag_map=dict(tag_map), classes=list(classes))
+    tagger.train(train, iterations=5, seed=42, build_tag_map=False)
+
+    held_w = [w for s in test for w in s[0]]
+    held_t = [t for s in test for t in s[1]]
+    pred = tagger.tag(held_w)
+    acc = sum(p == e for p, e in zip(pred, held_t)) / len(held_t)
+    assert acc >= 0.95, f"held-out accuracy {acc:.4f} below 0.95"
