@@ -64,7 +64,7 @@ PINNED_QUERIES = (
     "nlp_pos_tag_dist", "nlp_entity_mentions", "nlp_canonical_entities",
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "nlp_sentiment",
-    "nlp_sentiment_ml", "ta_langid",
+    "nlp_sentiment_ml",
 )
 
 
@@ -948,6 +948,116 @@ def _fuzzy_clusters_oracle_sql() -> str:
     """
 
 
+def _langid_oracle_sql() -> str:
+    """Independent DuckDB recomputation of the language-ID heuristic
+    (textstats._detect_lang_one: stopword-hit ratio x0.1x10 + 5x
+    trigram-frequency dot product + 0.05x char-hint count, best lang =
+    first max in ascending lang order, conf = score/total). The score
+    tables (STOPWORDS, _LANG_TRIGRAMS, _CHAR_HINTS) are read from the
+    kernel so the two sides can never drift silently; every float op is
+    emitted in the kernel's exact order (left-assoc sums in table order)
+    so the doubles match bit-for-bit, and ROUND(x, 6) matches Spark's
+    HALF_UP (verified on the exact-binary 0.6640625 boundary case).
+    Unicode notes: words split on '\\s+' == str.split() and
+    [^\\p{L}] == ~isalpha on this generator's corpora; Python len() ==
+    DuckDB length() (code points)."""
+    from prose_spark.operators.textstats import (
+        _CHAR_HINTS, _LANG_TRIGRAMS, STOPWORDS,
+    )
+
+    langs = ("en", "es", "fr", "de", "ja")  # kernel dict order
+    needed: list[str] = []
+    for lang in langs:
+        for g in _LANG_TRIGRAMS[lang]:
+            if g not in needed:
+                needed.append(g)
+
+    def gcol(g: str) -> str:
+        return "g_" + "".join(c if c.isascii() else f"u{ord(c):04x}"
+                              for c in g)
+
+    gram_filters = ",\n               ".join(
+        f"count(*) FILTER (g = '{g}')::BIGINT AS {gcol(g)}"
+        for g in needed)
+
+    def score(lang: str) -> str:
+        sw = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        s = (f"((0.1 * len(list_filter(words, w -> w IN ({sw}))))"
+             f" / greatest(len(words), 1)) * 10")
+        tris = _LANG_TRIGRAMS[lang]
+        if tris:
+            terms = " + ".join(
+                f"COALESCE({gcol(g)}, 0) / ntri" for g in tris)
+            s += (f" + 5.0 * (CASE WHEN ntri <= 0 THEN 0.0"
+                  f" ELSE {terms} END)")
+        else:
+            s += " + 5.0 * 0.0"
+        hints = _CHAR_HINTS.get(lang)
+        if hints:
+            cnt = " + ".join(
+                f"(length(text) - length(replace(text, '{ch}', '')))"
+                for ch in hints)
+            s = f"({s}) + 0.05 * ({cnt})"
+        return s
+
+    scores_cols = ",\n               ".join(
+        f"{score(lang)} AS s_{lang}" for lang in langs)
+    # best = max(sorted(scores), key=score): FIRST max in asc lang order
+    by_lang_asc = sorted(langs)
+    pred_case = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in by_lang_asc[:-1])
+    sel_case = " ".join(
+        f"WHEN s_{lang} = m THEN s_{lang}" for lang in by_lang_asc[:-1])
+    return f"""
+        WITH feat AS (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w != '') AS words,
+                   regexp_replace(lower(text), '[^\\p{{L}}]', '', 'g')
+                       AS letters
+            FROM documents
+        ),
+        tri0 AS (
+            SELECT *, greatest(length(letters) - 2, 0) AS ntri FROM feat
+        ),
+        grams AS (
+            SELECT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, ntri + 1),
+                              i -> substr(letters, i::INT, 3))) AS g
+                FROM tri0 WHERE ntri > 0
+            ) WHERE g IN ({", ".join(f"'{g}'" for g in needed)})
+        ),
+        gcnt AS (
+            SELECT doc_id,
+               {gram_filters}
+            FROM grams GROUP BY doc_id
+        ),
+        sc AS (
+            SELECT t.doc_id, t.n_chars,
+               {scores_cols}
+            FROM tri0 t LEFT JOIN gcnt USING (doc_id)
+        ),
+        fin AS (
+            SELECT *,
+                   s_en + s_es + s_fr + s_de + s_ja AS total,
+                   greatest(s_en, s_es, s_fr, s_de, s_ja) AS m
+            FROM sc
+        )
+        SELECT doc_id,
+               CASE WHEN n_chars < 10 THEN 'en'
+                    {pred_case}
+                    ELSE '{by_lang_asc[-1]}' END AS lang_pred,
+               CAST(ROUND(CASE WHEN n_chars < 10 THEN 0.5
+                               WHEN total > 0 THEN
+                                   (CASE {sel_case}
+                                         ELSE s_{by_lang_asc[-1]} END)
+                                   / total
+                               ELSE 0.5 END, 6) AS DOUBLE) AS lang_conf
+        FROM fin ORDER BY doc_id
+    """
+
+
 # per-token 64-bit simhash vote pipeline over a `doubled` doc CTE (the
 # signed fold mirrors Spark's shiftleft two's-complement wrap exactly)
 _SIMHASH_FOLD = """
@@ -978,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_docs = _SIMHASH_FOLD.format(norm=_D_NORM, src="documents")
     simhash_doubled = _SIMHASH_FOLD.format(norm=_D_NORM, src="doubled")
     return pinned | {
+        "ta_langid": _langid_oracle_sql(),
         "dedup_minhash_pairs": _minhash_oracle_sql(),
         "dedup_fuzzy_clusters": _fuzzy_clusters_oracle_sql(),
         "dedup_simhash": f"""
