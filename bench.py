@@ -343,36 +343,54 @@ def scale_up(cores: int) -> dict:
             out["kg_10x"]["triples_per_sec"]
             / out["kg_1x"]["triples_per_sec"], 3)
 
-        def band_exchange_bytes(df) -> int:
+        def band_exchange_bytes(df) -> tuple[int, int]:
             """One-sided band-exchange cost: shuffle the SAME
             (k, band, bkey) rows the pair join exchanges, minus the join
-            itself (a groupBy on the join keys)."""
+            itself (a groupBy on the join keys). Also returns the
+            band-bucket pair term sum C(n_bucket, 2) — the number of
+            candidate id pairs the band join emits before DISTINCT and
+            verify, which is the quantity that must stay ~linear in docs
+            for the pair leg to stay linear."""
             d = df.select(
                 F.col("url").alias("k"),
                 F.array_distinct(_shingles("text", 3)).alias("g"),
             )
-            (_banded_keys(d, 32, 8, "xxhash64")
-             .groupBy("band", "bkey").agg(F.count("*").alias("n"))
-             .count())
-            return _last_exec_shuffle_bytes(spark)
+            row = (
+                _banded_keys(d, 32, 8, "xxhash64")
+                .groupBy("band", "bkey").agg(F.count("*").alias("n"))
+                .agg(F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("cand"))
+                .collect()[0]
+            )
+            return _last_exec_shuffle_bytes(spark), int(row["cand"] or 0)
 
-        def mh_point(df, n_docs, tag):
+        def mh_point(df, n_docs, tag, max_bucket_size=None):
             t0 = time.time()
             n_pairs = minhash_near_dup_pairs_native(
-                df, "url", jaccard_max_distance=0.3).count()
+                df, "url", jaccard_max_distance=0.3,
+                max_bucket_size=max_bucket_size).count()
             dt = time.time() - t0
             total = _last_exec_shuffle_bytes(spark)
-            band_side = band_exchange_bytes(df)
-            out[f"minhash_{tag}"] = {
+            point = {
                 "n_docs": n_docs, "n_pairs": n_pairs,
                 "seconds": round(dt, 2),
                 "docs_per_sec": round(n_docs / dt, 1),
                 "shuffle_bytes": total,
-                "band_exchange_bytes_one_side": band_side,
-                # join = 2 band sides; remainder = pair-id dedup +
-                # two payload re-attach exchanges (the pair leg)
-                "pair_leg_bytes_approx": max(total - 2 * band_side, 0),
             }
+            if max_bucket_size is None:
+                band_side, cand_terms = band_exchange_bytes(df)
+                point.update({
+                    "band_exchange_bytes_one_side": band_side,
+                    # join = 2 band sides; remainder = pair-id dedup +
+                    # two payload re-attach exchanges (the pair leg)
+                    "pair_leg_bytes_approx": max(total - 2 * band_side, 0),
+                    # pre-distinct candidate pairs from the band join
+                    "band_bucket_pair_terms": cand_terms,
+                })
+            else:
+                point["max_bucket_size"] = max_bucket_size
+            out[f"minhash_{tag}"] = point
 
         # pin the band join to its at-scale physical form (shuffle join):
         # under the default threshold AQE broadcasts the banded side at
@@ -382,6 +400,11 @@ def scale_up(cores: int) -> dict:
             en1.limit(300), "url", jaccard_max_distance=0.3).count()
         mh_point(en1, n_docs1, "1x")
         mh_point(en4, n_docs4, "4x")
+        # the production guard's effect on the densification the
+        # candidate-terms ratio exposes: same 4x corpus with the
+        # quadratic-bucket cap engaged (planted twins live in buckets of
+        # ~2, so recall of true near-dups survives the cap)
+        mh_point(en4, n_docs4, "4x_capped", max_bucket_size=20)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         m1, m4 = out["minhash_1x"], out["minhash_4x"]
         out["minhash_docs_per_sec_ratio_4x_vs_1x"] = round(
@@ -393,6 +416,18 @@ def scale_up(cores: int) -> dict:
             out["minhash_band_exchange_growth_4x_vs_1x"] = round(
                 m4["band_exchange_bytes_one_side"]
                 / max(m1["band_exchange_bytes_one_side"], 1), 2)
+            # pair-leg growth above ~4x is candidate-pair growth, which
+            # this ratio pins down (bucket densification, bounded by the
+            # max_bucket_size guard in production paths)
+            out["minhash_candidate_terms_growth_4x_vs_1x"] = round(
+                m4["band_bucket_pair_terms"]
+                / max(m1["band_bucket_pair_terms"], 1), 2)
+            m4c = out.get("minhash_4x_capped")
+            if m4c:
+                out["minhash_capped_shuffle_vs_uncapped_4x"] = round(
+                    m4c["shuffle_bytes"] / max(m4["shuffle_bytes"], 1), 2)
+                out["minhash_capped_pair_recall_4x"] = round(
+                    m4c["n_pairs"] / max(m4["n_pairs"], 1), 3)
         return out
     finally:
         spark.stop()

@@ -280,24 +280,25 @@ class MaxentNER:
         static_scores = W[static_ids].sum(axis=1)  # (n, L)
         hist_scores = W[hist_ids].sum(axis=2)  # (n, |H|, L)
 
-        # sequential decode in plain Python over small lists — cheaper than
-        # per-row numpy ops at L=13
-        stat_l = static_scores.tolist()
-        hist_l = hist_scores.tolist()
+        # decode: the label argmax for EVERY possible history state is
+        # computed in one vectorized pass (n x |H| x L broadcast add +
+        # argmax over L — same IEEE adds and same first-max tie-break as
+        # the scalar loop this replaces), so the unavoidable sequential
+        # pass only follows precomputed indices
+        amax = (static_scores[:, None, :] + hist_scores).argmax(axis=2)
         hidx = {h: j for j, h in enumerate(_HISTORY_DOMAIN)}
+        labels = self.labels
+        # label index -> next history index (simple_pos of the label)
+        next_h = [hidx[simple_pos(lb)] for lb in labels]
+        amax_l = amax.tolist()
         out_labels: list[str] = []
         chosen_h = np.zeros(n, dtype=np.int64)
-        prev = "None"
-        labels = self.labels
+        h = hidx["None"]
         for i in range(n):
-            h = hidx[prev]
             chosen_h[i] = h
-            hrow = hist_l[i][h]
-            srow = stat_l[i]
-            scores = [srow[k] + hrow[k] for k in range(len(srow))]
-            label = labels[scores.index(max(scores))]
-            out_labels.append(label)
-            prev = simple_pos(label)
+            li = amax_l[i][h]
+            out_labels.append(labels[li])
+            h = next_h[li]
         # softmax confidences vectorized after the sequential label pass
         # (extract.go:447-468; labels depend on history, confidences don't)
         final = static_scores + hist_scores[np.arange(n), chosen_h]
