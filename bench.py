@@ -314,7 +314,9 @@ def scale_up(cores: int) -> dict:
                 F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
                 "slice_bucket",
             )
-            base.unionByName(twins).write.parquet(path10t)
+            # overwrite: a run killed mid-write leaves the dir without
+            # _SUCCESS, and errorifexists would wedge every later run
+            base.unionByName(twins).write.mode("overwrite").parquet(path10t)
         allp = spark.read.parquet(path10t)
         en10 = allp.select("url", "text").repartition(cores * 2).cache()
         en1 = (allp.filter(F.col("slice_bucket") == 0)
@@ -463,7 +465,11 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
         # is the longest, most host-noise-sensitive query (~28s), which
         # would dominate the timed set — but leaving it untimed is where
         # a regression hides, so it gets its own reduced-scale entry.
-        sf001 = sf_dir.replace("sf0.1", "sf0.01")
+        # resolve the sf0.01 dir EXPLICITLY (sibling of sf_dir named
+        # sf0.01) and never fall back to sf_dir itself: a substring
+        # replace would silently time the FULL corpus under the
+        # "@sf0.01" label whenever sf_dir isn't literally ".../sf0.1"
+        sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
         if os.path.isdir(sf001):
             t0 = time.time()
             n = qs["dedup_fuzzy_clusters"](spark, sf001).count()

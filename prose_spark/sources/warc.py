@@ -37,6 +37,11 @@ from pyspark.sql import types as T
 
 _CRLF = b"\r\n"
 
+# hard cap on a single WARC header line: real headers are well under
+# 1 KB; anything longer is a corrupt stream trying to flow through
+# readline, which must never buffer unbounded bytes
+_MAX_HEADER_LINE = 64 * 1024
+
 RAW_WARC_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -70,26 +75,44 @@ def parse_warc_stream(f) -> Iterator[dict]:
     Strict on the parts that carry data (Content-Length framing), lenient
     on the rest: non-response records (warcinfo, request, metadata) are
     skipped; a record with a malformed HTTP payload yields its raw
-    payload as html rather than being dropped silently.
+    payload as html rather than being dropped silently. A record
+    truncated by EOF (header cut short, or body shorter than its
+    Content-Length) is DROPPED — its framing is gone, so anything parsed
+    from it would be garbage. Header lines are read with a hard size cap
+    so a corrupt payload bleeding into header position cannot buffer
+    unbounded bytes through ``readline`` (real WARC headers are < 1 KB).
     """
     while True:
         # skip inter-record blank-line trailers
-        line = f.readline()
+        line = f.readline(_MAX_HEADER_LINE)
         while line in (b"\r\n", b"\n"):
-            line = f.readline()
+            line = f.readline(_MAX_HEADER_LINE)
         if not line:
             return  # EOF
         if not line.startswith(b"WARC/"):
             raise ValueError(f"not a WARC record: {line[:40]!r}")
         head = [line]
+        truncated = False
         while True:
-            line = f.readline()
-            if line in (b"\r\n", b"\n", b""):
+            line = f.readline(_MAX_HEADER_LINE)
+            if line in (b"\r\n", b"\n"):
                 break
+            if line == b"":
+                truncated = True  # EOF inside the header block
+                break
+            if len(line) >= _MAX_HEADER_LINE and not line.endswith(b"\n"):
+                raise ValueError(
+                    f"WARC header line exceeds {_MAX_HEADER_LINE} bytes "
+                    "(corrupt or non-WARC stream)"
+                )
             head.append(line)
+        if truncated:
+            return  # drop the tail record: its framing is unrecoverable
         headers = _parse_headers(b"".join(head))
         length = int(headers.get("content-length", "0"))
         body = f.read(length)
+        if len(body) < length:
+            return  # truncated body at EOF: drop, framing is gone
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")

@@ -55,7 +55,10 @@ def test_iceberg_sink_dispatch(spark, pages_df, tmp_path):
                    n_buckets=2, iceberg_table="cat.db.triples")
 
 
-def test_iceberg_sink_create_vs_overwrite_dispatch(monkeypatch):
+def test_iceberg_sink_create_vs_overwrite_dispatch(monkeypatch, spark):
+    # `spark` is unused by the fakes but REQUIRED: the create branch
+    # builds F.col("bucket"), which asserts an active SparkContext in
+    # pyspark 4 — without the fixture this test is order-dependent
     """The Iceberg branch dispatches on EXPLICIT table existence: first
     write creates (never replaces), later writes overwritePartitions, and
     any write failure PROPAGATES — a transient commit conflict on wave N
@@ -641,6 +644,39 @@ def test_warc_streaming_multi_member_bounded_reads(tmp_path):
         assert Tracking.max_req <= 512 * 1024 < len(data)
         rest = list(it)
     assert [first] + rest == got_member
+
+
+def test_warc_truncated_and_corrupt_streams(tmp_path):
+    """EOF-truncated records are DROPPED (their Content-Length framing
+    is gone — parsing the fragment would yield garbage rows), and a
+    corrupt no-newline run in header position raises instead of
+    buffering unbounded bytes through readline."""
+    import pytest
+
+    from prose_spark.sources.warc import _MAX_HEADER_LINE, parse_warc_bytes
+
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x.example/ok\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 5\r\n"
+            b"\r\nhello\r\n\r\n")
+
+    # header cut mid-line by EOF: good record parses, tail is dropped
+    cut_header = good + b"WARC/1.0\r\nWARC-Type: respo"
+    out = list(parse_warc_bytes(cut_header))
+    assert [r["url"] for r in out] == ["https://x.example/ok"]
+
+    # body shorter than Content-Length at EOF: dropped, not yielded
+    cut_body = good + (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                       b"WARC-Target-URI: https://x.example/cut\r\n"
+                       b"Content-Length: 1000\r\n\r\nonly-a-fragment")
+    out = list(parse_warc_bytes(cut_body))
+    assert [r["url"] for r in out] == ["https://x.example/ok"]
+
+    # corrupt stream: giant newline-free run in header position must
+    # raise promptly (bounded readline), never buffer the whole run
+    giant = good + b"WARC/1.0\r\n" + b"x" * (_MAX_HEADER_LINE * 4)
+    with pytest.raises(ValueError, match="header line exceeds"):
+        list(parse_warc_bytes(giant))
 
 
 def test_oracle_pages_copy_matches_spark_corpus(spark):

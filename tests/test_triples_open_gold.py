@@ -65,7 +65,8 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors under the measured r4 values (P=0.5447, R=0.7564)
+    # regression floors under the measured r4 values
+    # (P=0.5484 = 68/124, R=0.7595 = 60/79 — same as the docstring)
     assert precision >= 0.52, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
         f"{n_pred}) regressed below 0.52")
