@@ -42,6 +42,10 @@ END = ["-END-", "-END2-"]
 
 _NONE_RE = re.compile(r"^(?:0|\*[\w?]\*|\*\-\d{1,3}|\*[A-Z]+\*\-\d{1,3}|\*)$", re.ASCII)
 _KEEP_RE = re.compile(r"^\-[A-Z]{3}\-$")
+
+# sentinel distinguishing "word not yet seen" from the legitimate cached
+# outcome None ("no context-free tag: ask the perceptron")
+_FAST_MISS = object()
 _INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
 
 
@@ -229,33 +233,46 @@ class PerceptronTagger:
         p1, p2 = START[0], START[1]
         ctx = [p1, p2] + [normalize(w) for w in words] + END
         tags: list[str] = []
-        tag_map = self.tag_map
         predict = self.model.predict
         memo = self._memo  # (word, 5-token window, p1, p2) -> prediction;
         # the key covers every featurize() input, so hits are exact
+        # word-level fast path: every branch before the perceptron
+        # (specials, emoticons, @-words, -NONE-, keep-regex, tagMap) is
+        # context-FREE, so its outcome is memoized per word — repeated
+        # words skip both regex matches (None sentinel = "needs the
+        # contextual perceptron")
+        try:
+            fast = self._word_fast
+        except AttributeError:
+            fast = self._word_fast = {}
+        _miss = _FAST_MISS
         n_ctx = len(ctx)
         for i, word in enumerate(words):
-            if word == "-":
-                tag = "-"
-            elif word in self.emoticons:
-                tag = "SYM"
-            elif word.startswith("@"):
-                tag = "NN"
-            elif _NONE_RE.match(word):
-                tag = "-NONE-"
-            elif _KEEP_RE.match(word):
-                tag = word
-            else:
-                tag = tag_map.get(word)
+            tag = fast.get(word, _miss)
+            if tag is _miss:
+                if word == "-":
+                    tag = "-"
+                elif word in self.emoticons:
+                    tag = "SYM"
+                elif word.startswith("@"):
+                    tag = "NN"
+                elif _NONE_RE.match(word):
+                    tag = "-NONE-"
+                elif _KEEP_RE.match(word):
+                    tag = word
+                else:
+                    tag = self.tag_map.get(word)
+                if len(fast) < self._MEMO_CAP:
+                    fast[word] = tag
+            if tag is None:
+                j = min(n_ctx - 2, i + 2)
+                key = (word, ctx[j - 2], ctx[j - 1], ctx[j], ctx[j + 1],
+                       ctx[j + 2], p1, p2)
+                tag = memo.get(key)
                 if tag is None:
-                    j = min(n_ctx - 2, i + 2)
-                    key = (word, ctx[j - 2], ctx[j - 1], ctx[j], ctx[j + 1],
-                           ctx[j + 2], p1, p2)
-                    tag = memo.get(key)
-                    if tag is None:
-                        tag = predict(featurize(i, ctx, word, p1, p2))
-                        if len(memo) < self._MEMO_CAP:
-                            memo[key] = tag
+                    tag = predict(featurize(i, ctx, word, p1, p2))
+                    if len(memo) < self._MEMO_CAP:
+                        memo[key] = tag
             tags.append(tag)
             p2 = p1
             p1 = tag
@@ -278,6 +295,7 @@ class PerceptronTagger:
             n = sum(freqs.values())
             if n >= 20 and freqs[tag] / n >= 0.97:
                 self.tag_map[word] = tag
+        self._word_fast = {}  # tag_map changed: word fast path is stale
 
     def train(
         self,
@@ -298,6 +316,7 @@ class PerceptronTagger:
     def train_epoch(self, data: list[tuple[list[str], list[str]]]) -> None:
         """One perceptron pass over ``data`` (no shuffle, no averaging) —
         the unit the Trainer drives for early stopping."""
+        self._memo = {}  # weights are about to change: predictions stale
         for words, tags in data:
             p1, p2 = START[0], START[1]
             # ctx must index-align with `words` exactly as in tag():
