@@ -47,6 +47,11 @@ DONE_SCHEMA = T.StructType(
         # docs dropped by the per-document timeout budget (0 when the job
         # runs with the default no-timeout config; null in pre-r3 markers)
         T.StructField("n_doc_timeouts", T.LongType()),
+        # input lineage: order-independent bit_xor of xxhash64(url, text)
+        # over the bucket's input docs — a resume against an input that
+        # changed under the same path shows a different fingerprint in
+        # the new markers (null in pre-r4 markers)
+        T.StructField("input_fingerprint", T.LongType()),
     ]
 )
 
@@ -188,6 +193,7 @@ def run_kg_job(
     gold: DataFrame | None = None,
     timeout_sec: float | None = None,
     iceberg_table: str | None = None,
+    source_path: str = "pages",
 ) -> DataFrame:
     """Resumable KG-construction job, single-pass: pages -> triples
     parquet partitioned by bucket.
@@ -272,10 +278,17 @@ def run_kg_job(
                 if not benign:
                     raise
                 tri_counts = {}
-            doc_counts = {
-                r["bucket"]: r["n"]
+            # doc counts + input lineage fingerprint in ONE agg pass:
+            # bit_xor of xxhash64(url, text) is order-independent and
+            # overflow-free, so a resume against an input that changed
+            # under the same path is detectable from the markers alone
+            doc_stats = {
+                r["bucket"]: (r["n"], r["fp"])
                 for r in part.groupBy("bucket")
-                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("url", "text")).alias("fp"),
+                )
                 .collect()
             }
             # optional per-bucket quality metrics vs a gold triple table
@@ -287,12 +300,13 @@ def run_kg_job(
             finished_at = time.strftime("%Y-%m-%dT%H:%M:%S")
             for b in wave:
                 p, r = pr.get(b, (None, None))
+                n_docs_b, fp_b = doc_stats.get(b, (0, None))
                 metrics = {
                     "bucket": b,
-                    "n_docs": doc_counts.get(b, 0),
+                    "n_docs": n_docs_b,
                     "n_triples": tri_counts.get(b, 0),
                     "wall_sec": wall,
-                    "source_path": "pages",
+                    "source_path": source_path,
                     "engine_version": __version__,
                     "finished_at": finished_at,
                     "precision": round(p, 4) if p is not None else None,
@@ -301,6 +315,7 @@ def run_kg_job(
                     # the write wave that produced this marker (== the
                     # bucket itself in one-bucket waves)
                     "n_doc_timeouts": n_timeouts,
+                    "input_fingerprint": fp_b,
                 }
                 record_done(out_dir, metrics)
                 run_metrics.append(metrics)
@@ -322,6 +337,7 @@ def run_kg_job(
                 m["source_path"], m["engine_version"], None,
                 m.get("precision"), m.get("recall"),
                 m.get("n_doc_timeouts", 0),
+                m.get("input_fingerprint"),
             )
             for m in run_metrics
         ],

@@ -89,7 +89,8 @@ def main() -> None:
     t0 = time.time()
     metrics = run_kg_job(spark, pages, args.out, n_buckets=args.buckets,
                          gold=gold, timeout_sec=args.timeout_sec,
-                         iceberg_table=args.iceberg_table)
+                         iceberg_table=args.iceberg_table,
+                         source_path=args.pages)
     done = metrics.count()
     triples = read_triples(spark, args.out)
     n = triples.count()

@@ -347,6 +347,38 @@ def test_checkpoint_resume_after_crash(spark, pages_df, tmp_path):
     assert run_kg_job(spark, pages_df, out, n_buckets=4).count() == 0
 
 
+def test_done_marker_input_fingerprint_lineage(spark, pages_df, tmp_path):
+    """Done markers carry an input-content fingerprint (bit_xor of
+    xxhash64(url, text) per bucket): the same input reproduces the same
+    fingerprints in an independent run, and an input whose TEXT changed
+    under identical urls/counts produces different ones — so a resume
+    against silently swapped input is detectable from lineage alone."""
+    import json
+    from pathlib import Path
+
+    from prose_spark.sources.checkpoints import run_kg_job
+
+    def fingerprints(out):
+        return {
+            m["bucket"]: m["input_fingerprint"]
+            for m in (json.loads(p.read_text())
+                      for p in Path(out, "_done").glob("bucket_*.json"))
+        }
+
+    df = pages_df.limit(40)
+    out_a, out_b, out_c = (str(tmp_path / x) for x in ("a", "b", "c"))
+    run_kg_job(spark, df, out_a, n_buckets=2)
+    run_kg_job(spark, df, out_b, n_buckets=2)
+    fa, fb = fingerprints(out_a), fingerprints(out_b)
+    assert fa == fb and all(v is not None for v in fa.values())
+
+    mutated = df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" drifted")))
+    run_kg_job(spark, mutated, out_c, n_buckets=2)
+    fc = fingerprints(out_c)
+    assert set(fc) == set(fa) and all(fc[b] != fa[b] for b in fa)
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     from prose_spark.operators.streaming import stream_events_windowed
 
