@@ -627,6 +627,12 @@ def main() -> None:
         "scaling": {
             "cores_lo": SCALING_LO,
             "cores_hi": SCALING_HI,
+            # throughput at BOTH parallelism levels on the compact line
+            # (the north rule's two-cluster-size criterion), not just hi
+            "thr_lo_triples_per_sec": scaling_full[
+                "thr_lo_triples_per_sec"],
+            "thr_hi_triples_per_sec": scaling_full[
+                "thr_hi_triples_per_sec"],
             "efficiency": round(efficiency, 3),
             "framework_efficiency": framework_eff,
             "cpus_steal_hi": scaling_full["cpus_steal_hi"],
