@@ -281,6 +281,32 @@ def q_nlp_triples(spark, sf_dir):
     ).orderBy("doc_id", "sent_idx", "subj", "pred", "obj")
 
 
+def q_kg_triple_support(spark, sf_dir):
+    """Weighted-edge materialization over the SAME deterministic triple
+    set as nlp_triples: the aggregation itself is verified cross-engine
+    (the DuckDB oracle aggregates the pinned nlp_triples golden — the
+    identical input by the nlp_triples hash check), so only the input
+    inherits the pin's model dependence."""
+    from prose_spark.operators.triples import (
+        annotate_and_extract_triples,
+        triple_support,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tr = annotate_and_extract_triples(
+        docs.select("doc_id", "text"), key_cols=("doc_id",)
+    ).withColumn("confidence", F.round("confidence", 6))
+    return (
+        triple_support(tr, source_col="doc_id")
+        .select(
+            "subj", "pred_norm", "obj", "n_mentions", "n_sources",
+            F.round("max_confidence", 6).alias("max_confidence"),
+            F.col("first_source").cast("long").alias("first_source"),
+        )
+        .orderBy("subj", "pred_norm", "obj")
+    )
+
+
 def q_nlp_canonical_entities(spark, sf_dir):
     from prose_spark.operators.canonicalize import (
         canonicalize_mentions,
@@ -291,6 +317,30 @@ def q_nlp_canonical_entities(spark, sf_dir):
     m = mentions_from_annotated(ann, key_col="url")
     canon = canonicalize_mentions(m)
     return canon.select(
+        "entity_id", "canonical_text", "norm",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    ).orderBy("canonical_text", "norm")
+
+
+def q_kg_merge_canonical(spark, sf_dir):
+    """INCREMENTAL canonicalization driver query: canonicalize 2/3 of
+    the pages mentions, then merge_canonicalize the remaining third in.
+    The oracle is the nlp_canonical_entities pinned golden — the BATCH
+    result over all mentions — so the gate hash-checks the incremental
+    path's exact-equivalence contract every round (a different code
+    path must reproduce the batch table bit-for-bit)."""
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        mentions_from_annotated,
+        merge_canonicalize,
+    )
+
+    ann = _annotated_pages(spark)
+    m = mentions_from_annotated(ann, key_col="url")
+    old = m.filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+    new = m.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    inc = merge_canonicalize(new, canonicalize_mentions(old))
+    return inc.select(
         "entity_id", "canonical_text", "norm",
         F.col("n_mentions").cast("long").alias("n_mentions"),
     ).orderBy("canonical_text", "norm")
@@ -834,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_triples": q_nlp_triples,
         "kg_pages_triples": q_kg_pages_triples,
         "nlp_canonical_entities": q_nlp_canonical_entities,
+        "kg_triple_support": q_kg_triple_support,
+        "kg_merge_canonical": q_kg_merge_canonical,
         "nlp_sentiment": q_nlp_sentiment,
         "nlp_sentiment_ml": q_nlp_sentiment_ml,
         "ta_quality": q_ta_quality,
@@ -1088,6 +1140,28 @@ def oracle_sql() -> dict[str, str]:
     simhash_docs = _SIMHASH_FOLD.format(norm=_D_NORM, src="documents")
     simhash_doubled = _SIMHASH_FOLD.format(norm=_D_NORM, src="doubled")
     return pinned | {
+        # the aggregation is recomputed by DuckDB over the pinned
+        # nlp_triples golden — the hash-verified identical input — so
+        # the edge-weighting logic itself is cross-engine-checked even
+        # though the triple set is model-pinned
+        "kg_triple_support": f"""
+            WITH tr AS (SELECT * FROM read_parquet(
+                '{golden_path("nlp_triples")}/*.parquet'))
+            SELECT subj, pred_norm, obj,
+                   count(*)::BIGINT AS n_mentions,
+                   count(DISTINCT doc_id)::BIGINT AS n_sources,
+                   CAST(ROUND(max(confidence), 6) AS DOUBLE)
+                       AS max_confidence,
+                   min(doc_id)::BIGINT AS first_source
+            FROM tr GROUP BY subj, pred_norm, obj
+            ORDER BY subj, pred_norm, obj
+        """,
+        # incremental canonicalization must reproduce the BATCH pinned
+        # golden exactly (exact-equivalence contract, different code path)
+        "kg_merge_canonical": (
+            "SELECT * FROM read_parquet('"
+            + str(golden_path("nlp_canonical_entities")) + "/*.parquet')"
+        ),
         "ta_langid": _langid_oracle_sql(),
         "dedup_minhash_pairs": _minhash_oracle_sql(),
         "dedup_fuzzy_clusters": _fuzzy_clusters_oracle_sql(),

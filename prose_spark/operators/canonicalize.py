@@ -76,6 +76,7 @@ def lsh_candidate_pairs(
     jaccard_max_distance: float = 0.3,
     n_hashes: int = 30,
     bands: int = 10,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct normalized forms -> near-duplicate pairs (a, b) with true
     char-3-gram Jaccard distance <= threshold, via the native banded
@@ -83,14 +84,21 @@ def lsh_candidate_pairs(
     candidates, no pyspark.ml fit, shuffle only on band keys.
 
     forms: DataFrame with column ``norm`` (distinct).
+    probe: optional ``norm`` subset — asymmetric band join yielding only
+    pairs touching a probe form (the incremental-merge path).
     """
     from prose_spark.operators.dedup import banded_minhash_pairs
 
     d = forms.select(
         F.col("norm").alias("k"), _char_grams("norm").alias("g")
     )
+    p = (
+        probe.select(F.col("norm").alias("k"),
+                     _char_grams("norm").alias("g"))
+        if probe is not None else None
+    )
     return banded_minhash_pairs(
-        d, jaccard_max_distance, n_hashes, bands
+        d, jaccard_max_distance, n_hashes, bands, probe=p
     ).select("a", "b")
 
 
@@ -309,7 +317,16 @@ def canonicalize_mentions(
     # switches to distributed star contraction past 2M edges
     comp = connected_components(pairs, driver_threshold=2_000_000)
 
-    # forms with no near-dup edges are their own component
+    return _label_and_pick(form_counts, comp)
+
+
+def _label_and_pick(form_counts: DataFrame, comp: DataFrame) -> DataFrame:
+    """Shared tail of batch and incremental canonicalization: attach
+    component labels (forms with no edges are their own component), pick
+    the canonical surface (most frequent form, ties -> lexico smallest),
+    derive the content-addressed entity id. Keeping this ONE code path
+    is what makes merge_canonicalize's exact-equivalence contract a
+    property of construction, not of luck."""
     labeled = (
         form_counts.join(comp, form_counts.norm == comp.node, "left")
         .select(
@@ -326,6 +343,65 @@ def canonicalize_mentions(
         "canonical_text", F.first("norm").over(w)
     ).withColumn("entity_id", F.xxhash64(F.col("canonical_text")))
     return canon.select("entity_id", "canonical_text", "norm", "n_mentions")
+
+
+def merge_canonicalize(
+    new_mentions: DataFrame,
+    existing: DataFrame,
+    jaccard_max_distance: float = 0.3,
+    lsh_tables: int = 10,
+) -> DataFrame:
+    """INCREMENTAL canonicalization: fold a new crawl's mentions into an
+    existing canonical table without re-pairing the accumulated
+    vocabulary against itself.
+
+    existing: the output of a prior canonicalize_mentions /
+    merge_canonicalize run — (entity_id, canonical_text, norm,
+    n_mentions), one row per form. new_mentions: raw (.., text) rows.
+
+    Exact-equivalence contract (pytest-pinned):
+    ``merge_canonicalize(new, canonicalize_mentions(old)) ==
+    canonicalize_mentions(old UNION new)`` row-for-row, because
+
+    - mention counts merge additively (same normalize/pronoun filter);
+    - near-dup edges are recomputed ONLY for truly-new forms, via the
+      asymmetric probe band join (identical hashing ⇒ identical band
+      collisions, so the new-touching pair set matches the batch run's);
+    - old connectivity re-enters as star edges (member form ->
+      canonical form), whose transitive closure IS the old component
+      partition — batch old x old pairs add nothing beyond it;
+    - the labeling/canonical-pick tail is the shared _label_and_pick.
+
+    At 10^12-document scale this is the difference between paying for
+    |new| x |vocabulary| band collisions per crawl and re-verifying the
+    full |vocabulary|^2 candidate explosion; entity ids are
+    content-addressed (xxhash64 of the canonical surface), so clusters
+    whose membership didn't change keep their ids across merges."""
+    m = normalize_mentions(new_mentions)
+    new_counts = m.groupBy("norm").agg(F.count("*").alias("n_new"))
+    ex = existing.select(
+        "norm", F.col("n_mentions").alias("n_old"), "canonical_text"
+    )
+    merged = new_counts.join(ex, "norm", "full")
+    form_counts = merged.select(
+        "norm",
+        (F.coalesce(F.col("n_new"), F.lit(0))
+         + F.coalesce(F.col("n_old"), F.lit(0))).alias("n_mentions"),
+    )
+    truly_new = merged.filter(F.col("n_old").isNull()).select("norm")
+    pairs = lsh_candidate_pairs(
+        form_counts.select("norm"), jaccard_max_distance,
+        n_hashes=3 * lsh_tables, bands=lsh_tables, probe=truly_new,
+    )
+    anchors = (
+        existing.filter(F.col("norm") != F.col("canonical_text"))
+        .select(F.col("norm").alias("a"),
+                F.col("canonical_text").alias("b"))
+    )
+    comp = connected_components(
+        pairs.unionByName(anchors), driver_threshold=2_000_000
+    )
+    return _label_and_pick(form_counts, comp)
 
 
 def mentions_from_annotated(ann: DataFrame, key_col: str = "url") -> DataFrame:

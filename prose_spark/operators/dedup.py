@@ -132,6 +132,7 @@ def banded_minhash_pairs(
     bands: int = 8,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Core native banded-MinHash join: d(k, g: array of distinct
     shingles) -> (a, b, jaccard_dist) — no pyspark.ml, no model fit,
@@ -166,6 +167,16 @@ def banded_minhash_pairs(
     discriminating bands; a bucket that big is boilerplate, not signal —
     the standard MinHash-LSH production guard). Count dropped buckets
     via ``oversized_band_buckets`` for observability.
+
+    ``probe``: optional (k, g) frame, REQUIRED to be a key-subset of
+    ``d`` with identical g per key. When given, the band join becomes
+    ASYMMETRIC — probe-side keys against the full side — so only pairs
+    with at least one probe member are generated or verified. This is
+    the incremental path: merging a small set of new items into a large
+    existing corpus pays for new x all collisions, never re-materializes
+    the old x old explosion. The pair set equals the self-join's pairs
+    restricted to those touching a probe key (identical hashing ⇒
+    identical band collisions).
     """
     banded = _banded_keys(d, n_hashes, bands, hash_fn)
     if max_bucket_size is not None:
@@ -177,13 +188,26 @@ def banded_minhash_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    pair_ids = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bkey"])
-        .filter(F.col("x.k") < F.col("y.k"))
-        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    if probe is not None:
+        banded_probe = _banded_keys(probe, n_hashes, bands, hash_fn)
+        pair_ids = (
+            banded_probe.alias("x")
+            .join(banded.alias("y"), ["band", "bkey"])
+            .filter(F.col("x.k") != F.col("y.k"))
+            .select(
+                F.least(F.col("x.k"), F.col("y.k")).alias("a"),
+                F.greatest(F.col("x.k"), F.col("y.k")).alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        pair_ids = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bkey"])
+            .filter(F.col("x.k") < F.col("y.k"))
+            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+            .dropDuplicates(["a", "b"])
+        )
     pairs = (
         pair_ids
         .join(d.select(F.col("k").alias("a"), F.col("g").alias("ga")), "a")

@@ -21,6 +21,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prose_spark.schemas import TRIPLE_TYPE
@@ -293,3 +294,38 @@ def extract_triples(df: DataFrame, key_cols: tuple[str, ...] = ("url",)) -> Data
 
     cols = list(key_cols) + ["tokens"]
     return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def triple_support(
+    triples: DataFrame,
+    source_col: str = "url",
+    confidence_col: str = "confidence",
+) -> DataFrame:
+    """Collapse per-document triples into weighted graph edges: one row
+    per (subj, pred_norm, obj) with
+
+    - ``n_mentions``: total assertions of the edge across the corpus,
+    - ``n_sources``: distinct source documents asserting it,
+    - ``max_confidence``: best extraction confidence seen,
+    - ``first_source``: lexicographically-smallest source id (a bounded,
+      deterministic provenance exemplar).
+
+    This is the materialization step between raw extraction and a usable
+    graph: a crawl asserts popular facts millions of times, and the graph
+    table wants one weighted edge, not 10^6 rows. Every aggregate here is
+    decomposable (count / count-distinct-expand / max / min), so the
+    whole thing is a standard two-phase hash aggregate with map-side
+    partials — no unbounded per-group state (deliberately NOT
+    collect_set of sources, which a boilerplate edge would blow up at
+    crawl scale; the reference has no corpus-level aggregation to cite —
+    this extends its per-document extraction, extract.go:160-189, to the
+    north rule's graph-materialize stage)."""
+    return (
+        triples.groupBy("subj", "pred_norm", "obj")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct(source_col).cast("long").alias("n_sources"),
+            F.max(confidence_col).alias("max_confidence"),
+            F.min(source_col).alias("first_source"),
+        )
+    )

@@ -181,3 +181,29 @@ def test_minhash_md5_mode_single_band_join_plan(spark, boilerplate_docs):
     n_joins = sum(tree.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 3, tree  # id-only band join + two key attaches
+
+
+def test_banded_minhash_probe_subset_contract(spark):
+    """The asymmetric probe band join returns EXACTLY the self-join's
+    pairs restricted to those touching a probe key — identical hashing
+    on both sides means identical band collisions, so the incremental
+    path can never see a pair the batch path wouldn't (or vice versa)."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.operators.dedup import _shingles, banded_minhash_pairs
+
+    docs = [(i, f"alpha beta gamma delta epsilon zeta doc {i % 7}")
+            for i in range(40)]
+    df = spark.createDataFrame(docs, ["k", "text"])
+    d = df.select(
+        "k", F.array_distinct(_shingles("text", 3)).alias("g"))
+    full = {(r.a, r.b)
+            for r in banded_minhash_pairs(d, 0.5).collect()}
+    assert full  # the %7 templates guarantee near-dup mass
+    probe_keys = {k for k, _ in docs if k < 10}
+    probe = d.filter(F.col("k") < 10)
+    got = {(r.a, r.b)
+           for r in banded_minhash_pairs(d, 0.5, probe=probe).collect()}
+    want = {(a, b) for a, b in full
+            if a in probe_keys or b in probe_keys}
+    assert got == want and got < full

@@ -379,6 +379,76 @@ def test_done_marker_input_fingerprint_lineage(spark, pages_df, tmp_path):
     assert set(fc) == set(fa) and all(fc[b] != fa[b] for b in fa)
 
 
+def test_merge_canonicalize_equals_batch(spark, pages_df):
+    """The incremental path's exact-equivalence contract:
+    merge_canonicalize(new, canonicalize_mentions(old)) reproduces
+    canonicalize_mentions(old UNION new) ROW FOR ROW on real NER
+    mentions — counts merge additively, the asymmetric probe band join
+    finds exactly the batch run's new-touching pairs, and old
+    connectivity re-enters as star edges whose closure is the old
+    partition. Also checks id stability: clusters untouched by the new
+    crawl keep their entity_id."""
+    from prose_spark.operators.annotate import annotate
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        mentions_from_annotated,
+        merge_canonicalize,
+    )
+
+    ann = annotate(
+        pages_df.filter(F.col("lang") == "en").select("url", "text")
+    )
+    m = mentions_from_annotated(ann, key_col="url").localCheckpoint()
+    old = m.filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+    new = m.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    assert new.count() > 0 and old.count() > 0
+
+    existing = canonicalize_mentions(old).localCheckpoint()
+    batch = sorted(map(tuple, canonicalize_mentions(m).collect()))
+    inc = sorted(map(tuple, merge_canonicalize(new, existing).collect()))
+    assert inc == batch
+
+    # id stability: every cluster whose canonical surface survived the
+    # merge kept its content-addressed entity_id
+    ex_ids = {r.canonical_text: r.entity_id for r in existing.collect()}
+    for ct, eid in {r[1]: r[0] for r in inc}.items():
+        if ct in ex_ids:
+            assert eid == ex_ids[ct]
+
+
+def test_triple_support_weighted_edges(spark):
+    """triple_support collapses repeated assertions into one weighted
+    edge per (subj, pred_norm, obj) with decomposable aggregates only —
+    counts, distinct sources, max confidence, and a BOUNDED provenance
+    exemplar (min source), never a collect_set a hot fact would blow up
+    at crawl scale."""
+    from prose_spark.operators.triples import triple_support
+
+    tr = spark.createDataFrame(
+        [
+            ("u1", "acme", "founded", "globex", 0.9),
+            ("u2", "acme", "founded", "globex", 0.7),
+            ("u2", "acme", "founded", "globex", 0.8),  # same doc twice
+            ("u3", "bob", "joined", "acme", 0.5),
+        ],
+        ["url", "subj", "pred_norm", "obj", "confidence"],
+    )
+    rows = {
+        (r.subj, r.pred_norm, r.obj): r
+        for r in triple_support(tr).collect()
+    }
+    e = rows[("acme", "founded", "globex")]
+    assert (e.n_mentions, e.n_sources) == (3, 2)
+    assert e.max_confidence == 0.9 and e.first_source == "u1"
+    assert rows[("bob", "joined", "acme")].n_mentions == 1
+    # plan stays a distributed aggregate: at most the two exchanges the
+    # distinct-count rewrite needs (partial on (keys, source), final on
+    # keys), and never a cartesian or a driver-side collect
+    plan = triple_support(tr)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     from prose_spark.operators.streaming import stream_events_windowed
 
