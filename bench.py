@@ -441,13 +441,18 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     from prose_spark.session import get_spark
 
     names = [
-        "nlp_token_counts", "nlp_triples", "ta_quality", "ta_fingerprint",
+        "nlp_token_counts", "nlp_triples", "kg_triple_support",
+        "ta_quality", "ta_fingerprint",
         "ta_bpe_token_counts",
         "dedup_exact_groups", "dedup_minhash_pairs", "dedup_simhash",
         "dedup_embedding_pairs",
         "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
         "rel_q1", "rel_top_customers", "rel_window_topk",
         "rel_events_hourly", "rel_nation_rollup",
+        # runs over the FIXED 500-page entity corpus (not sf-scaled):
+        # timed so the incremental-canonicalization path can't regress
+        # silently, stable across sf choices by construction
+        "kg_merge_canonical",
     ]
     qs = entrymod.queries()
     spark = get_spark(app_name="bench_queries", cores=cores)
