@@ -181,7 +181,9 @@ class Trainer:
             tagger.train_epoch(train_data)
             metrics.epochs_completed = epoch + 1
             if valid_data:
-                tagger._memo.clear()  # weights changed; memo is stale
+                # no memo clear needed here: train_epoch rebinds
+                # tagger._memo at its start, the single authoritative
+                # invalidation for weight changes
                 res = tagger.validate(valid_data)
                 acc, loss = res["accuracy"], res["loss"]
                 metrics.final_accuracy, metrics.final_loss = acc, loss

@@ -307,8 +307,9 @@ def triple_support(
     - ``n_mentions``: total assertions of the edge across the corpus,
     - ``n_sources``: distinct source documents asserting it,
     - ``max_confidence``: best extraction confidence seen,
-    - ``first_source``: lexicographically-smallest source id (a bounded,
-      deterministic provenance exemplar).
+    - ``first_source``: smallest source id under the column's own
+      ordering — numeric for numeric ids, lexicographic for strings —
+      a bounded, deterministic provenance exemplar.
 
     This is the materialization step between raw extraction and a usable
     graph: a crawl asserts popular facts millions of times, and the graph

@@ -47,10 +47,11 @@ DONE_SCHEMA = T.StructType(
         # docs dropped by the per-document timeout budget (0 when the job
         # runs with the default no-timeout config; null in pre-r3 markers)
         T.StructField("n_doc_timeouts", T.LongType()),
-        # input lineage: order-independent bit_xor of xxhash64(url, text)
-        # over the bucket's input docs — a resume against an input that
-        # changed under the same path shows a different fingerprint in
-        # the new markers (null in pre-r4 markers)
+        # input lineage: order-independent, multiplicity-aware sum of
+        # xxhash64(url, text) over the bucket's input docs (decimal sum
+        # folded into a long) — a resume against an input that changed
+        # under the same path shows a different fingerprint in the new
+        # markers (null in pre-r4 markers)
         T.StructField("input_fingerprint", T.LongType()),
     ]
 )
@@ -202,9 +203,13 @@ def run_kg_job(
     dynamic-partition-overwrite (Iceberg append at production) — no
     per-bucket driver loop re-filtering the full input. Per-bucket
     metrics after the write: triple counts come from the just-written
-    partitions (partition-pruned, parquet-footer counts), doc counts from
-    a url-column-pruned aggregation (at production an Iceberg metadata
-    count). Done markers land after the write, so a crash between write
+    partitions (partition-pruned, parquet-footer counts); doc counts and
+    the input-lineage fingerprint share one aggregation that re-reads
+    url + text for the wave's buckets — one extra scan of the text
+    column per wave, the price of content-addressed lineage (at
+    production, fold the hash during the annotate pass or keep a
+    content-hash column in the Iceberg table to put the metrics pass
+    back on metadata). Done markers land after the write, so a crash between write
     and marker re-overwrites only those partitions on resume
     (idempotent); finished buckets are skipped via the marker set.
 
@@ -279,15 +284,23 @@ def run_kg_job(
                     raise
                 tri_counts = {}
             # doc counts + input lineage fingerprint in ONE agg pass:
-            # bit_xor of xxhash64(url, text) is order-independent and
-            # overflow-free, so a resume against an input that changed
-            # under the same path is detectable from the markers alone
+            # SUM of xxhash64(url, text) in decimal (order-independent
+            # AND multiplicity-aware — an xor fold would cancel
+            # even-multiplicity duplicates, letting pair-swapped input
+            # keep its fingerprint), wrapped into the marker's long via
+            # pmod. A resume against input that changed under the same
+            # path is detectable from the markers alone.
+            fp_sum = F.sum(
+                F.xxhash64("url", "text").cast("decimal(38,0)")
+            )
             doc_stats = {
                 r["bucket"]: (r["n"], r["fp"])
                 for r in part.groupBy("bucket")
                 .agg(
                     F.count("*").alias("n"),
-                    F.bit_xor(F.xxhash64("url", "text")).alias("fp"),
+                    F.pmod(
+                        fp_sum, F.lit(2 ** 62).cast("decimal(38,0)")
+                    ).cast("long").alias("fp"),
                 )
                 .collect()
             }

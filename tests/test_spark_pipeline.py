@@ -378,6 +378,16 @@ def test_done_marker_input_fingerprint_lineage(spark, pages_df, tmp_path):
     fc = fingerprints(out_c)
     assert set(fc) == set(fa) and all(fc[b] != fa[b] for b in fa)
 
+    # even-multiplicity swap: input where every doc appears TWICE, vs
+    # the drifted corpus also doubled — an xor fold would cancel both
+    # to identical fingerprints (same n_docs, same xor), which is
+    # exactly the silent-swap the multiplicity-aware sum must catch
+    out_d, out_e = str(tmp_path / "d"), str(tmp_path / "e")
+    run_kg_job(spark, df.unionAll(df), out_d, n_buckets=2)
+    run_kg_job(spark, mutated.unionAll(mutated), out_e, n_buckets=2)
+    fd, fe = fingerprints(out_d), fingerprints(out_e)
+    assert set(fd) == set(fe) and all(fd[b] != fe[b] for b in fd)
+
 
 def test_merge_canonicalize_equals_batch(spark, pages_df):
     """The incremental path's exact-equivalence contract:
