@@ -41,14 +41,23 @@ _TAG_CODE = {
 }
 
 # NP: optional determiner, adjectives, noun run (with CD/POS glue inside),
-# or a bare pronoun. VP: optional modal, verb run, optional adverb,
-# optional particle/preposition attaching the object.
+# or a bare pronoun. VP: optional modal, verb run — adverbs allowed
+# BETWEEN verbs ("have seldom heard", "never spoke") so a mid-VP adverb
+# doesn't truncate the predicate and strand the main verb as a bogus
+# object — optional trailing adverb, optional particle/preposition
+# attaching the object.
 _NP_RE = re.compile(r"D?J*N[NJCG]*|S")
-_VP_RE = re.compile(r"M?R?V+R?P?")
+_VP_RE = re.compile(r"M?R?V+(?:RV+)*R?P?")
 
 # irregular 3rd-person forms whose -s strip would be wrong ("is" -> "i")
 _IRREGULAR_VBZ = {"is": "be", "has": "have", "does": "do", "goes": "go",
                   "'s": "be"}
+
+# straight/typographic quotes and PTB two-char quote tokens: the
+# sanitizer folds typographic quotes to '"', which the tagger then
+# mistags (NNP/NN/VBP) on open text, leaking quote marks into NP/VP
+# spans; force them out of every span at the code level
+_QUOTE_TOKENS = frozenset(('"', "``", "''", "'", "`", "“", "”"))
 
 
 def _code(tags: list[str]) -> str:
@@ -69,7 +78,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
 
     for si, idxs in by_sent.items():
         tags = [tokens[i]["tag"] or "" for i in idxs]
-        code = _code(tags)
+        code = "".join(
+            "." if tokens[i]["text"] in _QUOTE_TOKENS
+            else _TAG_CODE.get(t, ".")
+            for i, t in zip(idxs, tags)
+        )
         nps = [(m.start(), m.end()) for m in _NP_RE.finditer(code)]
         if len(nps) < 2:
             continue

@@ -10,8 +10,9 @@ convention) with standard lenient OIE matching: a predicted triple
 matches a gold triple when each slot's normalized token set is
 contained in (or contains) the gold slot's.
 
-Measured r4 baselines (deterministic kernel, pinned models):
-P = 0.5484 (68/124), R = 0.7595 (60/79) — recorded in BASELINE.md next
+Measured r4 baselines (deterministic kernel, pinned models; after the
+quote-span and mid-VP-adverb chunker fixes):
+P = 0.5546 (66/119), R = 0.7595 (60/79) — recorded in BASELINE.md next
 to the templated number. The floors below are regression guards a few
 points under the measurement.
 """
@@ -66,7 +67,7 @@ def test_open_text_triple_precision_recall():
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
     # regression floors under the measured r4 values
-    # (P=0.5484 = 68/124, R=0.7595 = 60/79 — same as the docstring)
+    # (P=0.5546 = 66/119, R=0.7595 = 60/79 — same as the docstring)
     assert precision >= 0.52, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
         f"{n_pred}) regressed below 0.52")
