@@ -11,8 +11,9 @@ matches a gold triple when each slot's normalized token set is
 contained in (or contains) the gold slot's.
 
 Measured r4 baselines (deterministic kernel, pinned models; after the
-quote-span and mid-VP-adverb chunker fixes):
-P = 0.5546 (66/119), R = 0.7595 (60/79) — recorded in BASELINE.md next
+quote-span, mid-VP-adverb, and comma-parity clause-boundary fixes
+with the relative-pronoun subject exception):
+P = 0.6600 (66/100), R = 0.7595 (60/79) — recorded in BASELINE.md next
 to the templated number. The floors below are regression guards a few
 points under the measurement.
 """
@@ -67,10 +68,10 @@ def test_open_text_triple_precision_recall():
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
     # regression floors under the measured r4 values
-    # (P=0.5546 = 66/119, R=0.7595 = 60/79 — same as the docstring)
-    assert precision >= 0.52, (
+    # (P=0.6600 = 66/100, R=0.7595 = 60/79 — same as the docstring)
+    assert precision >= 0.63, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.52")
+        f"{n_pred}) regressed below 0.63")
     assert recall >= 0.72, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
         f"{n_gold}) regressed below 0.72")
