@@ -183,32 +183,44 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             rebound = subj_span in subj_override
             if rebound:
                 subj_span = subj_override[subj_span]
-            obj_span = next(((s, e) for s, e in nps if s >= ve), None)
-            if subj_span is None or obj_span is None:
+            if subj_span is None:
                 continue
             # clause-boundary guards: an ODD number of commas between
             # the verb and its chosen argument means the argument
             # belongs to ANOTHER clause ("Although many new laws are
             # controversial, they ..." must not yield <many new laws>
             # are <they>), while an EVEN count is a balanced
-            # parenthetical that legitimately intervenes ("He was, I
-            # take it, the most perfect ..."). The appositive-rebound
-            # subject crosses its chain-closing comma by design, so
-            # only un-rebound subjects are checked.
-            if sum(k in commas for k in range(ve, obj_span[0])) % 2:
+            # parenthetical that legitimately intervenes. The object is
+            # therefore the FIRST post-verb NP at even comma distance —
+            # skipping a parenthetical's own NPs ("He was, I take it,
+            # the most perfect ..." attaches "the most perfect ...",
+            # not "I") — and the triple is dropped when every remaining
+            # NP sits across an odd boundary.
+            obj_span = next(
+                (
+                    (s, e) for s, e in nps
+                    if s >= ve
+                    and not sum(k in commas for k in range(ve, s)) % 2
+                ),
+                None,
+            )
+            if obj_span is None:
                 continue
-            subj_commas = [k for k in range(subj_span[1], vs)
-                           if k in commas]
-            if not rebound and len(subj_commas) % 2:
-                # exception: a relative clause re-opens the subject
-                # ("shark fins, which is considered a delicacy") — the
-                # span between the last comma and the verb holds only
-                # relative pronouns
-                if not (vs > subj_commas[-1] + 1 and all(
-                    tokens[idxs[k]]["tag"] in ("WDT", "WP", "WP$")
-                    for k in range(subj_commas[-1] + 1, vs)
-                )):
-                    continue
+            # the appositive-rebound subject crosses its chain-closing
+            # comma by design, so only un-rebound subjects are checked
+            if not rebound:
+                subj_commas = [k for k in range(subj_span[1], vs)
+                               if k in commas]
+                if len(subj_commas) % 2:
+                    # exception: a relative clause re-opens the subject
+                    # ("shark fins, which is considered a delicacy") —
+                    # the span between the last comma and the verb
+                    # holds only relative pronouns
+                    if not (vs > subj_commas[-1] + 1 and all(
+                        tokens[idxs[k]]["tag"] in ("WDT", "WP", "WP$")
+                        for k in range(subj_commas[-1] + 1, vs)
+                    )):
+                        continue
 
             s_toks = phrase(subj_span)
             o_toks = phrase(obj_span)
