@@ -161,6 +161,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 }
             )
 
+        # last emitted VP triple's PRE-passive-swap (subj, obj, ve) for
+        # coordinated-predicate subject sharing
+        prev_vp = None
         for vm in _VP_RE.finditer(code):
             vs, ve = vm.span()
             if "V" not in code[vs:ve]:
@@ -185,6 +188,22 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 subj_span = subj_override[subj_span]
             if subj_span is None:
                 continue
+            # coordinated predicates share the subject: in "Students can
+            # use bathrooms and join school athletic teams", the nearest
+            # NP before "join" is the PREVIOUS verb's object — when the
+            # gap holds only coordination tokens and the candidate lies
+            # inside the previous predicate's object region, re-bind to
+            # the previous triple's (pre-passive-swap) subject
+            shared = False
+            if (not rebound and prev_vp is not None
+                    and subj_span[0] >= prev_vp[2]
+                    and any(tokens[idxs[k]]["text"].lower() in ("and", "or")
+                            for k in range(subj_span[1], vs))
+                    and all(tokens[idxs[k]]["text"].lower()
+                            in (",", "and", "or")
+                            for k in range(subj_span[1], vs))):
+                subj_span = prev_vp[0]
+                shared = True
             # clause-boundary guards: an ODD number of commas between
             # the verb and its chosen argument means the argument
             # belongs to ANOTHER clause ("Although many new laws are
@@ -207,8 +226,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if obj_span is None:
                 continue
             # the appositive-rebound subject crosses its chain-closing
-            # comma by design, so only un-rebound subjects are checked
-            if not rebound:
+            # comma by design, and a coordination-shared subject crosses
+            # its own ", and" — only plain subjects are checked
+            if not rebound and not shared:
                 subj_commas = [k for k in range(subj_span[1], vs)
                                if k in commas]
                 if len(subj_commas) % 2:
@@ -226,6 +246,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             o_toks = phrase(obj_span)
             if not s_toks or not o_toks:
                 continue
+            prev_vp = (subj_span, obj_span, ve)
             v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
 
             # passive voice: "<obj> BE VBN by <subj>" inverts the triple
