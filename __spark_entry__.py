@@ -177,11 +177,45 @@ def q_nlp_tokens_by_lang(spark, sf_dir):
     )
 
 
+def _annotated_cache_key() -> str:
+    """Cache key covering EVERYTHING that can change annotate() output:
+    the pages generator, the annotate kernel, every NLP kernel module,
+    and the trained model artifacts. A stale cache would silently feed
+    six NLP-chain queries, so the key errs maximal."""
+    import hashlib
+
+    import prose_spark
+
+    pkg = Path(prose_spark.__file__).parent
+    h = hashlib.md5()
+    parts = sorted(
+        list((pkg / "nlp").glob("*.py"))
+        + list((pkg / "models").iterdir())
+        + [pkg / "operators" / "annotate.py", pkg / "sources" / "pages.py"]
+    )
+    for p in parts:
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:10]
+
+
 def _annotated_pages(spark) -> DataFrame:
+    """annotate() over the en pages corpus, materialized ONCE to parquet
+    keyed by the kernel+model+generator hash: six NLP-chain queries
+    (tag dist, mentions, triples x2, canonical x2) share this input, and
+    before r5 each of them re-ran the full annotate kernel — the oracle
+    gate paid the corpus ~6x over. The nested token/entity struct
+    round-trips parquet exactly (strings/longs/doubles), so downstream
+    hashes are unchanged (pinned goldens verify this every round)."""
     from prose_spark.operators.annotate import annotate
 
-    pages = _pages(spark).filter(F.col("lang") == "en")
-    return annotate(pages.select("url", "text"))
+    path = f"/tmp/prose_spark_ann_{_PAGES_N}_s42_{_annotated_cache_key()}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        pages = _pages(spark).filter(F.col("lang") == "en")
+        annotate(pages.select("url", "text")).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
 
 
 def q_nlp_pos_tag_dist(spark, sf_dir):
@@ -1382,7 +1416,10 @@ def oracle_sql() -> dict[str, str]:
         # (table, signature) candidate buckets, and the exact-cosine
         # rerank — entirely from the raw embeddings table. Signature
         # parity holds because a sign bit flips only when a projection
-        # sits within float-noise of 0 (never on real-valued data).
+        # sits within float-noise of 0 — QUANTIFIED, not assumed:
+        # tests/test_sim_oracle_margins.py measures min |projection|
+        # >= 1e-6 and min ROUND(cos,6) half-boundary distance 2.8e-3
+        # ulp on this corpus, >= 1e6x the cross-engine drift bound.
         "sim_topk_lsh": """
             WITH emb AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1430,7 +1467,9 @@ def oracle_sql() -> dict[str, str]:
         # seed coords), re-normalize — then corpus assignment, per-query
         # n_probe=8 cell pruning, and exact-cosine rerank. Centroid float
         # drift vs Spark's decimal-mean path is ~1e-15 and can only
-        # matter through argmax flips (gaps ~1e-2): never observed.
+        # matter through argmax flips — QUANTIFIED in
+        # tests/test_sim_oracle_margins.py: min assignment gap 8.4e-5,
+        # min n_probe-cut gap 1.2e-3 on this corpus, >= 1e7x the drift.
         "sim_topk_ivf": """
             WITH emb AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

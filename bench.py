@@ -511,6 +511,11 @@ def main() -> None:
     runs: list[dict] = []
     controls: list[dict] = []
     retries_left = MAX_RETRIES
+    # budget anchored HERE, not at process start: corpus generation and
+    # session warmup must not eat the retry window, or triplets 2-3
+    # silently lose their contended-host re-measurement whenever setup
+    # plus the first triplet exceed the budget
+    t_retry_anchor = time.time()
     for rep in range(3):
         log(f"== triplet {rep + 1}/3 ==")
         while True:
@@ -520,7 +525,7 @@ def main() -> None:
             log(str(r_hi))
             steal = max(r_lo["cpus_steal"], r_hi["cpus_steal"])
             if (steal <= STEAL_RETRY or retries_left <= 0
-                    or time.time() - t_start > RETRY_BUDGET_SEC):
+                    or time.time() - t_retry_anchor > RETRY_BUDGET_SEC):
                 break
             retries_left -= 1
             log(f"steal {steal} > {STEAL_RETRY} CPUs: contended host "

@@ -187,6 +187,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     driver_threshold: int = 0,
+    driver_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """edges(a, b) -> (node, comp) with comp = min node id in the
     component (string ids compared lexicographically).
@@ -201,29 +202,54 @@ def connected_components(
     ``stats`` to read back the round count.
 
     ``driver_threshold`` > 0 enables a size gate: when the distinct edge
-    count is at or below it, a driver-side union-find (same output
-    contract) replaces ~2 shuffles+1 collect per round with one collect —
-    the practical fast path for post-blocking entity graphs, which are
-    tiny relative to the corpus. Above the gate (the 100 TB case) the
-    distributed contraction runs unchanged.
+    count is at or below it AND the estimated collected size is under
+    ``driver_max_bytes``, a driver-side union-find (same output contract)
+    replaces ~2 shuffles+1 collect per round with one collect — the
+    practical fast path for post-blocking entity graphs, which are tiny
+    relative to the corpus. The byte term makes the gate robust to a
+    long-surface vocabulary: 2M edges of 10-char norms fit a 24g driver
+    easily, 2M edges of 2KB surfaces would not. Above either bound (the
+    100 TB case) the distributed contraction runs unchanged.
     """
+    from pyspark.sql import types as T
+
+    # ONE materialization of the incoming edge set; everything below —
+    # the deduped working set, the gate's collected node list, and the
+    # distributed path's node frame — derives from this checkpoint, so
+    # the (possibly expensive: NER annotate -> mentions -> band join)
+    # upstream lineage is evaluated exactly once per call.
+    raw = edges.select("a", "b").localCheckpoint()
     e = (
-        edges.select("a", "b")
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
     if driver_threshold > 0:
-        n_edges = e.count()
-        if n_edges <= driver_threshold:
+        id_is_str = isinstance(raw.schema["a"].dataType, T.StringType)
+        size_agg = [F.count("*").alias("n")]
+        if id_is_str:
+            size_agg.append(
+                F.coalesce(
+                    F.sum((F.length("a") + F.length("b")).cast("long")),
+                    F.lit(0),
+                ).alias("chars")
+            )
+        row = e.agg(*size_agg).collect()[0]
+        n_edges = row["n"]
+        # collected-footprint estimate: string edges ~= total chars (+
+        # per-Row overhead folded into the cap margin); fixed-width ids
+        # ~= 16 bytes/edge
+        est_bytes = int(row["chars"]) if id_is_str else n_edges * 16
+        if n_edges <= driver_threshold and est_bytes <= driver_max_bytes:
             spark = e.sparkSession
             pairs = [(r["a"], r["b"]) for r in e.collect()]
-            # node set from the RAW edges so self-loop-only nodes are
-            # kept, matching the distributed path's contract
+            # node set from the raw (pre-self-loop-filter) edges so
+            # self-loop-only nodes are kept, matching the distributed
+            # path's contract
             node_list = [
                 r["node"]
-                for r in edges.select(F.col("a").alias("node"))
-                .union(edges.select(F.col("b").alias("node")))
+                for r in raw.select(F.col("a").alias("node"))
+                .union(raw.select(F.col("b").alias("node")))
                 .distinct()
                 .collect()
             ]
@@ -231,10 +257,11 @@ def connected_components(
             return _union_find_local(spark, pairs, node_list, id_type,
                                      stats)
     # materialized only on the distributed path (the gate path never
-    # uses the DataFrame form)
+    # uses the DataFrame form); derives from the checkpoint, not the
+    # caller's lineage
     nodes = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -282,6 +309,7 @@ def connected_components(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["path"] = "distributed"
     # fixed point is a star forest: every non-root edge is (node, root)
     star = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
     return nodes.join(star, "node", "left").select(
@@ -303,7 +331,17 @@ def canonicalize_mentions(
     blocking recall, more candidates).
     """
     m = normalize_mentions(mentions)
-    form_counts = m.groupBy("norm").agg(F.count("*").alias("n_mentions"))
+    # eager checkpoint: the mentions lineage (typically the full NER
+    # annotate kernel) is the dominant cost of the pipeline, and
+    # form_counts feeds three separate action chains (band join, CC,
+    # label/pick tail). Without this, each chain re-runs annotate —
+    # measured ~6x on the incremental driver query. The checkpointed
+    # frame is one row per distinct surface form: tiny relative to the
+    # corpus at any scale.
+    form_counts = (
+        m.groupBy("norm").agg(F.count("*").alias("n_mentions"))
+        .localCheckpoint()
+    )
 
     # r=3 rows x lsh_tables bands: at the default 10 bands, collision
     # prob 0.985 at the s=0.7 threshold boundary, ~1e-3 for unrelated
@@ -378,7 +416,18 @@ def merge_canonicalize(
     content-addressed (xxhash64 of the canonical surface), so clusters
     whose membership didn't change keep their ids across merges."""
     m = normalize_mentions(new_mentions)
-    new_counts = m.groupBy("norm").agg(F.count("*").alias("n_new"))
+    # same single-evaluation discipline as canonicalize_mentions: the
+    # new side's annotate lineage and the caller's existing-table
+    # lineage are each checkpointed ONCE (both frames are one row per
+    # form); merged / form_counts / truly_new / anchors all derive from
+    # these checkpoints, so no downstream action chain re-runs either
+    # upstream. This is the incremental path's value proposition — it
+    # must not pay the batch annotate cost repeatedly.
+    new_counts = (
+        m.groupBy("norm").agg(F.count("*").alias("n_new"))
+        .localCheckpoint()
+    )
+    existing = existing.localCheckpoint()
     ex = existing.select(
         "norm", F.col("n_mentions").alias("n_old"), "canonical_text"
     )

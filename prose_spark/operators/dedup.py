@@ -16,6 +16,7 @@ buckets (empty/boilerplate docs).
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -458,6 +459,34 @@ def simhash_candidate_pairs(df_with_simhash: DataFrame, key_col: str,
     )
 
 
+ALL_PAIRS_GUARD_MARKER = "ALL_PAIRS_GUARD:"
+
+
+@contextmanager
+def guard_errors_as_value_error():
+    """Restore the pre-r4 ``ValueError`` contract for callers that want
+    it: wrap the FIRST ACTION on a guarded plan (``.count()``,
+    ``.collect()``, ``.write...``) and any Spark execution error carrying
+    the guard marker is re-raised as ``ValueError`` with the original
+    guard message::
+
+        with guard_errors_as_value_error():
+            ngram_jaccard_pairs(df, "id").count()
+
+    (The in-plan guard itself cannot raise ValueError at call time —
+    that is the point: it costs zero jobs until the caller runs an
+    action, so the failure surfaces wherever the action is.)"""
+    try:
+        yield
+    except Exception as exc:  # noqa: BLE001 - re-raise filtered below
+        text = str(exc)
+        idx = text.find(ALL_PAIRS_GUARD_MARKER)
+        if idx < 0:
+            raise
+        msg = text[idx + len(ALL_PAIRS_GUARD_MARKER):].split("\n")[0].strip()
+        raise ValueError(msg) from exc
+
+
 def attach_all_pairs_guard(df: DataFrame, row_limit: int,
                            msg: str) -> DataFrame:
     """In-plan quadratic foot-gun guard: crossJoin a broadcast 1-row
@@ -466,8 +495,18 @@ def attach_all_pairs_guard(df: DataFrame, row_limit: int,
     input exceeds the cap — no separate probe job per call, which the
     eager ``limit(k+1).count()`` guard used to cost even on tiny inputs.
     The assert lives inside a filter condition on a column the plan needs,
-    so Catalyst can neither prune nor constant-fold it away."""
+    so Catalyst can neither prune nor constant-fold it away.
+
+    FAILURE CONTRACT (changed in r4 when the guard moved in-plan): an
+    over-limit input no longer raises ``ValueError`` at call time; it
+    raises a Spark execution error at the caller's first action, after
+    the quadratic stage briefly launches (the failing filter is evaluated
+    with the first rows, so the join dies within its first tasks, not
+    after doing the quadratic work). The message is prefixed with
+    ``ALL_PAIRS_GUARD_MARKER`` so ``guard_errors_as_value_error()`` can
+    restore the old exception type around any action."""
     probe = df.limit(row_limit + 1).agg(F.count("*").alias("_n"))
+    msg = ALL_PAIRS_GUARD_MARKER + " " + msg
     return (
         df.crossJoin(F.broadcast(probe))
         .filter(
@@ -496,7 +535,10 @@ def ngram_jaccard_pairs(
     caller sets ``allow_all_pairs=True`` — at web scale an accidental
     unblocked call would otherwise launch a ~10^18-pair self-join. The
     check rides the plan itself (attach_all_pairs_guard): a broadcast
-    1-row count over limit(k+1), no separate probe job."""
+    1-row count over limit(k+1), no separate probe job. NOTE the raise
+    is a Spark execution error at the first action, NOT a call-time
+    ValueError (changed in r4); wrap the action in
+    ``guard_errors_as_value_error()`` for the old exception type."""
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),

@@ -287,7 +287,10 @@ def embedding_near_dup_pairs(
     ``allow_all_pairs=True`` (an accidental all-pairs cross join at web
     scale is a ~10^18-row plan); the check rides the plan itself
     (dedup.attach_all_pairs_guard) — a broadcast 1-row count over
-    limit(k+1), no separate probe job per call.
+    limit(k+1), no separate probe job per call. NOTE the raise is a
+    Spark execution error at the first action, NOT a call-time
+    ValueError (changed in r4); wrap the action in
+    ``dedup.guard_errors_as_value_error()`` for the old exception type.
     """
     d = _spread(df.select(
         F.col(key_col).alias("k"),

@@ -105,6 +105,18 @@ def test_ngram_jaccard_all_pairs_raises(spark, boilerplate_docs):
     with pytest.raises(Exception, match="all-pairs self-join"):
         ngram_jaccard_pairs(boilerplate_docs, key_col="doc_id",
                             all_pairs_row_limit=100).count()
+    # the pre-r4 ValueError contract, restored around the action
+    from prose_spark.operators.dedup import guard_errors_as_value_error
+
+    with pytest.raises(ValueError, match="all-pairs self-join"):
+        with guard_errors_as_value_error():
+            ngram_jaccard_pairs(boilerplate_docs, key_col="doc_id",
+                                all_pairs_row_limit=100).count()
+    # non-guard errors pass through untouched
+    with pytest.raises(Exception) as ei:
+        with guard_errors_as_value_error():
+            spark.sql("select assert_true(false, 'unrelated')").collect()
+    assert not isinstance(ei.value, ValueError)
     # explicit override runs (block_col path never probes)
     small = boilerplate_docs.limit(5)
     ngram_jaccard_pairs(small, key_col="doc_id",

@@ -646,6 +646,109 @@ def test_connected_components_gate_paths_agree_on_self_loops(spark):
     assert local == dist == {("x", "x"), ("a", "a"), ("b", "a")}
 
 
+def test_connected_components_gate_is_byte_aware(spark):
+    """The driver gate must decline edge sets whose COLLECTED size would
+    blow the driver heap even when the row count is under the threshold:
+    a long-surface vocabulary (2KB norms) at 200 edges exceeds a 100KB
+    byte cap and must take the distributed path, while the same graph
+    with short ids stays on the local path. Labels agree either way."""
+    from prose_spark.operators.canonicalize import connected_components
+
+    wide = spark.createDataFrame(
+        [("L" * 2048 + str(i), "L" * 2048 + str(i + 1))
+         for i in range(200)],
+        ["a", "b"],
+    )
+    stats: dict = {}
+    labels = connected_components(
+        wide, driver_threshold=1000, driver_max_bytes=100 << 10,
+        stats=stats,
+    )
+    assert stats["path"] == "distributed", stats
+    assert labels.select("comp").distinct().count() == 1
+    narrow = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(200)], ["a", "b"]
+    )
+    stats2: dict = {}
+    connected_components(
+        narrow, driver_threshold=1000, driver_max_bytes=100 << 10,
+        stats=stats2,
+    ).collect()
+    assert stats2["path"] == "local", stats2
+
+
+def _counting_mentions(spark, rows, acc):
+    """Mentions frame whose evaluation increments ``acc`` once per row —
+    the probe for single-evaluation guarantees (no task retries in local
+    mode, so acc.value == n_rows iff the lineage ran exactly once)."""
+    import pandas as pd  # noqa: F401
+
+    base = spark.createDataFrame(rows, ["url", "text"])
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    return base.mapInPandas(count_rows, base.schema)
+
+
+def test_canonicalize_evaluates_mentions_lineage_once(spark):
+    """canonicalize_mentions must evaluate its (expensive: annotate ->
+    mentions) input lineage EXACTLY once — r4 measured ~6 re-runs of the
+    NER kernel through the band-join / CC-gate / label-pick action
+    chains before the form_counts checkpoint landed."""
+    from prose_spark.operators.canonicalize import canonicalize_mentions
+
+    rows = [(f"u{i}", t) for i, t in enumerate(
+        ["Acme Corporation", "Acme Corporation", "Acme Corporatio",
+         "Globex", "Initech", "Initech Inc"] * 5)]
+    acc = spark.sparkContext.accumulator(0)
+    m = _counting_mentions(spark, rows, acc)
+    canon = canonicalize_mentions(m, jaccard_max_distance=0.4)
+    canon.collect()
+    canon.count()  # a SECOND action must not re-run the lineage either
+    assert acc.value == len(rows), (
+        f"mentions lineage evaluated {acc.value / len(rows):.1f}x"
+    )
+
+
+def test_merge_canonicalize_evaluates_each_side_once(spark):
+    """merge_canonicalize must evaluate the new-mentions lineage and the
+    caller's existing-table lineage exactly once each (the incremental
+    path exists to AVOID rework)."""
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        merge_canonicalize,
+    )
+
+    old_rows = [(f"o{i}", t) for i, t in enumerate(
+        ["Acme Corporation", "Acme Corporatio", "Globex"] * 4)]
+    new_rows = [(f"n{i}", t) for i, t in enumerate(
+        ["Acme Corporation", "Hooli", "Hooli Inc"] * 3)]
+    acc_old = spark.sparkContext.accumulator(0)
+    acc_new = spark.sparkContext.accumulator(0)
+    existing = canonicalize_mentions(
+        _counting_mentions(spark, old_rows, acc_old),
+        jaccard_max_distance=0.4,
+    )
+    assert acc_old.value == len(old_rows)
+    new_m = _counting_mentions(spark, new_rows, acc_new)
+    merged = merge_canonicalize(new_m, existing,
+                                jaccard_max_distance=0.4)
+    merged.collect()
+    merged.count()
+    assert acc_new.value == len(new_rows), (
+        f"new-mentions lineage evaluated {acc_new.value / len(new_rows):.1f}x"
+    )
+    # existing's lineage: its own canonicalize (form_counts checkpoint)
+    # already consumed the old rows exactly once; merge_canonicalize's
+    # internal checkpoint of `existing` must not re-trigger it
+    assert acc_old.value == len(old_rows), (
+        f"existing lineage re-evaluated ({acc_old.value} rows counted)"
+    )
+
+
 def test_warc_roundtrip_to_pages(spark, tmp_path):
     """WARC source: synthetic pages serialized as WARC (+member gzip),
     read back through binaryFile + the record parser into the full
