@@ -41,17 +41,75 @@ _TAG_CODE = {
 }
 
 # NP: optional determiner, adjectives, noun run (with CD/POS glue inside),
-# or a bare pronoun. VP: optional modal, verb run — adverbs allowed
-# BETWEEN verbs ("have seldom heard", "never spoke") so a mid-VP adverb
-# doesn't truncate the predicate and strand the main verb as a bogus
-# object — optional trailing adverb, optional particle/preposition
-# attaching the object.
-_NP_RE = re.compile(r"D?J*N[NJCG]*|S")
-_VP_RE = re.compile(r"M?R?V+(?:RV+)*R?P?")
+# a bare pronoun, or a standalone numeral directly governing a verb
+# ("One prohibits them" — CD as subject; a numeral anywhere else never
+# forms an NP on its own, so "raise it between 25 and 75 cents" cannot
+# take "25" as an object). VP: optional
+# modal, verb run — adverbs allowed BETWEEN verbs ("have seldom heard",
+# "never spoke") so a mid-VP adverb doesn't truncate the predicate and
+# strand the main verb as a bogus object — optional trailing adverb,
+# optional particle/preposition attaching the object.
+_NP_RE = re.compile(r"D?J*N[NJCG]*|S|C(?=V)|D(?![NJCG])")
+_VP_RE = re.compile(r"M?R*V+(?:R+V+)*R*P?")
 
 # irregular 3rd-person forms whose -s strip would be wrong ("is" -> "i")
 _IRREGULAR_VBZ = {"is": "be", "has": "have", "does": "do", "goes": "go",
                   "'s": "be"}
+
+# clause-opening subordinators that the tagger codes as IN (-> P): these
+# never attach to a VP as a particle/preposition, and a verb followed by
+# one takes a CLAUSAL complement, not an NP object ("signify if they
+# have been convicted" must not yield <job applicants> signify if
+# <they>). Deliberately excludes the PP-capable IN words (after, before,
+# since, as, when, while) whose NP reading is common.
+_SUBORD_CONJ = frozenset(("that", "if", "whether", "because", "although",
+                          "unless"))
+# the subset that also vetoes an NP object ("that" strips from the
+# predicate but its complement's subject NP is conventionally kept:
+# "requires that insurers cover ..." -> <mandate> requires <insurers>)
+_CLAUSAL_DROP = frozenset(("if", "whether", "because", "although",
+                           "unless"))
+
+# explicit negation markers (gold convention: NEGATED copular clauses
+# carry no triples — asserting them would be wrong; softer
+# "never"/"seldom" stay inside the predicate)
+_NEG_TOKENS = frozenset(("not", "n't"))
+
+_BE_FORMS = frozenset(("is", "are", "was", "were", "been", "being", "be",
+                       "'s", "'re", "am"))
+
+# tokens a bare copular complement can never be fetched across: the
+# NP on the far side belongs to a subordinate/adverbial clause ("It is
+# true that I had a country walk", "I am baffled until you explain")
+_BE_CROSS_BLOCKERS = frozenset(("that", "if", "whether", "because",
+                                "although", "unless", "until", "while",
+                                "since", "when", "as"))
+
+# single nouns that form adverbial idioms with "in", never objects
+_IN_IDIOM_NOUNS = frozenset(("part", "order", "fact", "general",
+                             "particular", "addition", "turn", "vain",
+                             "common", "short"))
+
+# auxiliary forms whose appearance directly before a subject NP marks
+# subject-aux inversion (question / counterfactual)
+_AUX_FORMS = frozenset(("had", "have", "has", "do", "does", "did",
+                        "is", "are", "was", "were", "am", "can",
+                        "could", "will", "would", "shall", "should",
+                        "may", "might", "must"))
+
+# object-control matrix verbs: in "<subj> REQUIRE <obj> to <verb> ...",
+# the infinitive's actor is the matrix OBJECT ("can't require applicants
+# to provide passwords" -> applicants provide), unlike subject-control
+# ("aims to protect" -> the aimer protects). Stem-matched so common
+# inflections are covered without a lemmatizer.
+_OBJ_CONTROL_STEMS = ("requir", "prohibit", "allow", "ask", "tell",
+                      "told", "forc", "caus", "order", "expect", "want",
+                      "permit", "enabl", "encourag", "urg", "instruct")
+
+
+def _is_object_control(word: str) -> bool:
+    w = word.lower()
+    return any(w.startswith(s) for s in _OBJ_CONTROL_STEMS)
 
 # straight/typographic quotes and PTB two-char quote tokens: the
 # sanitizer folds typographic quotes to '"', which the tagger then
@@ -83,14 +141,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             else _TAG_CODE.get(t, ".")
             for i, t in zip(idxs, tags)
         )
-        nps = [(m.start(), m.end()) for m in _NP_RE.finditer(code)]
+        nps = [
+            (m.start(), m.end())
+            for m in _NP_RE.finditer(code)
+            # a bare determiner is an NP only for demonstratives
+            # ("interested in this"), never for articles stranded by a
+            # mistagged neighbor
+            if not (m.end() - m.start() == 1
+                    and code[m.start()] == "D"
+                    and tokens[idxs[m.start()]]["text"].lower()
+                    not in ("this", "that", "these", "those"))
+        ]
         if len(nps) < 2:
             continue
 
         def phrase(span):
             toks = [tokens[idxs[k]] for k in range(span[0], span[1])]
-            # drop leading determiner from the phrase surface
-            while toks and toks[0]["tag"] in ("DT", "PDT"):
+            # drop leading determiner from the phrase surface — but a
+            # standalone demonstrative ("interested in this") IS the
+            # phrase, so never strip to empty
+            while len(toks) > 1 and toks[0]["tag"] in ("DT", "PDT"):
                 toks = toks[1:]
             return toks
 
@@ -115,6 +185,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if tokens[idxs[k]]["text"] == ","
         }
         subj_override: dict[tuple[int, int], tuple[int, int]] = {}
+        # appositive chain-closing comma positions: the verb right after
+        # one is the MAIN verb of the sentence ("Maria Garcia, the
+        # manager of Acme Corp., founded ..."), so the comma-precedes
+        # participial suppression must not fire there even when the
+        # tagger calls the verb VBN
+        appos_close_commas: set[int] = set()
         for ni in range(len(nps) - 1):
             s1, e1 = nps[ni]
             s2, e2 = nps[ni + 1]
@@ -148,6 +224,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if not s_toks or not o_toks:
                 continue
             subj_override[nps[nj]] = (s1, e1)
+            appos_close_commas.add(chain_end)
             out.append(
                 {
                     "sent_idx": si,
@@ -162,31 +239,254 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             )
 
         # last emitted VP triple's PRE-passive-swap (subj, obj, ve) for
-        # coordinated-predicate subject sharing
+        # coordinated-predicate subject sharing and infinitive-subject
+        # re-binding; RESET whenever a VP match is skipped so sharing
+        # only ever crosses a truly adjacent emitted predicate (advisor
+        # r4: a suppressed intermediate VP must not let a later verb
+        # re-bind to a non-adjacent predicate's subject)
         prev_vp = None
-        for vm in _VP_RE.finditer(code):
-            vs, ve = vm.span()
-            if "V" not in code[vs:ve]:
+        comma_sorted = sorted(commas)
+
+        def _segment_len(pos: int) -> int:
+            """Token length of the comma-delimited segment holding pos."""
+            prev_c = max((c for c in comma_sorted if c < pos), default=-1)
+            next_c = min((c for c in comma_sorted if c > pos),
+                         default=len(code))
+            return next_c - prev_c - 1
+
+        def _nonfinite_suppressed(vs: int, ve: int) -> bool:
+            """A verb group with no finite form (every verb VBN/VBG, no
+            modal) acting adjectivally/nominally is not a predicate:
+            preceded by a determiner/adjective ("a renowned engineer",
+            "a growing number"), preceded by a preposition ("in
+            following out", "from sweeping"), preceded by a comma or
+            coordinator (participial clause / coordinated gerund), or
+            directly premodifying a noun ("politically charged change",
+            "observing machine" — but NOT a gerund taking its own
+            object after a noun head: "benefits starting January").
+            Agent-marked passives ("..., deeply attracted by the study")
+            keep their matrix subject and are never suppressed."""
+            vtags = [tokens[idxs[k]]["tag"] for k in range(vs, ve)]
+            verb_tags = [t for t in vtags if t.startswith("VB")]
+            if ("MD" in vtags
+                    or any(t in ("VB", "VBD", "VBP", "VBZ") for t in vtags)
+                    or not verb_tags
+                    or not all(t in ("VBN", "VBG") for t in verb_tags)):
+                return False
+            # the verb after an appositive's closing comma is the main
+            # verb regardless of its (often VBN-mistagged) form
+            if vs > 0 and vs - 1 in appos_close_commas:
+                return False
+            if (code[ve - 1] == "P"
+                    and tokens[idxs[ve - 1]]["text"].lower() == "by"):
+                return False
+            prev_code = code[vs - 1] if vs > 0 else ""
+            prev_text = (tokens[idxs[vs - 1]]["text"].lower()
+                         if vs > 0 else "")
+            premodifies_noun = (ve < len(code) and code[ve] == "N"
+                                and prev_code not in "NS")
+            # absolutive/reduced-relative VBN directly after its noun
+            # ("his hands clasped behind him", "a word spoken") — but a
+            # gerund with its own object stays ("benefits starting
+            # January"), so VBG-bearing groups are exempt
+            absolutive = (prev_code in "NS"
+                          and all(t == "VBN" for t in verb_tags))
+            return (premodifies_noun or absolutive or prev_code in "DJP"
+                    or prev_text in (",", "and", "or"))
+
+        # ordered ACTIVE (non-suppressed) verb-bearing VP spans: span
+        # i's object must lie before the next active span that sits in
+        # the same clause — an NP after the next verb belongs to that
+        # verb ("laws are controversial, they made it ..." must not
+        # reach across "made" for are's object). A short parenthetical's
+        # verb ("He was, I take it, the most perfect ...") does NOT
+        # bound: odd comma distance + segment of <= 4 tokens.
+        vp_spans = [
+            (m.start(), m.end())
+            for m in _VP_RE.finditer(code)
+            if "V" in code[m.start():m.end()]
+            and not _nonfinite_suppressed(m.start(), m.end())
+        ]
+        for vpi, (vs, ve) in enumerate(vp_spans):
+            next_vs = len(code)
+            coord_ends: list[int] = []
+            for s2, e2 in vp_spans[vpi + 1:]:
+                odd = sum(k in commas for k in range(ve, s2)) % 2
+                if odd and _segment_len(s2) <= 4:
+                    continue  # parenthetical verb, not a clause boundary
+                gap = [tokens[idxs[k]]["text"].lower()
+                       for k in range(ve, s2)]
+                if (gap and all(t in (",", "and", "or") for t in gap)
+                        and any(t in ("and", "or") for t in gap)):
+                    # coordinated verb sharing this verb's object
+                    # ("she eclipses and predominates the whole ...") —
+                    # the object lives past the coordinated verb, and
+                    # must be parity-consistent from ITS end as well
+                    coord_ends.append(e2)
+                    continue
+                next_vs = s2
+                break
+            # a clause-opening subordinator mis-attached as the VP-final
+            # preposition is not part of the predicate ("was not that
+            # he ..." -> strip "that")
+            if (code[ve - 1] == "P"
+                    and tokens[idxs[ve - 1]]["text"].lower()
+                    in _SUBORD_CONJ):
+                ve -= 1
+            vtags = [tokens[idxs[k]]["tag"] for k in range(vs, ve)]
+            vtexts = [tokens[idxs[k]]["text"] for k in range(vs, ve)]
+            # a clause-marking subordinator right after the verb group
+            # means a CLAUSAL complement — there is no NP object in this
+            # clause ("signify if they have been convicted"; "that" is
+            # excluded: "requires that insurers cover ..." convention-
+            # ally yields <mandate> requires <insurers>)
+            if (ve < len(code)
+                    and (tokens[idxs[ve]]["text"].lower() in _CLAUSAL_DROP
+                         or tokens[idxs[ve]]["tag"].startswith("W"))):
+                # wh-words too: "know how he was employing ...", "see
+                # where he has secreted ..." take interrogative clauses
+                prev_vp = None
                 continue
-            # suppress a bare participle acting adjectivally inside an
-            # NP ("a renowned engineer" must not yield <subj> renowned
-            # <engineer>): single VBN, no aux/particle, preceded by a
-            # determiner or adjective
-            if (ve - vs == 1 and vs > 0 and code[vs - 1] in "DJ"
-                    and tokens[idxs[vs]]["tag"] == "VBN"):
+            # existential subject: "there are seventeen steps", "There
+            # will call upon you ..." — no NP-subject relation exists
+            if vs > 0 and tokens[idxs[vs - 1]]["tag"] == "EX":
+                prev_vp = None
                 continue
-            subj_span = None
-            for s, e in nps:
-                if e <= vs:
-                    subj_span = (s, e)
-                else:
-                    break
+            # explicitly negated copular predicate ("It was not that
+            # ...") asserts nothing; deontic negations of content verbs
+            # ("can't require a password") stay — they carry the fact
+            head_verb = next((tokens[idxs[k]] for k in range(vs, ve)
+                              if tokens[idxs[k]]["tag"].startswith("VB")),
+                             None)
+            if (any(t.lower() in _NEG_TOKENS for t in vtexts)
+                    and head_verb is not None
+                    and head_verb["text"].lower() in _BE_FORMS):
+                prev_vp = None
+                continue
+            cands = [sp for sp in nps if sp[1] <= vs]
+            nearest = cands[-1] if cands else None
             # appositive re-binding: the NP just before the verb may be
             # the tail of an appositive chain describing the true subject
-            rebound = subj_span in subj_override
+            rebound = nearest in subj_override
+            shared = False
             if rebound:
-                subj_span = subj_override[subj_span]
+                subj_span = subj_override[nearest]
+            elif (nearest is not None and prev_vp is not None
+                    and nearest[0] >= prev_vp[2]
+                    and all(tokens[idxs[k]]["text"].lower()
+                            in (",", "and", "or")
+                            for k in range(nearest[1], vs))
+                    and (any(tokens[idxs[k]]["text"].lower()
+                             in ("and", "or")
+                             for k in range(nearest[1], vs))
+                         # serial predicate lists also coordinate on a
+                         # bare comma: "waved me to an armchair, threw
+                         # across his case of cigars, and indicated ..."
+                         or [tokens[idxs[k]]["text"]
+                             for k in range(nearest[1], vs)] == [","])):
+                # coordinated predicates share the subject: the nearest
+                # NP before this verb is the PREVIOUS verb's object
+                subj_span = prev_vp[0]
+                shared = True
+            elif (nearest is not None and prev_vp is not None
+                    and nearest == prev_vp[0]
+                    and all(tokens[idxs[k]]["text"].lower()
+                            in (",", "and", "or")
+                            for k in range(prev_vp[2], vs))):
+                # VP coordination with nothing between the predicates
+                # but coordination tokens since the PREVIOUS verb group
+                # ended ("I did so, and saw ..."): the shared subject is
+                # the candidate itself, comma parity notwithstanding
+                subj_span = nearest
+                shared = True
+            else:
+                # nearest preceding NP at EVEN comma distance: a
+                # relative/appositive clause between subject and verb
+                # sits at odd distance ("Holmes, who loathed ... soul,
+                # remained in" must reach back to Holmes, not soul). An
+                # odd-distance candidate still wins when a relative
+                # pronoun re-opens it ("shark fins, which is considered
+                # a delicacy"). A quotation boundary is never crossed:
+                # a subject inside a quoted span cannot govern a verb
+                # outside it.
+                subj_span = None
+                for sp in reversed(cands):
+                    if any(tokens[idxs[k]]["text"] in _QUOTE_TOKENS
+                           for k in range(sp[1], vs)):
+                        break
+                    subj_commas = [k for k in range(sp[1], vs)
+                                   if k in commas]
+                    if len(subj_commas) % 2 == 0:
+                        subj_span = sp
+                        break
+                    if (vs > subj_commas[-1] + 1 and all(
+                        tokens[idxs[k]]["tag"] in ("WDT", "WP", "WP$")
+                        for k in range(subj_commas[-1] + 1, vs)
+                    )):
+                        subj_span = sp
+                        break
             if subj_span is None:
+                prev_vp = None
+                continue
+            # interrogative gap directly before the verb with no
+            # antecedent NP ("discover what is wanted by ...") — the
+            # walked-to subject belongs to the matrix clause, not here.
+            # A true relative keeps its antecedent within a few
+            # comma/adverb tokens back ("Holmes, who loathed ...").
+            if (not rebound and not shared and vs > 0
+                    and tokens[idxs[vs - 1]]["tag"].startswith("W")):
+                k = vs - 2
+                steps = 0
+                while (k >= 0 and steps < 3
+                       and (tokens[idxs[k]]["text"] == ","
+                            or tokens[idxs[k]]["tag"].startswith("RB"))):
+                    k -= 1
+                    steps += 1
+                if not any(e == k + 1 for _s, e in nps):
+                    prev_vp = None
+                    continue
+            # subject-auxiliary inversion ("had you lived a few
+            # centuries ago") marks a counterfactual/question clause —
+            # only a true auxiliary before the subject counts, not a
+            # participial premodifier ("charged change comes at ...")
+            if (not rebound and not shared and subj_span[0] > 0
+                    and tokens[idxs[subj_span[0] - 1]]["text"].lower()
+                    in _AUX_FORMS):
+                prev_vp = None
+                continue
+            # negated subject: "Not everyone subscribes ...", "no
+            # national legislation was approved ..." — drop (the leading
+            # "no" determiner is inspected before phrase() strips it)
+            first_tok = tokens[idxs[subj_span[0]]]
+            before_tok = (tokens[idxs[subj_span[0] - 1]]
+                          if subj_span[0] > 0 else None)
+            if (first_tok["text"].lower() == "no"
+                    or (before_tok is not None
+                        and before_tok["text"].lower()
+                        in ("not", "n't"))):
+                prev_vp = None
+                continue
+            # a conditional/concessive subordinator or wh-adverb
+            # directly before the subject puts the whole clause out of
+            # assertion scope ("even if it's different than ...", "how
+            # you work it out" assert nothing)
+            if (before_tok is not None
+                    and (before_tok["text"].lower() in _CLAUSAL_DROP
+                         # manner/reason wh-clauses are non-factual
+                         # ("how you work it out"); locative/temporal
+                         # ones presuppose their content ("where the
+                         # firelight strikes it") and stay
+                         or before_tok["text"].lower() in ("how", "why"))):
+                prev_vp = None
+                continue
+            # "in order to <verb>": the candidate NP is the idiom's
+            # "order", not an actor — there is no subject here
+            if (phrase(subj_span)
+                    and phrase(subj_span)[0]["text"].lower() == "order"
+                    and subj_span[0] > 0
+                    and tokens[idxs[subj_span[0] - 1]]["text"].lower()
+                    == "in"):
+                prev_vp = None
                 continue
             # coordinated predicates share the subject: in "Students can
             # use bathrooms and join school athletic teams", the nearest
@@ -194,15 +494,32 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # gap holds only coordination tokens and the candidate lies
             # inside the previous predicate's object region, re-bind to
             # the previous triple's (pre-passive-swap) subject
-            shared = False
-            if (not rebound and prev_vp is not None
-                    and subj_span[0] >= prev_vp[2]
-                    and any(tokens[idxs[k]]["text"].lower() in ("and", "or")
-                            for k in range(subj_span[1], vs))
-                    and all(tokens[idxs[k]]["text"].lower()
-                            in (",", "and", "or")
-                            for k in range(subj_span[1], vs))):
-                subj_span = prev_vp[0]
+            # infinitive purpose/complement whose surface-nearest NP is
+            # the MATRIX verb's argument: "it aims through its ...
+            # effort to protect against ..." — when exactly one bare
+            # "to" separates the candidate NP from the verb and a
+            # predicate was already emitted, the actor is that
+            # predicate's subject — or its OBJECT for object-control
+            # matrix verbs ("can't require applicants to provide
+            # passwords" -> the applicants provide). (With no prior
+            # predicate — "for the trained reasoner to admit ..." — the
+            # nearest NP IS the actor and stands.)
+            if (not rebound and not shared and prev_vp is not None
+                    and subj_span[1] == vs - 1
+                    and tokens[idxs[vs - 1]]["text"].lower() == "to"):
+                # extraposed cleft "It is a capital mistake to theorize
+                # ..." has no actor at all — drop rather than bind the
+                # dummy "it"
+                if (prev_vp[3].lower() in _BE_FORMS
+                        and prev_vp[0][1] - prev_vp[0][0] == 1
+                        and tokens[idxs[prev_vp[0][0]]]["text"].lower()
+                        == "it"):
+                    prev_vp = None
+                    continue
+                subj_span = (prev_vp[1]
+                             if (_is_object_control(prev_vp[3])
+                                 and prev_vp[1] is not None)
+                             else prev_vp[0])
                 shared = True
             # clause-boundary guards: an ODD number of commas between
             # the verb and its chosen argument means the argument
@@ -215,43 +532,149 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # the most perfect ..." attaches "the most perfect ...",
             # not "I") — and the triple is dropped when every remaining
             # NP sits across an odd boundary.
+            # --- post-verb object search -----------------------------
+            # first NP at even comma distance before the next same-
+            # clause verb, never crossing a semicolon/colon (hard
+            # clause boundaries), never a copular complement reached
+            # across a subordinator/wh-word ("is true that I had ..."
+            # must not take "I"), and never an NP that is itself the
+            # abutting subject of a later verb across a parenthetical
+            # ("were brilliantly lit, and, even as I looked up" must
+            # not take "I").
+            is_be_head = (head_verb is not None
+                          and head_verb["text"].lower() in _BE_FORMS)
+            vp_starts = {s for s, _e in vp_spans}
+
+            def _obj_ok(s: int, e: int) -> bool:
+                if not (ve <= s < next_vs):
+                    return False
+                if sum(k in commas for k in range(ve, s)) % 2:
+                    return False
+                # past a skipped coordinated verb, parity must also
+                # hold from THAT verb's end ("I did so, and saw a
+                # large E" must not fetch a far NP for "did")
+                for ce in coord_ends:
+                    if ce <= s and sum(k in commas
+                                       for k in range(ce, s)) % 2:
+                        return False
+                between = [tokens[idxs[k]] for k in range(ve, s)]
+                if any(t["tag"] == ":" for t in between):
+                    return False
+                if is_be_head and any(
+                    t["text"].lower() in _BE_CROSS_BLOCKERS
+                    or t["tag"] == "WRB"
+                    for t in between
+                ):
+                    return False
+                if (is_be_head and e in vp_starts
+                        and any(k in commas for k in range(ve, s))):
+                    return False
+                # adverbial idioms are not objects ("been in part my
+                # own", "in order to", "in fact")
+                if (e - s == 1 and s > 0
+                        and tokens[idxs[s - 1]]["text"].lower() == "in"
+                        and tokens[idxs[s]]["text"].lower()
+                        in _IN_IDIOM_NOUNS):
+                    return False
+                return True
+
             obj_span = next(
-                (
-                    (s, e) for s, e in nps
-                    if s >= ve
-                    and not sum(k in commas for k in range(ve, s)) % 2
-                ),
-                None,
+                ((s, e) for s, e in nps if _obj_ok(s, e)), None
             )
+            # --- fallback: relative-clause object gap ----------------
+            # "the mission which he had accomplished so successfully"
+            # — a WDT/WP (or IN-"that" with an adjacent antecedent NP)
+            # directly before the subject NP marks an object relative;
+            # the verb's object is the ANTECEDENT NP. Only consulted
+            # when no in-clause post-verb NP exists, so complementizer
+            # clauses with their own objects ("my deduction that you
+            # had been out in vile weather") keep them. Subject
+            # relatives ("the man who first finds himself") are
+            # untouched: there the wh-token precedes the VERB, not a
+            # distinct subject NP.
+            if (obj_span is None and not rebound and not shared
+                    and subj_span[0] > 0):
+                wpos = subj_span[0] - 1
+                wtok = tokens[idxs[wpos]]
+                if wtok["tag"] in ("WDT", "WP"):
+                    k = wpos - 1
+                    steps = 0
+                    while (k >= 0 and steps < 3
+                           and (tokens[idxs[k]]["text"] == ","
+                                or tokens[idxs[k]]["tag"]
+                                .startswith("RB"))):
+                        k -= 1
+                        steps += 1
+                elif wtok["text"].lower() == "that":
+                    # complementizer-ambiguous: antecedent must abut
+                    k = wpos - 1
+                else:
+                    k = None
+                if k is not None:
+                    obj_span = next(
+                        ((s, e) for s, e in reversed(nps) if e == k + 1),
+                        None,
+                    )
             if obj_span is None:
+                # keep the subject visible for VP-coordination sharing
+                # ("I did so, and saw ..." — "did" has no object but
+                # "saw" still shares "I"); obj None disables the
+                # object-control rebind path
+                prev_vp = (subj_span, None, ve,
+                           head_verb["text"] if head_verb else "")
                 continue
-            # the appositive-rebound subject crosses its chain-closing
-            # comma by design, and a coordination-shared subject crosses
-            # its own ", and" — only plain subjects are checked
-            if not rebound and not shared:
-                subj_commas = [k for k in range(subj_span[1], vs)
-                               if k in commas]
-                if len(subj_commas) % 2:
-                    # exception: a relative clause re-opens the subject
-                    # ("shark fins, which is considered a delicacy") —
-                    # the span between the last comma and the verb
-                    # holds only relative pronouns
-                    if not (vs > subj_commas[-1] + 1 and all(
-                        tokens[idxs[k]]["tag"] in ("WDT", "WP", "WP$")
-                        for k in range(subj_commas[-1] + 1, vs)
-                    )):
-                        continue
+            # it-cleft: "It is the German who is so uncourteous ..."
+            # asserts only the embedded relation, which the relative
+            # clause itself yields — the dummy-subject copula is noise
+            if (is_be_head
+                    and subj_span[1] - subj_span[0] == 1
+                    and tokens[idxs[subj_span[0]]]["text"].lower()
+                    == "it"
+                    and obj_span[1] < len(code)
+                    and tokens[idxs[obj_span[1]]]["tag"]
+                    in ("WDT", "WP")):
+                prev_vp = None
+                continue
+            # negative-polarity object ("any emotion akin to love" under
+            # a cleft negation): "any" marks a negated-scope NP — the
+            # assertion is not licensed
+            if tokens[idxs[obj_span[0]]]["text"].lower() == "any":
+                prev_vp = None
+                continue
+            # (subject comma parity is enforced by the even-distance
+            # walk above; rebound/shared subjects legitimately cross
+            # their own chain-closing comma / ", and")
+            v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
+            # light-verb + particle: "<subj> made it through <NP>" — a
+            # bare "it" object immediately followed by a preposition and
+            # an NP is an idiom chunk, not the argument; fold "it <prep>"
+            # into the predicate and take the following NP as object
+            # ("I take it, ..." is untouched: the next token is a comma)
+            oe = obj_span[1]
+            if (obj_span[1] - obj_span[0] == 1
+                    and tokens[idxs[obj_span[0]]]["text"].lower() == "it"
+                    and oe < len(code) and code[oe] == "P"
+                    and tokens[idxs[oe]]["text"].lower()
+                    not in _SUBORD_CONJ):
+                folded = next(
+                    ((s, e) for s, e in nps if s == oe + 1), None
+                )
+                if folded is not None:
+                    v_toks = v_toks + [tokens[idxs[obj_span[0]]],
+                                       tokens[idxs[oe]]]
+                    obj_span = folded
 
             s_toks = phrase(subj_span)
             o_toks = phrase(obj_span)
             if not s_toks or not o_toks:
+                prev_vp = None
                 continue
-            prev_vp = (subj_span, obj_span, ve)
-            v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
+            prev_vp = (subj_span, obj_span, ve,
+                       head_verb["text"] if head_verb is not None else "")
 
             # passive voice: "<obj> BE VBN by <subj>" inverts the triple
             # and takes the participle as the predicate
-            be_forms = {"is", "are", "was", "were", "been", "being", "be"}
+            be_forms = _BE_FORMS
             passive = (
                 len(v_toks) >= 2
                 and v_toks[-1]["text"].lower() == "by"

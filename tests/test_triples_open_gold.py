@@ -1,22 +1,25 @@
-"""Open-text triple quality vs HAND-LABELED gold (r4).
+"""Open-text triple quality vs HAND-LABELED gold (r4, grown r5).
 
-The templated-corpus number (P=1.0 / R=0.989, test_spark_pipeline
+The templated-corpus number (P=1.0 / R>=0.95, test_spark_pipeline
 test_triple_recall_vs_templated_gold) measures the extractor on
 sentences the generator itself emits — it overstates open-text
 precision of the POS-pattern grammar. This suite measures the same
-extractor on 55 hand-labeled sentences from the reference's own
+extractor on 100 hand-labeled sentences from the reference's own
 testdata (article.txt + sherlock.txt; gold file documents the labeling
 convention) with standard lenient OIE matching: a predicted triple
 matches a gold triple when each slot's normalized token set is
 contained in (or contains) the gold slot's.
 
-Measured r4 baselines (deterministic kernel, pinned models; after the
-quote-span, mid-VP-adverb, and comma-parity clause-boundary fixes
-with the relative-pronoun subject exception and the even-parity
-object skip and coordinated-predicate subject sharing):
-P = 0.6509 (69/106), R = 0.7975 (63/79) — recorded in BASELINE.md next
-to the templated number. The floors below are regression guards a few
-points under the measurement.
+Measured r5 baselines (deterministic kernel, pinned models; after the
+r5 guard batch: non-finite/absolutive suppression, negation +
+subordinate-clause scope, object-before-next-same-clause-verb with
+parenthetical and coordination handling, even-comma subject walk with
+quote boundaries, relative-object fallback, object-control infinitive
+re-binding, light-verb folding, it-cleft/existential/inversion drops):
+P = 0.7881 (119/151), R = 0.8151 (119/146); on the original 55
+sentences P = 0.8049 / R = 0.8354 (r4: 0.6509 / 0.7975) — recorded in
+BASELINE.md next to the templated number. The floors below are
+regression guards a few points under the measurement.
 """
 
 import json
@@ -49,7 +52,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 55
+    assert len(data) == 100
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -70,13 +73,13 @@ def test_open_text_triple_precision_recall():
     recall = n_gold_match / n_gold
     # regression floors under the measured r4 values
     # (P=0.6509 = 69/106, R=0.7975 = 63/79 — same as the docstring)
-    assert precision >= 0.63, (
+    assert precision >= 0.75, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.63")
-    assert recall >= 0.76, (
+        f"{n_pred}) regressed below 0.75")
+    assert recall >= 0.78, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
-        f"{n_gold}) regressed below 0.76")
+        f"{n_gold}) regressed below 0.78")
     # the relation-free probes (TOC headers, negated-only sentences)
     # must stay near-silent: spurious triples there are pure noise
-    assert header_preds <= 10, (
+    assert header_preds <= 8, (
         f"{header_preds} triples extracted from relation-free sentences")
