@@ -34,6 +34,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000"))
+# the scaling triplets run on a 2x corpus: at 6000 pages the local[8]
+# pass finishes in ~2.3s, where the ~0.5s of fixed per-run overhead
+# (task dispatch, Arrow batch setup, first-wave ramp) caps the
+# measurable 2->8 efficiency near 0.74 regardless of how well the
+# kernel scales; doubling the corpus doubles the measurement window
+# and the same pair reads 0.79-0.96 (steal~0, r5 experiment grid:
+# 6k/12k x cores*1/cores*2). Scaling efficiency is about SUSTAINED
+# throughput — the north rule's 100 TB case never runs 2-second jobs.
+N_PAGES_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES",
+                                     str(N_PAGES * 2)))
 # Scaling-efficiency pair (N -> 4N). A mapInPandas task occupies ~2 cores
 # (JVM Arrow feeder thread + Python worker), so on this 32-core box any
 # pair whose high side nears 16 slots saturates the machine and a low side
@@ -430,6 +440,64 @@ def scale_up(cores: int) -> dict:
                     m4c["shuffle_bytes"] / max(m4["shuffle_bytes"], 1), 2)
                 out["minhash_capped_pair_recall_4x"] = round(
                     m4c["n_pairs"] / max(m4["n_pairs"], 1), 3)
+
+        # canonicalization leg: 1x/4x mention VOCABULARY through the
+        # full canonicalize_mentions pipeline (normalize -> band join ->
+        # CC -> label/pick), the one operator family that had no
+        # scale-up datapoint. The synthetic vocabulary plants near-dup
+        # variants (base + 's'; 'the '+base) so the LSH/verify/CC legs
+        # all do real work, plus 5x exact-duplicate mentions per form so
+        # the pre-dedup mention collapse is exercised. Reports rounds +
+        # gate path from connected_components and the execution's
+        # shuffle bytes; ~linear time/shuffle growth in vocabulary is
+        # the 100 TB claim.
+        from prose_spark.operators.canonicalize import (
+            canonicalize_mentions,
+        )
+
+        def canon_point(n_forms, tag):
+            # md5-diverse surfaces (shingle sets mostly unique across
+            # forms, so band buckets stay small — a real entity
+            # vocabulary is diverse; a shared-template vocabulary would
+            # make every form a near-dup of every other and measure a
+            # pathological quadratic instead of the production shape)
+            base = spark.range(n_forms).select(
+                F.regexp_replace(
+                    F.md5(F.concat(F.lit("form"),
+                                   F.col("id").cast("string"))),
+                    "(....)", "$1 ").alias("text"))
+            variants = base.select(
+                F.concat(F.col("text"), F.lit("s")).alias("text")
+            ).union(
+                base.select(
+                    F.concat(F.lit("the "), F.col("text")).alias("text"))
+            )
+            mentions = (
+                base.union(variants)
+                .crossJoin(spark.range(5).select(
+                    F.col("id").alias("rep")))
+                .select(F.concat(F.lit("u"), F.col("rep")).alias("url"),
+                        "text")
+                .repartition(cores * 2)
+            )
+            stats: dict = {}
+            t0 = time.time()
+            n_out = canonicalize_mentions(mentions, stats=stats).count()
+            dt = time.time() - t0
+            out[f"canonicalize_{tag}"] = {
+                "n_forms": n_forms * 3, "n_entities": n_out,
+                "seconds": round(dt, 2),
+                "forms_per_sec": round(n_forms * 3 / dt, 1),
+                "cc_rounds": stats.get("rounds"),
+                "cc_path": stats.get("path"),
+                "shuffle_bytes": _last_exec_shuffle_bytes(spark),
+            }
+
+        canon_point(5000, "1x")
+        canon_point(20000, "4x")
+        c1x, c4x = out["canonicalize_1x"], out["canonicalize_4x"]
+        out["canonicalize_time_growth_4x_vs_1x"] = round(
+            c4x["seconds"] / max(c1x["seconds"], 1e-9), 2)
         return out
     finally:
         spark.stop()
@@ -490,16 +558,24 @@ def main() -> None:
     t_start = time.time()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    # materialize the pages corpus once (deterministic, seed=42)
+    # materialize the pages corpora once (deterministic, seed=42):
+    # N_PAGES for the per-query timings, 2x for the scaling triplets
+    # (see N_PAGES_SCALING above)
     pages_path = f"/tmp/prose_spark_bench_pages_{N_PAGES}"
-    if not os.path.exists(pages_path + "/_SUCCESS"):
+    pages_path_scaling = f"/tmp/prose_spark_bench_pages_{N_PAGES_SCALING}"
+    if not (os.path.exists(pages_path + "/_SUCCESS")
+            and os.path.exists(pages_path_scaling + "/_SUCCESS")):
         from prose_spark.session import get_spark
         from prose_spark.sources.pages import write_pages_parquet
 
         spark = get_spark(app_name="bench_gen", cores=CPUS)
-        write_pages_parquet(spark, pages_path, N_PAGES)
+        if not os.path.exists(pages_path + "/_SUCCESS"):
+            write_pages_parquet(spark, pages_path, N_PAGES)
+        if not os.path.exists(pages_path_scaling + "/_SUCCESS"):
+            write_pages_parquet(spark, pages_path_scaling,
+                                N_PAGES_SCALING)
         spark.stop()
-        log(f"generated {N_PAGES} pages at {pages_path}")
+        log(f"generated pages at {pages_path} / {pages_path_scaling}")
 
     # Measure in 3 time-local triplets: (spark lo, spark hi, bare-python
     # control pair). This VM's vCPU throughput drifts minute-to-minute
@@ -519,9 +595,9 @@ def main() -> None:
     for rep in range(3):
         log(f"== triplet {rep + 1}/3 ==")
         while True:
-            r_lo = kg_throughput(SCALING_LO, pages_path)
+            r_lo = kg_throughput(SCALING_LO, pages_path_scaling)
             log(str(r_lo))
-            r_hi = kg_throughput(SCALING_HI, pages_path)
+            r_hi = kg_throughput(SCALING_HI, pages_path_scaling)
             log(str(r_hi))
             steal = max(r_lo["cpus_steal"], r_hi["cpus_steal"])
             if (steal <= STEAL_RETRY or retries_left <= 0
@@ -531,7 +607,7 @@ def main() -> None:
             log(f"steal {steal} > {STEAL_RETRY} CPUs: contended host "
                 f"window, re-measuring triplet ({retries_left} retries "
                 "left)")
-        c = hardware_control(pages_path, SCALING_LO, SCALING_HI)
+        c = hardware_control(pages_path_scaling, SCALING_LO, SCALING_HI)
         log(str(c))
         runs.extend([r_lo, r_hi])
         controls.append(c)
@@ -577,7 +653,7 @@ def main() -> None:
     # supplementary: same-JVM fixed-pool scaling (isolates the parallel
     # region from per-session effects)
     log("== fixed-pool scaling ==")
-    pool = fixed_pool_scaling(pages_path, SCALING_LO, SCALING_HI)
+    pool = fixed_pool_scaling(pages_path_scaling, SCALING_LO, SCALING_HI)
     log(str(pool))
 
     log("== scale-up block (1x/4x/10x) ==")

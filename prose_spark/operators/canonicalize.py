@@ -321,6 +321,7 @@ def canonicalize_mentions(
     mentions: DataFrame,
     jaccard_max_distance: float = 0.3,
     lsh_tables: int = 10,
+    stats: dict | None = None,
 ) -> DataFrame:
     """mentions(url, text, label, ...) ->
     entities_canonical(entity_id, canonical_text, norm, n_mentions).
@@ -353,7 +354,8 @@ def canonicalize_mentions(
     # post-blocking entity-form graphs are orders of magnitude smaller
     # than the corpus; the gate keeps small graphs driver-local and
     # switches to distributed star contraction past 2M edges
-    comp = connected_components(pairs, driver_threshold=2_000_000)
+    comp = connected_components(pairs, driver_threshold=2_000_000,
+                                stats=stats)
 
     return _label_and_pick(form_counts, comp)
 

@@ -532,11 +532,113 @@ def test_multimodal_plumbing(spark, pages_df):
     assert {(r.url, tuple(r.features)) for r in feats} == {
         (r.url, tuple(r.features)) for r in again
     }
-    # real decode is an explicit stub
+    # non-PNG decode is an explicit stub (a truncated PNG signature is
+    # not a PNG)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         list(sample_video_frames(b"x"))
+
+
+def _encode_png(img, color_type, filters, palette=None):
+    """Minimal test-side PNG encoder: 8-bit, non-interlaced, with an
+    EXPLICIT filter type per scanline (the spec's filter recurrences
+    applied forward) — so the decoder's defiltering of every filter
+    type is exercised against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    channels = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    stride = w * channels
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = px[y]
+        line = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                       else c)
+            line[i] = (int(cur[i]) - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I",
+                              zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                      0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_real(spark):
+    """decode_image decodes REAL PNG bytes without fake=True: RGB/RGBA/
+    gray/palette, every scanline filter type, round-tripped against a
+    ground-truth encoder; and the Spark feature-extraction stage reports
+    true dimensions and identical features for a re-encoded image."""
+    import numpy as np
+
+    from prose_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    # every filter type appears (rows cycle 0,1,2,3,4)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_image(_encode_png(rgb, 2, filters))
+        assert np.array_equal(got, rgb), f"filters {filters}"
+    # RGBA: alpha dropped
+    rgba = np.dstack([rgb, rng.integers(0, 256, (11, 7), dtype=np.uint8)])
+    assert np.array_equal(decode_image(_encode_png(rgba, 6, [0, 4])), rgb)
+    # grayscale expands to 3 channels
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    got = decode_image(_encode_png(gray, 0, [2, 3]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    # palette indices map through PLTE
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 6, 1), dtype=np.uint8)
+    got = decode_image(_encode_png(idx, 3, [0, 1], palette=pal))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+    # Spark stage: real PNG blobs, no fake, true dims + stable features
+    blob = _encode_png(rgb, 2, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [("u1", bytearray(blob))], ["url", "html"]
+    )
+    row = extract_image_features(df, blob_col="html", fake=False).collect()[0]
+    assert row.media_meta.mime == "image/png"
+    assert (row.media_meta.width, row.media_meta.height) == (7, 11)
+    expected = decode_image(blob).reshape(-1, 3).astype("float64")
+    assert abs(row.features[0] - expected[:, 0].mean() / 255.0) < 1e-6
 
 
 def test_html_text_extraction_byte_identity(spark, pages_df):
