@@ -240,34 +240,67 @@ def hardware_control(pages_path: str, lo: int, hi: int,
     }
 
 
-def _last_exec_shuffle_bytes(spark) -> int:
-    """Total 'shuffle bytes written' across Exchange nodes of the most
-    recent SQL execution, from the SQL status store (the UI's numbers).
-    Formatted totals like '12.3 MiB' are parsed back to bytes."""
+def _exec_shuffle_bytes(store, eid) -> int:
+    """'shuffle bytes written' summed across Exchange nodes of ONE SQL
+    execution (the UI's numbers; '12.3 MiB' parsed back to bytes)."""
     units = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30,
              "TiB": 1 << 40}
+    vals = store.executionMetrics(eid)
+    total = 0
+    nit = store.planGraph(eid).allNodes().iterator()
+    while nit.hasNext():
+        node = nit.next()
+        mit = node.metrics().iterator()
+        while mit.hasNext():
+            m = mit.next()
+            if m.name() != "shuffle bytes written":
+                continue
+            if not vals.contains(m.accumulatorId()):
+                continue
+            # "total (min, med, max ...)\n448.0 B (56.0 B, ...)"
+            text = vals.apply(m.accumulatorId()).split("\n")[-1]
+            num, unit = text.split(" ")[0], text.split(" ")[1]
+            total += int(float(num) * units.get(unit.strip("("), 1))
+    return total
+
+
+def _last_exec_shuffle_bytes(spark) -> int:
+    """Shuffle bytes of the MOST RECENT SQL execution — right for
+    single-action measurements (the minhash legs)."""
     try:
         store = spark._jsparkSession.sharedState().statusStore()
-        eid = store.executionsList().last().executionId()
-        vals = store.executionMetrics(eid)
-        total = 0
-        nit = store.planGraph(eid).allNodes().iterator()
-        while nit.hasNext():
-            node = nit.next()
-            mit = node.metrics().iterator()
-            while mit.hasNext():
-                m = mit.next()
-                if m.name() != "shuffle bytes written":
-                    continue
-                if not vals.contains(m.accumulatorId()):
-                    continue
-                # "total (min, med, max ...)\n448.0 B (56.0 B, ...)"
-                text = vals.apply(m.accumulatorId()).split("\n")[-1]
-                num, unit = text.split(" ")[0], text.split(" ")[1]
-                total += int(float(num) * units.get(unit.strip("("), 1))
-        return total
+        return _exec_shuffle_bytes(
+            store, store.executionsList().last().executionId())
     except Exception:
         return -1  # metric extraction is best-effort, never fails bench
+
+
+def _exec_marker(spark) -> int:
+    """Latest SQL execution id, for _shuffle_bytes_since."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        lst = store.executionsList()
+        return lst.last().executionId() if lst.size() > 0 else -1
+    except Exception:
+        return -1
+
+
+def _shuffle_bytes_since(spark, marker: int) -> int:
+    """Shuffle bytes summed over EVERY SQL execution after ``marker`` —
+    required for multi-action pipelines (canonicalize_mentions runs
+    checkpoint/gate/collect executions before its final count; the
+    last-execution number alone understates its shuffle)."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        total = 0
+        it = store.executionsList().iterator()
+        while it.hasNext():
+            ex = it.next()
+            if ex.executionId() > marker:
+                total += _exec_shuffle_bytes(store, ex.executionId())
+        return total
+    except Exception:
+        return -1
 
 
 def scale_up(cores: int) -> dict:
@@ -481,6 +514,7 @@ def scale_up(cores: int) -> dict:
                 .repartition(cores * 2)
             )
             stats: dict = {}
+            marker = _exec_marker(spark)
             t0 = time.time()
             n_out = canonicalize_mentions(mentions, stats=stats).count()
             dt = time.time() - t0
@@ -490,7 +524,9 @@ def scale_up(cores: int) -> dict:
                 "forms_per_sec": round(n_forms * 3 / dt, 1),
                 "cc_rounds": stats.get("rounds"),
                 "cc_path": stats.get("path"),
-                "shuffle_bytes": _last_exec_shuffle_bytes(spark),
+                # summed over ALL executions of this call (the pipeline
+                # checkpoints/aggregates before its final count)
+                "shuffle_bytes": _shuffle_bytes_since(spark, marker),
             }
 
         canon_point(5000, "1x")

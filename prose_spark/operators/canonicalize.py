@@ -234,13 +234,17 @@ def connected_components(
                     F.lit(0),
                 ).alias("chars")
             )
-        row = e.agg(*size_agg).collect()[0]
-        n_edges = row["n"]
-        # collected-footprint estimate: string edges ~= total chars (+
-        # per-Row overhead folded into the cap margin); fixed-width ids
-        # ~= 16 bytes/edge
-        est_bytes = int(row["chars"]) if id_is_str else n_edges * 16
-        if n_edges <= driver_threshold and est_bytes <= driver_max_bytes:
+        # size the gate on RAW, not the deduped working set: the local
+        # path also collects the node list from raw, so a self-loop- or
+        # duplicate-heavy input (tiny after dedup, huge before) must
+        # count against the cap. Over-estimating only pushes borderline
+        # inputs to the distributed path — safe.
+        row = raw.agg(*size_agg).collect()[0]
+        n_raw = row["n"]
+        n_edges = e.count()
+        est_bytes = int(row["chars"]) if id_is_str else n_raw * 16
+        if (n_edges <= driver_threshold
+                and est_bytes <= driver_max_bytes):
             spark = e.sparkSession
             pairs = [(r["a"], r["b"]) for r in e.collect()]
             # node set from the raw (pre-self-loop-filter) edges so

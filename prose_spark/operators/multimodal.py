@@ -46,6 +46,8 @@ _FEATURE_DIM = 16
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# max decoded scanline bytes (~64MB ≈ a 21-megapixel RGB image)
+_PNG_MAX_DECODED_BYTES = 64 << 20
 
 
 def _decode_png(data: bytes) -> np.ndarray:
@@ -88,9 +90,20 @@ def _decode_png(data: bytes) -> np.ndarray:
             "(8-bit non-interlaced only)"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    expected = h * (stride + 1)
+    # decompression-bomb / runaway-dimension guard: same discipline as
+    # the audio path's work cap — one hostile few-KB blob whose IDAT
+    # expands to gigabytes (or a billion-pixel header) must not OOM an
+    # executor. decompressobj(max_length) never allocates beyond the
+    # declared scanline size.
+    if expected > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"PNG {w}x{h}x{channels} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap"
+        )
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    if len(raw) < expected:
         raise ValueError("malformed PNG: truncated scanline data")
     bpp = channels
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -154,7 +167,14 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     the content hash (stable across runs/machines) for plumbing tests.
     """
     if blob and bytes(blob[:8]) == _PNG_SIG:
-        return _decode_png(bytes(blob))
+        try:
+            return _decode_png(bytes(blob))
+        except Exception:
+            # fake=True is the never-raises plumbing-test contract: a
+            # malformed/unsupported PNG falls back to the stub there,
+            # and only surfaces as an error on the real path
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "non-PNG image decoding requires PIL/opencv, not available "
@@ -164,13 +184,6 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     digest = hashlib.sha256(blob or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-
-
-def _image_features(blob: bytes, fake: bool) -> list[float]:
-    """Feature-extraction kernel: decode -> pooled features (real for
-    PNG, stub elsewhere; pooling math is always real)."""
-    img = decode_image(blob, fake=fake)
-    return _pool_features(img)
 
 
 def _pool_features(img: np.ndarray) -> list[float]:
@@ -318,10 +331,19 @@ def extract_audio_features(
     df: DataFrame,
     blob_col: str = "audio",
     key_cols: tuple[str, ...] = ("url",),
+    errors: str = "raise",
 ) -> DataFrame:
     """Map-only REAL audio feature extraction over WAV binary columns
     (same 100 TB shape as images: blobs consumed in-stage, only the
-    (key, meta, features) projection ever moves)."""
+    (key, meta, features) projection ever moves).
+
+    ``errors``: "raise" fails the job on the first undecodable blob
+    (explicit, the default); "null" emits NULL features with a
+    mime="error" meta row instead — at corpus scale one NULL/mp3/
+    truncated blob must not abort a million-blob stage, and the NULL
+    rows stay countable downstream."""
+    if errors not in ("raise", "null"):
+        raise ValueError(f"errors must be 'raise' or 'null', got {errors!r}")
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(
         key_fields
@@ -336,7 +358,22 @@ def extract_audio_features(
             metas, feats = [], []
             for blob in pdf[blob_col]:
                 b = bytes(blob) if blob is not None else b""
-                x, sr = decode_audio(b)
+                try:
+                    x, sr = decode_audio(b)
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    metas.append(
+                        {
+                            "mime": "error",
+                            "sample_rate": 0,
+                            "n_samples": 0,
+                            "n_bytes": len(b),
+                            "sha1": hashlib.sha1(b).hexdigest(),
+                        }
+                    )
+                    feats.append(None)
+                    continue
                 metas.append(
                     {
                         "mime": "audio/wav",

@@ -640,6 +640,30 @@ def test_png_decode_real(spark):
     expected = decode_image(blob).reshape(-1, 3).astype("float64")
     assert abs(row.features[0] - expected[:, 0].mean() / 255.0) < 1e-6
 
+    # fake=True NEVER raises, even on malformed/unsupported PNG bytes
+    # (the plumbing-test contract); the real path surfaces the error
+    bad = b"\x89PNG\r\n\x1a\n" + b"garbage"
+    assert decode_image(bad, fake=True).shape == (8, 8, 3)
+    with pytest.raises(ValueError):
+        decode_image(bad)
+    # decompression-bomb guard: a tiny blob declaring a huge image is
+    # rejected before any allocation
+    import struct
+    import zlib as _zlib
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I",
+                              _zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 100000, 100000,
+                                         8, 2, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        decode_image(bomb)
+
 
 def _encode_wav(samples, sr, width=2, channels=1):
     import io
@@ -703,6 +727,23 @@ def test_wav_audio_decode_real(spark):
     assert row.audio_meta.sample_rate == sr
     assert row.audio_meta.n_samples == sr
     assert abs(row.features[4] * sr / 2 - 440) < 5
+
+    # errors="null": one bad/NULL blob must not abort a corpus-scale
+    # stage — it yields a countable mime="error" row instead
+    mixed = spark.createDataFrame(
+        [("good", bytearray(_encode_wav(sine, sr))),
+         ("bad", bytearray(b"not audio")),
+         ("null", None)],
+        "url string, audio binary",
+    )
+    rows = {r.url: r for r in
+            extract_audio_features(mixed, errors="null").collect()}
+    assert rows["good"].features is not None
+    assert rows["bad"].audio_meta.mime == "error"
+    assert rows["bad"].features is None
+    assert rows["null"].audio_meta.mime == "error"
+    with pytest.raises(Exception):
+        extract_audio_features(mixed, errors="raise").collect()
 
 
 def test_html_text_extraction_byte_identity(spark, pages_df):
@@ -841,6 +882,19 @@ def test_connected_components_gate_is_byte_aware(spark):
         stats=stats2,
     ).collect()
     assert stats2["path"] == "local", stats2
+    # the byte estimate covers the RAW input (the local path collects
+    # the node list from raw): a self-loop-heavy wide-surface input is
+    # tiny after dedup but must still be pushed to the distributed path
+    loops = spark.createDataFrame(
+        [("L" * 2048 + str(i),) * 2 for i in range(200)] + [("a", "b")],
+        ["a", "b"],
+    )
+    stats3: dict = {}
+    connected_components(
+        loops, driver_threshold=1000, driver_max_bytes=100 << 10,
+        stats=stats3,
+    ).collect()
+    assert stats3["path"] == "distributed", stats3
 
 
 def _counting_mentions(spark, rows, acc):
