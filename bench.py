@@ -528,12 +528,26 @@ def scale_up(cores: int) -> dict:
                 # checkpoints/aggregates before its final count)
                 "shuffle_bytes": _shuffle_bytes_since(spark, marker),
             }
+            out[f"canonicalize_{tag}"]["shuffle_bytes_per_form"] = round(
+                out[f"canonicalize_{tag}"]["shuffle_bytes"]
+                / (n_forms * 3), 1)
 
-        canon_point(5000, "1x")
-        canon_point(20000, "4x")
+        # pin the at-scale physical plan for BOTH points (same rationale
+        # as the minhash leg): under the default threshold AQE
+        # broadcasts the small sides at 1x but shuffles them at 4x,
+        # which would compare two different plans and read as ~15x
+        # shuffle growth when the data only grew 4x
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            canon_point(5000, "1x")
+            canon_point(20000, "4x")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         c1x, c4x = out["canonicalize_1x"], out["canonicalize_4x"]
         out["canonicalize_time_growth_4x_vs_1x"] = round(
             c4x["seconds"] / max(c1x["seconds"], 1e-9), 2)
+        out["canonicalize_shuffle_growth_4x_vs_1x"] = round(
+            c4x["shuffle_bytes"] / max(c1x["shuffle_bytes"], 1), 2)
         return out
     finally:
         spark.stop()
