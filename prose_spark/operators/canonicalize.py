@@ -77,6 +77,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 30,
     bands: int = 10,
     probe: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct normalized forms -> near-duplicate pairs (a, b) with true
     char-3-gram Jaccard distance <= threshold, via the native banded
@@ -86,6 +87,10 @@ def lsh_candidate_pairs(
     forms: DataFrame with column ``norm`` (distinct).
     probe: optional ``norm`` subset — asymmetric band join yielding only
     pairs touching a probe form (the incremental-merge path).
+    max_bucket_size: drop band buckets above this size before the pair
+    join — the quadratic-densification guard for web-scale vocabularies
+    (hot stop-word-like surfaces collide whole band buckets); None (the
+    default) keeps exact blocking semantics.
     """
     from prose_spark.operators.dedup import banded_minhash_pairs
 
@@ -98,7 +103,8 @@ def lsh_candidate_pairs(
         if probe is not None else None
     )
     return banded_minhash_pairs(
-        d, jaccard_max_distance, n_hashes, bands, probe=p
+        d, jaccard_max_distance, n_hashes, bands, probe=p,
+        max_bucket_size=max_bucket_size,
     ).select("a", "b")
 
 
@@ -326,6 +332,7 @@ def canonicalize_mentions(
     jaccard_max_distance: float = 0.3,
     lsh_tables: int = 10,
     stats: dict | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """mentions(url, text, label, ...) ->
     entities_canonical(entity_id, canonical_text, norm, n_mentions).
@@ -333,7 +340,13 @@ def canonicalize_mentions(
     Returns one row per normalized surface form with its cluster's
     canonical text and id, ready to join back onto mentions/triples.
     ``lsh_tables`` = number of 3-row MinHash bands (more -> higher
-    blocking recall, more candidates).
+    blocking recall, more candidates). ``max_bucket_size``: the
+    web-scale quadratic-densification guard (see lsh_candidate_pairs) —
+    None keeps exact blocking; at 10^12-document vocabularies set it
+    (e.g. a few hundred) so one hot surface family cannot densify a
+    band bucket into a quadratic join, at a bounded recall cost the
+    dedup bench leg quantifies (capped recall 1.0 of verified pairs on
+    the planted-twin corpus).
     """
     m = normalize_mentions(mentions)
     # eager checkpoint: the mentions lineage (typically the full NER
@@ -354,6 +367,7 @@ def canonicalize_mentions(
     pairs = lsh_candidate_pairs(
         form_counts.select("norm"), jaccard_max_distance,
         n_hashes=3 * lsh_tables, bands=lsh_tables,
+        max_bucket_size=max_bucket_size,
     )
     # post-blocking entity-form graphs are orders of magnitude smaller
     # than the corpus; the gate keeps small graphs driver-local and
@@ -394,6 +408,7 @@ def merge_canonicalize(
     existing: DataFrame,
     jaccard_max_distance: float = 0.3,
     lsh_tables: int = 10,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL canonicalization: fold a new crawl's mentions into an
     existing canonical table without re-pairing the accumulated
@@ -447,6 +462,7 @@ def merge_canonicalize(
     pairs = lsh_candidate_pairs(
         form_counts.select("norm"), jaccard_max_distance,
         n_hashes=3 * lsh_tables, bands=lsh_tables, probe=truly_new,
+        max_bucket_size=max_bucket_size,
     )
     anchors = (
         existing.filter(F.col("norm") != F.col("canonical_text"))
