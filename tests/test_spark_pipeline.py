@@ -425,6 +425,18 @@ def test_merge_canonicalize_equals_batch(spark, pages_df):
         if ct in ex_ids:
             assert eid == ex_ids[ct]
 
+    # the exact-equivalence contract must survive the web-scale
+    # densification guard too: with the SAME max_bucket_size on both
+    # paths, identical band buckets are dropped on both sides
+    existing_c = canonicalize_mentions(
+        old, max_bucket_size=3
+    ).localCheckpoint()
+    batch_c = sorted(map(tuple, canonicalize_mentions(
+        m, max_bucket_size=3).collect()))
+    inc_c = sorted(map(tuple, merge_canonicalize(
+        new, existing_c, max_bucket_size=3).collect()))
+    assert inc_c == batch_c
+
 
 def test_triple_support_weighted_edges(spark):
     """triple_support collapses repeated assertions into one weighted
