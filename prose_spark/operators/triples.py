@@ -90,6 +90,12 @@ _IN_IDIOM_NOUNS = frozenset(("part", "order", "fact", "general",
                              "particular", "addition", "turn", "vain",
                              "common", "short"))
 
+# words heading "X <word> to Y" complements that taggers often mark as
+# nouns ("emotion akin to love") — never actors of a following verb
+_ADJ_COMPLEMENT_WORDS = frozenset(("akin", "similar", "due", "prior",
+                                   "subject", "related", "equal",
+                                   "close", "contrary"))
+
 # auxiliary forms whose appearance directly before a subject NP marks
 # subject-aux inversion (question / counterfactual)
 _AUX_FORMS = frozenset(("had", "have", "has", "do", "does", "did",
@@ -382,8 +388,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # serial predicate lists also coordinate on a
                          # bare comma: "waved me to an armchair, threw
                          # across his case of cigars, and indicated ..."
-                         or [tokens[idxs[k]]["text"]
-                             for k in range(nearest[1], vs)] == [","])):
+                         # — except the exception-preposition idiom
+                         # ", save with ..." the tagger marks VB
+                         or ([tokens[idxs[k]]["text"]
+                              for k in range(nearest[1], vs)] == [","]
+                             and tokens[idxs[vs]]["text"].lower()
+                             != "save"))):
                 # coordinated predicates share the subject: the nearest
                 # NP before this verb is the PREVIOUS verb's object
                 subj_span = prev_vp[0]
@@ -477,6 +487,21 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # ones presuppose their content ("where the
                          # firelight strikes it") and stay
                          or before_tok["text"].lower() in ("how", "why"))):
+                prev_vp = None
+                continue
+            # an NP whose surface ENDS in an adjective-complement word
+            # directly before "to" is a complement construction ("any
+            # emotion akin to love ..."), not the actor of what follows.
+            # Matched by TEXT, not tag: the tagger calls these nouns
+            # ("akin" NN) and, conversely, mistags real nouns JJ
+            # ("applicant"), so a tag-based test fires on the wrong side
+            # of both errors.
+            if (not rebound and not shared
+                    and subj_span[1] == vs - 1
+                    and vs > 0
+                    and tokens[idxs[vs - 1]]["text"].lower() == "to"
+                    and tokens[idxs[subj_span[1] - 1]]["text"].lower()
+                    in _ADJ_COMPLEMENT_WORDS):
                 prev_vp = None
                 continue
             # "in order to <verb>": the candidate NP is the idiom's
@@ -672,11 +697,40 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             prev_vp = (subj_span, obj_span, ve,
                        head_verb["text"] if head_verb is not None else "")
 
+            # resultative passive: "<subj> BE VBN as <complement> by
+            # <agent>" keeps the SURFACE orientation ("those mysteries
+            # had been abandoned as hopeless by the official police") —
+            # the complement and "by" fold into the predicate and the
+            # agent becomes the object; inverting around the resultative
+            # would strand the complement
+            resultative = False
+            if (v_toks and v_toks[-1]["text"].lower() == "as"
+                    and any(t["tag"] == "VBN" for t in v_toks)
+                    and any(t["text"].lower() in _BE_FORMS
+                            for t in v_toks)
+                    and obj_span[1] < len(code)
+                    and tokens[idxs[obj_span[1]]]["text"].lower() == "by"
+                    and not sum(k in commas for k in range(ve,
+                                                          obj_span[0]))):
+                agent = next(
+                    ((s, e) for s, e in nps if s == obj_span[1] + 1),
+                    None,
+                )
+                if agent is not None:
+                    v_toks = (v_toks
+                              + [tokens[idxs[k]]
+                                 for k in range(obj_span[0], obj_span[1])]
+                              + [tokens[idxs[obj_span[1]]]])
+                    obj_span = agent
+                    o_toks = phrase(obj_span)
+                    resultative = True
+
             # passive voice: "<obj> BE VBN by <subj>" inverts the triple
             # and takes the participle as the predicate
             be_forms = _BE_FORMS
             passive = (
-                len(v_toks) >= 2
+                not resultative
+                and len(v_toks) >= 2
                 and v_toks[-1]["text"].lower() == "by"
                 and any(t["tag"] == "VBN" for t in v_toks)
                 and any(t["text"].lower() in be_forms for t in v_toks)

@@ -16,8 +16,8 @@ subordinate-clause scope, object-before-next-same-clause-verb with
 parenthetical and coordination handling, even-comma subject walk with
 quote boundaries, relative-object fallback, object-control infinitive
 re-binding, light-verb folding, it-cleft/existential/inversion drops):
-P = 0.7881 (119/151), R = 0.8151 (119/146); on the original 55
-sentences P = 0.8049 / R = 0.8354 (r4: 0.6509 / 0.7975) — recorded in
+P = 0.8054 (120/149), R = 0.8219 (120/146); on the original 55
+sentences P >= 0.80 / R >= 0.83 (r4: 0.6509 / 0.7975) — recorded in
 BASELINE.md next to the templated number. The floors below are
 regression guards a few points under the measurement.
 """
@@ -73,9 +73,9 @@ def test_open_text_triple_precision_recall():
     recall = n_gold_match / n_gold
     # regression floors under the measured r4 values
     # (P=0.6509 = 69/106, R=0.7975 = 63/79 — same as the docstring)
-    assert precision >= 0.75, (
+    assert precision >= 0.77, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.75")
+        f"{n_pred}) regressed below 0.77")
     assert recall >= 0.78, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
         f"{n_gold}) regressed below 0.78")
