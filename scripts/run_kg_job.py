@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--timeout-sec", type=float, default=None,
                     help="per-document budget; dropped docs are counted "
                          "as n_doc_timeouts in the done markers")
+    ap.add_argument("--max-bucket-size", type=int, default=None,
+                    help="canonicalization band-bucket cap (the web-"
+                         "scale quadratic-densification guard); default "
+                         "None keeps exact blocking")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -112,7 +116,8 @@ def main() -> None:
         mentions = triples.select(
             F.col("subj").alias("text")
         ).unionAll(triples.select(F.col("obj").alias("text")))
-        canon = canonicalize_mentions(mentions)
+        canon = canonicalize_mentions(
+            mentions, max_bucket_size=args.max_bucket_size)
         canon.write.mode("overwrite").parquet(f"{args.out}/entities_canonical")
         # join surfaces through the SAME normalization used to build the
         # canonical table (plain lower() would never match punctuated
