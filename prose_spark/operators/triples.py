@@ -141,7 +141,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             by_sent.setdefault(si, []).append(i)
 
     for si, idxs in by_sent.items():
-        tags = [tokens[i]["tag"] or "" for i in idxs]
+        tok = [tokens[i] for i in idxs]
+        tags = [t["tag"] or "" for t in tok]
         code = "".join(
             "." if tokens[i]["text"] in _QUOTE_TOKENS
             else _TAG_CODE.get(t, ".")
@@ -155,14 +156,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # mistagged neighbor
             if not (m.end() - m.start() == 1
                     and code[m.start()] == "D"
-                    and tokens[idxs[m.start()]]["text"].lower()
+                    and tok[m.start()]["text"].lower()
                     not in ("this", "that", "these", "those"))
         ]
         if len(nps) < 2:
             continue
 
         def phrase(span):
-            toks = [tokens[idxs[k]] for k in range(span[0], span[1])]
+            toks = [tok[k] for k in range(span[0], span[1])]
             # drop leading determiner from the phrase surface — but a
             # standalone demonstrative ("interested in this") IS the
             # phrase, so never strip to empty
@@ -188,8 +189,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # the LAST NP of the appositive chain -> NP1.
         commas = {
             k for k in range(len(idxs))
-            if tokens[idxs[k]]["text"] == ","
+            if tok[k]["text"] == ","
         }
+        # comma-count prefix sums: every parity/crossing test below is
+        # O(1) instead of an O(range) scan (the chunker's guard set made
+        # these the per-sentence hot path)
+        ncom = [0] * (len(tok) + 1)
+        for _k, _t in enumerate(tok):
+            ncom[_k + 1] = ncom[_k] + (1 if _t["text"] == "," else 0)
+
+        def n_commas(a: int, b: int) -> int:
+            return ncom[b] - ncom[a] if b > a else 0
         subj_override: dict[tuple[int, int], tuple[int, int]] = {}
         # appositive chain-closing comma positions: the verb right after
         # one is the MAIN verb of the sentence ("Maria Garcia, the
@@ -208,7 +218,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # a determinered NP ("the founder", "a subsidiary")
             if code[s2] != "D":
                 continue
-            if not any(tokens[idxs[k]]["tag"].startswith("NNP")
+            if not any(tok[k]["tag"].startswith("NNP")
                        for k in range(s1, e1)):
                 continue
             # extend the chain over PP attachments: NP2 (P NP)*
@@ -221,7 +231,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # -> Corp + "." + ","): step over bare periods before the
             # trailing-comma test
             while (chain_end < len(code)
-                   and tokens[idxs[chain_end]]["text"] == "."):
+                   and tok[chain_end]["text"] == "."):
                 chain_end += 1
             if chain_end not in commas:
                 continue
@@ -272,7 +282,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             object after a noun head: "benefits starting January").
             Agent-marked passives ("..., deeply attracted by the study")
             keep their matrix subject and are never suppressed."""
-            vtags = [tokens[idxs[k]]["tag"] for k in range(vs, ve)]
+            vtags = [tok[k]["tag"] for k in range(vs, ve)]
             verb_tags = [t for t in vtags if t.startswith("VB")]
             if ("MD" in vtags
                     or any(t in ("VB", "VBD", "VBP", "VBZ") for t in vtags)
@@ -284,10 +294,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if vs > 0 and vs - 1 in appos_close_commas:
                 return False
             if (code[ve - 1] == "P"
-                    and tokens[idxs[ve - 1]]["text"].lower() == "by"):
+                    and tok[ve - 1]["text"].lower() == "by"):
                 return False
             prev_code = code[vs - 1] if vs > 0 else ""
-            prev_text = (tokens[idxs[vs - 1]]["text"].lower()
+            prev_text = (tok[vs - 1]["text"].lower()
                          if vs > 0 else "")
             premodifies_noun = (ve < len(code) and code[ve] == "N"
                                 and prev_code not in "NS")
@@ -313,14 +323,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if "V" in code[m.start():m.end()]
             and not _nonfinite_suppressed(m.start(), m.end())
         ]
+        vp_starts = {s0 for s0, _e0 in vp_spans}
         for vpi, (vs, ve) in enumerate(vp_spans):
             next_vs = len(code)
             coord_ends: list[int] = []
             for s2, e2 in vp_spans[vpi + 1:]:
-                odd = sum(k in commas for k in range(ve, s2)) % 2
+                odd = n_commas(ve, s2) % 2
                 if odd and _segment_len(s2) <= 4:
                     continue  # parenthetical verb, not a clause boundary
-                gap = [tokens[idxs[k]]["text"].lower()
+                gap = [tok[k]["text"].lower()
                        for k in range(ve, s2)]
                 if (gap and all(t in (",", "and", "or") for t in gap)
                         and any(t in ("and", "or") for t in gap)):
@@ -336,33 +347,33 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # preposition is not part of the predicate ("was not that
             # he ..." -> strip "that")
             if (code[ve - 1] == "P"
-                    and tokens[idxs[ve - 1]]["text"].lower()
+                    and tok[ve - 1]["text"].lower()
                     in _SUBORD_CONJ):
                 ve -= 1
-            vtags = [tokens[idxs[k]]["tag"] for k in range(vs, ve)]
-            vtexts = [tokens[idxs[k]]["text"] for k in range(vs, ve)]
+            vtags = [tok[k]["tag"] for k in range(vs, ve)]
+            vtexts = [tok[k]["text"] for k in range(vs, ve)]
             # a clause-marking subordinator right after the verb group
             # means a CLAUSAL complement — there is no NP object in this
             # clause ("signify if they have been convicted"; "that" is
             # excluded: "requires that insurers cover ..." convention-
             # ally yields <mandate> requires <insurers>)
             if (ve < len(code)
-                    and (tokens[idxs[ve]]["text"].lower() in _CLAUSAL_DROP
-                         or tokens[idxs[ve]]["tag"].startswith("W"))):
+                    and (tok[ve]["text"].lower() in _CLAUSAL_DROP
+                         or tok[ve]["tag"].startswith("W"))):
                 # wh-words too: "know how he was employing ...", "see
                 # where he has secreted ..." take interrogative clauses
                 prev_vp = None
                 continue
             # existential subject: "there are seventeen steps", "There
             # will call upon you ..." — no NP-subject relation exists
-            if vs > 0 and tokens[idxs[vs - 1]]["tag"] == "EX":
+            if vs > 0 and tok[vs - 1]["tag"] == "EX":
                 prev_vp = None
                 continue
             # explicitly negated copular predicate ("It was not that
             # ...") asserts nothing; deontic negations of content verbs
             # ("can't require a password") stay — they carry the fact
-            head_verb = next((tokens[idxs[k]] for k in range(vs, ve)
-                              if tokens[idxs[k]]["tag"].startswith("VB")),
+            head_verb = next((tok[k] for k in range(vs, ve)
+                              if tok[k]["tag"].startswith("VB")),
                              None)
             if (any(t.lower() in _NEG_TOKENS for t in vtexts)
                     and head_verb is not None
@@ -379,10 +390,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 subj_span = subj_override[nearest]
             elif (nearest is not None and prev_vp is not None
                     and nearest[0] >= prev_vp[2]
-                    and all(tokens[idxs[k]]["text"].lower()
+                    and all(tok[k]["text"].lower()
                             in (",", "and", "or")
                             for k in range(nearest[1], vs))
-                    and (any(tokens[idxs[k]]["text"].lower()
+                    and (any(tok[k]["text"].lower()
                              in ("and", "or")
                              for k in range(nearest[1], vs))
                          # serial predicate lists also coordinate on a
@@ -390,9 +401,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # across his case of cigars, and indicated ..."
                          # — except the exception-preposition idiom
                          # ", save with ..." the tagger marks VB
-                         or ([tokens[idxs[k]]["text"]
+                         or ([tok[k]["text"]
                               for k in range(nearest[1], vs)] == [","]
-                             and tokens[idxs[vs]]["text"].lower()
+                             and tok[vs]["text"].lower()
                              != "save"))):
                 # coordinated predicates share the subject: the nearest
                 # NP before this verb is the PREVIOUS verb's object
@@ -400,7 +411,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 shared = True
             elif (nearest is not None and prev_vp is not None
                     and nearest == prev_vp[0]
-                    and all(tokens[idxs[k]]["text"].lower()
+                    and all(tok[k]["text"].lower()
                             in (",", "and", "or")
                             for k in range(prev_vp[2], vs))):
                 # VP coordination with nothing between the predicates
@@ -421,17 +432,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # outside it.
                 subj_span = None
                 for sp in reversed(cands):
-                    if any(tokens[idxs[k]]["text"] in _QUOTE_TOKENS
+                    if any(tok[k]["text"] in _QUOTE_TOKENS
                            for k in range(sp[1], vs)):
                         break
-                    subj_commas = [k for k in range(sp[1], vs)
-                                   if k in commas]
-                    if len(subj_commas) % 2 == 0:
+                    if n_commas(sp[1], vs) % 2 == 0:
                         subj_span = sp
                         break
-                    if (vs > subj_commas[-1] + 1 and all(
-                        tokens[idxs[k]]["tag"] in ("WDT", "WP", "WP$")
-                        for k in range(subj_commas[-1] + 1, vs)
+                    last_comma = next(k for k in range(vs - 1, sp[1] - 1, -1)
+                                      if k in commas)
+                    if (vs > last_comma + 1 and all(
+                        tok[k]["tag"] in ("WDT", "WP", "WP$")
+                        for k in range(last_comma + 1, vs)
                     )):
                         subj_span = sp
                         break
@@ -444,12 +455,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # A true relative keeps its antecedent within a few
             # comma/adverb tokens back ("Holmes, who loathed ...").
             if (not rebound and not shared and vs > 0
-                    and tokens[idxs[vs - 1]]["tag"].startswith("W")):
+                    and tok[vs - 1]["tag"].startswith("W")):
                 k = vs - 2
                 steps = 0
                 while (k >= 0 and steps < 3
-                       and (tokens[idxs[k]]["text"] == ","
-                            or tokens[idxs[k]]["tag"].startswith("RB"))):
+                       and (tok[k]["text"] == ","
+                            or tok[k]["tag"].startswith("RB"))):
                     k -= 1
                     steps += 1
                 if not any(e == k + 1 for _s, e in nps):
@@ -460,15 +471,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # only a true auxiliary before the subject counts, not a
             # participial premodifier ("charged change comes at ...")
             if (not rebound and not shared and subj_span[0] > 0
-                    and tokens[idxs[subj_span[0] - 1]]["text"].lower()
+                    and tok[subj_span[0] - 1]["text"].lower()
                     in _AUX_FORMS):
                 prev_vp = None
                 continue
             # negated subject: "Not everyone subscribes ...", "no
             # national legislation was approved ..." — drop (the leading
             # "no" determiner is inspected before phrase() strips it)
-            first_tok = tokens[idxs[subj_span[0]]]
-            before_tok = (tokens[idxs[subj_span[0] - 1]]
+            first_tok = tok[subj_span[0]]
+            before_tok = (tok[subj_span[0] - 1]
                           if subj_span[0] > 0 else None)
             if (first_tok["text"].lower() == "no"
                     or (before_tok is not None
@@ -499,17 +510,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (not rebound and not shared
                     and subj_span[1] == vs - 1
                     and vs > 0
-                    and tokens[idxs[vs - 1]]["text"].lower() == "to"
-                    and tokens[idxs[subj_span[1] - 1]]["text"].lower()
+                    and tok[vs - 1]["text"].lower() == "to"
+                    and tok[subj_span[1] - 1]["text"].lower()
                     in _ADJ_COMPLEMENT_WORDS):
                 prev_vp = None
                 continue
             # "in order to <verb>": the candidate NP is the idiom's
             # "order", not an actor — there is no subject here
-            if (phrase(subj_span)
-                    and phrase(subj_span)[0]["text"].lower() == "order"
+            _sp0 = phrase(subj_span)
+            if (_sp0 and _sp0[0]["text"].lower() == "order"
                     and subj_span[0] > 0
-                    and tokens[idxs[subj_span[0] - 1]]["text"].lower()
+                    and tok[subj_span[0] - 1]["text"].lower()
                     == "in"):
                 prev_vp = None
                 continue
@@ -531,13 +542,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # nearest NP IS the actor and stands.)
             if (not rebound and not shared and prev_vp is not None
                     and subj_span[1] == vs - 1
-                    and tokens[idxs[vs - 1]]["text"].lower() == "to"):
+                    and tok[vs - 1]["text"].lower() == "to"):
                 # extraposed cleft "It is a capital mistake to theorize
                 # ..." has no actor at all — drop rather than bind the
                 # dummy "it"
                 if (prev_vp[3].lower() in _BE_FORMS
                         and prev_vp[0][1] - prev_vp[0][0] == 1
-                        and tokens[idxs[prev_vp[0][0]]]["text"].lower()
+                        and tok[prev_vp[0][0]]["text"].lower()
                         == "it"):
                     prev_vp = None
                     continue
@@ -568,21 +579,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # not take "I").
             is_be_head = (head_verb is not None
                           and head_verb["text"].lower() in _BE_FORMS)
-            vp_starts = {s for s, _e in vp_spans}
 
             def _obj_ok(s: int, e: int) -> bool:
                 if not (ve <= s < next_vs):
                     return False
-                if sum(k in commas for k in range(ve, s)) % 2:
+                if n_commas(ve, s) % 2:
                     return False
                 # past a skipped coordinated verb, parity must also
                 # hold from THAT verb's end ("I did so, and saw a
                 # large E" must not fetch a far NP for "did")
                 for ce in coord_ends:
-                    if ce <= s and sum(k in commas
-                                       for k in range(ce, s)) % 2:
+                    if ce <= s and n_commas(ce, s) % 2:
                         return False
-                between = [tokens[idxs[k]] for k in range(ve, s)]
+                between = [tok[k] for k in range(ve, s)]
                 if any(t["tag"] == ":" for t in between):
                     return False
                 if is_be_head and any(
@@ -592,13 +601,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 ):
                     return False
                 if (is_be_head and e in vp_starts
-                        and any(k in commas for k in range(ve, s))):
+                        and n_commas(ve, s) > 0):
                     return False
                 # adverbial idioms are not objects ("been in part my
                 # own", "in order to", "in fact")
                 if (e - s == 1 and s > 0
-                        and tokens[idxs[s - 1]]["text"].lower() == "in"
-                        and tokens[idxs[s]]["text"].lower()
+                        and tok[s - 1]["text"].lower() == "in"
+                        and tok[s]["text"].lower()
                         in _IN_IDIOM_NOUNS):
                     return False
                 return True
@@ -620,13 +629,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (obj_span is None and not rebound and not shared
                     and subj_span[0] > 0):
                 wpos = subj_span[0] - 1
-                wtok = tokens[idxs[wpos]]
+                wtok = tok[wpos]
                 if wtok["tag"] in ("WDT", "WP"):
                     k = wpos - 1
                     steps = 0
                     while (k >= 0 and steps < 3
-                           and (tokens[idxs[k]]["text"] == ","
-                                or tokens[idxs[k]]["tag"]
+                           and (tok[k]["text"] == ","
+                                or tok[k]["tag"]
                                 .startswith("RB"))):
                         k -= 1
                         steps += 1
@@ -653,23 +662,23 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # clause itself yields — the dummy-subject copula is noise
             if (is_be_head
                     and subj_span[1] - subj_span[0] == 1
-                    and tokens[idxs[subj_span[0]]]["text"].lower()
+                    and tok[subj_span[0]]["text"].lower()
                     == "it"
                     and obj_span[1] < len(code)
-                    and tokens[idxs[obj_span[1]]]["tag"]
+                    and tok[obj_span[1]]["tag"]
                     in ("WDT", "WP")):
                 prev_vp = None
                 continue
             # negative-polarity object ("any emotion akin to love" under
             # a cleft negation): "any" marks a negated-scope NP — the
             # assertion is not licensed
-            if tokens[idxs[obj_span[0]]]["text"].lower() == "any":
+            if tok[obj_span[0]]["text"].lower() == "any":
                 prev_vp = None
                 continue
             # (subject comma parity is enforced by the even-distance
             # walk above; rebound/shared subjects legitimately cross
             # their own chain-closing comma / ", and")
-            v_toks = [tokens[idxs[k]] for k in range(vs, ve)]
+            v_toks = [tok[k] for k in range(vs, ve)]
             # light-verb + particle: "<subj> made it through <NP>" — a
             # bare "it" object immediately followed by a preposition and
             # an NP is an idiom chunk, not the argument; fold "it <prep>"
@@ -677,16 +686,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # ("I take it, ..." is untouched: the next token is a comma)
             oe = obj_span[1]
             if (obj_span[1] - obj_span[0] == 1
-                    and tokens[idxs[obj_span[0]]]["text"].lower() == "it"
+                    and tok[obj_span[0]]["text"].lower() == "it"
                     and oe < len(code) and code[oe] == "P"
-                    and tokens[idxs[oe]]["text"].lower()
+                    and tok[oe]["text"].lower()
                     not in _SUBORD_CONJ):
                 folded = next(
                     ((s, e) for s, e in nps if s == oe + 1), None
                 )
                 if folded is not None:
-                    v_toks = v_toks + [tokens[idxs[obj_span[0]]],
-                                       tokens[idxs[oe]]]
+                    v_toks = v_toks + [tok[obj_span[0]],
+                                       tok[oe]]
                     obj_span = folded
 
             s_toks = phrase(subj_span)
@@ -709,18 +718,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and any(t["text"].lower() in _BE_FORMS
                             for t in v_toks)
                     and obj_span[1] < len(code)
-                    and tokens[idxs[obj_span[1]]]["text"].lower() == "by"
-                    and not sum(k in commas for k in range(ve,
-                                                          obj_span[0]))):
+                    and tok[obj_span[1]]["text"].lower() == "by"
+                    and not n_commas(ve, obj_span[0])):
                 agent = next(
                     ((s, e) for s, e in nps if s == obj_span[1] + 1),
                     None,
                 )
                 if agent is not None:
                     v_toks = (v_toks
-                              + [tokens[idxs[k]]
+                              + [tok[k]
                                  for k in range(obj_span[0], obj_span[1])]
-                              + [tokens[idxs[obj_span[1]]]])
+                              + [tok[obj_span[1]]])
                     obj_span = agent
                     o_toks = phrase(obj_span)
                     resultative = True
