@@ -435,7 +435,18 @@ def merge_canonicalize(
     |new| x |vocabulary| band collisions per crawl and re-verifying the
     full |vocabulary|^2 candidate explosion; entity ids are
     content-addressed (xxhash64 of the canonical surface), so clusters
-    whose membership didn't change keep their ids across merges."""
+    whose membership didn't change keep their ids across merges.
+
+    CAPPED MODE IS NOT EXACT-EQUIVALENT: with ``max_bucket_size`` set,
+    old connectivity still re-enters as star edges even when NEW forms
+    push a band bucket over the cap — a batch run over old UNION new
+    would have dropped that bucket and split the cluster. This is the
+    DESIRED incremental semantics (previously committed clusters stay
+    stable instead of churning entity ids because new data densified a
+    bucket), but it means capped merge output can differ from capped
+    batch output; the divergence direction is pinned by
+    test_merge_canonicalize_capped_keeps_old_clusters. Only the default
+    uncapped mode carries the row-for-row equivalence contract."""
     m = normalize_mentions(new_mentions)
     # same single-evaluation discipline as canonicalize_mentions: the
     # new side's annotate lineage and the caller's existing-table

@@ -91,10 +91,13 @@ _IN_IDIOM_NOUNS = frozenset(("part", "order", "fact", "general",
                              "common", "short"))
 
 # words heading "X <word> to Y" complements that taggers often mark as
-# nouns ("emotion akin to love") — never actors of a following verb
+# nouns ("emotion akin to love") — never actors of a following verb.
+# Deliberately ONLY words that are (nearly) always complements before
+# "to": including noun-capable words like "subject"/"close"/"equal"
+# would kill real object-control extractions ("asked each subject to
+# complete a survey").
 _ADJ_COMPLEMENT_WORDS = frozenset(("akin", "similar", "due", "prior",
-                                   "subject", "related", "equal",
-                                   "close", "contrary"))
+                                   "contrary"))
 
 # auxiliary forms whose appearance directly before a subject NP marks
 # subject-aux inversion (question / counterfactual)

@@ -425,17 +425,50 @@ def test_merge_canonicalize_equals_batch(spark, pages_df):
         if ct in ex_ids:
             assert eid == ex_ids[ct]
 
-    # the exact-equivalence contract must survive the web-scale
-    # densification guard too: with the SAME max_bucket_size on both
-    # paths, identical band buckets are dropped on both sides
-    existing_c = canonicalize_mentions(
-        old, max_bucket_size=3
+def test_merge_canonicalize_capped_keeps_old_clusters(spark):
+    """CAPPED mode is deliberately NOT batch-equivalent: when a new
+    crawl pushes a band bucket over max_bucket_size, the batch run
+    drops the bucket and splits the old cluster, while the incremental
+    run keeps the previously committed cluster (stability — entity ids
+    must not churn because new data densified a bucket). This test
+    constructs exactly that straddle and pins the divergence direction
+    documented in merge_canonicalize's docstring."""
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        merge_canonicalize,
+    )
+
+    # family of DISTINCT norms with IDENTICAL char-3-gram sets (a cyclic
+    # stem repeated 3/4/5/6 times): identical gram sets => identical
+    # minhash signatures in EVERY band, so the whole family always
+    # shares every bucket — the cap's effect is deterministic
+    fam = ["zqx" * k for k in (3, 4, 5)]
+    old_rows = [(f"o{i}", t) for i, t in enumerate(fam + ["globex"])]
+    new_rows = [("n0", "zqx" * 6)]  # 4th member -> buckets exceed 3
+    old = spark.createDataFrame(old_rows, ["url", "text"])
+    new = spark.createDataFrame(new_rows, ["url", "text"])
+
+    def clusters(df):
+        rows = df.collect()
+        byid: dict = {}
+        for r in rows:
+            byid.setdefault(r.entity_id, set()).add(r.norm)
+        return sorted(byid.values(), key=sorted)
+
+    existing = canonicalize_mentions(
+        old, jaccard_max_distance=0.4, max_bucket_size=3
     ).localCheckpoint()
-    batch_c = sorted(map(tuple, canonicalize_mentions(
-        m, max_bucket_size=3).collect()))
-    inc_c = sorted(map(tuple, merge_canonicalize(
-        new, existing_c, max_bucket_size=3).collect()))
-    assert inc_c == batch_c
+    # sanity: the old family clustered under the cap (buckets of 3)
+    assert any(len(c) == 3 for c in clusters(existing))
+    batch = clusters(canonicalize_mentions(
+        old.union(new), jaccard_max_distance=0.4, max_bucket_size=3))
+    inc = clusters(merge_canonicalize(
+        new, existing, jaccard_max_distance=0.4, max_bucket_size=3))
+    # batch drops the now-over-cap buckets: family members split apart
+    assert not any(len(c) >= 3 for c in batch), batch
+    # incremental keeps the committed 3-cluster (the new form may or
+    # may not attach depending on its own bucket survival)
+    assert any(len(c) >= 3 for c in inc), inc
 
 
 def test_triple_support_weighted_edges(spark):
