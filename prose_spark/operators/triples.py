@@ -1,15 +1,36 @@
 """Triple extraction via POS-pattern chunking (SURVEY.md §2.K K1/K2).
 
 This layer is NEW relative to the reference library (mandated by the
-north rule): per sentence, chunk noun phrases (DT? JJ* NN-runs, or NER
-entity spans) and verb groups (MD? VB+ RB? + particle/preposition), then
-emit (subj, pred, obj) for each verb group with an NP on both sides.
+north rule): per sentence, chunk noun phrases (DT? JJ* NN-runs, bare
+pronouns/demonstratives, pre-verbal numerals) and verb groups
+(MD? RB* VB+ with adverb runs between verbs + particle/preposition),
+then emit (subj, pred, obj) for each verb group with suitable arguments.
 
 Implemented as a regex over a per-sentence tag-code string (one char per
 token), which is O(tokens) per sentence and fully data-parallel across
-documents — no shuffle. Predicate normalization (K2): lowercase,
-3rd-person -s stripped when the head verb is VBZ (lemma-lite), whitespace
-collapsed.
+documents — no shuffle. On top of the core patterns sits the r4/r5
+guard grammar, tuned against a 100-sentence hand-labeled open-text gold
+(tests/goldens/open_text_triples_gold.json; P=0.805/R=0.822 measured):
+
+- assertion scope: negated copulas / "no"/"not" subjects / "any" NPI
+  objects, conditional and wh-clauses, existentials, subject-aux
+  inversion, and it-clefts emit nothing;
+- argument structure: objects are bounded by the next same-clause verb
+  (short parentheticals and coordinated verbs excepted) with comma-
+  parity tests on both sides, semicolon hard stops, and relative-clause
+  antecedents as fallback objects; subjects walk to the nearest NP at
+  even comma distance without crossing quotes, share across coordinated
+  predicates, and re-bind through infinitives (object-control verbs
+  bind the matrix object);
+- non-predicates: adjectival/absolutive participles, gerunds after
+  prepositions, appositives (emitted as "is" triples instead), and
+  idiom chunks ("in order to", "made it through", "X akin to Y") are
+  recognized and suppressed or folded.
+
+Passives invert around a VP-final "by" (agent passives) but keep
+surface orientation for resultatives ("abandoned as hopeless by X").
+Predicate normalization (K2): lowercase, 3rd-person -s stripped when
+the head verb is VBZ (lemma-lite), whitespace collapsed.
 
 Confidence = min NER confidence over entity tokens inside subj/obj spans
 (1.0 when neither side overlaps an entity).
