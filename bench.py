@@ -531,6 +531,33 @@ def scale_up(cores: int) -> dict:
             out[f"canonicalize_{tag}"]["shuffle_bytes_per_form"] = round(
                 out[f"canonicalize_{tag}"]["shuffle_bytes"]
                 / (n_forms * 3), 1)
+            # decompose (same method as the minhash leg): one-sided
+            # band-exchange cost + pre-distinct candidate pair terms of
+            # the 30x10 banding canonicalize uses, so super-linear
+            # total-shuffle growth is attributable to the pair leg
+            # rather than left unexplained
+            from prose_spark.operators.canonicalize import _char_grams
+            from prose_spark.operators.canonicalize import (
+                normalize_mentions as _nm,
+            )
+
+            forms = _nm(mentions).select("norm").distinct().select(
+                F.col("norm").alias("k"),
+                _char_grams("norm").alias("g"),
+            )
+            row = (
+                _banded_keys(forms, 30, 10, "xxhash64")
+                .groupBy("band", "bkey").agg(F.count("*").alias("n"))
+                .agg(F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("cand"))
+                .collect()[0]
+            )
+            out[f"canonicalize_{tag}"].update({
+                "band_exchange_bytes_one_side":
+                    _last_exec_shuffle_bytes(spark),
+                "band_bucket_pair_terms": int(row["cand"] or 0),
+            })
 
         # pin the at-scale physical plan for BOTH points (same rationale
         # as the minhash leg): under the default threshold AQE
