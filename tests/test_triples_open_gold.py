@@ -83,3 +83,45 @@ def test_open_text_triple_precision_recall():
     # must stay near-silent: spurious triples there are pure noise
     assert header_preds <= 8, (
         f"{header_preds} triples extracted from relation-free sentences")
+
+
+def test_open_text_triple_heldout():
+    """GENERALIZATION floor: 30 sherlock sentences labeled AFTER the r5
+    guard grammar was frozen and never used for tuning
+    (tests/goldens/open_text_triples_heldout.json). Measured r5:
+    P = 0.5873 (37/63), R = 0.6727 (37/55) — substantially below the
+    tuned-set 0.805/0.822, which is the point: the tuned figure
+    overstates open-text quality exactly as train==test tagger accuracy
+    does, and THIS number is the honest one. Floors a few points under
+    the measurement. Error mass concentrates in: negated non-copular
+    predicates kept ('had not spoken'), negated objects ('of no
+    importance'), parenthetical subject-stealing ('as I understand'),
+    relative-clause subject misbinds, and PP-internal object
+    attachment — the next tuning round's worklist (tune on the TUNED
+    set; if a change is driven by a held-out failure, the affected
+    sentences must migrate into the tuned set)."""
+    heldout = Path(__file__).parent / "goldens" / \
+        "open_text_triples_heldout.json"
+    from prose_spark.operators.annotate import annotate_document
+    from prose_spark.operators.triples import extract_triples_doc
+
+    data = json.loads(heldout.read_text())["sentences"]
+    assert len(data) == 30
+    n_pred = n_pred_match = n_gold = n_gold_match = 0
+    for e in data:
+        _, toks, _ = annotate_document(e["sent"])
+        pred = [(t["subj"], t["pred"], t["obj"])
+                for t in extract_triples_doc(toks)]
+        gold = [tuple(x) for x in e["gold"]]
+        n_pred += len(pred)
+        n_gold += len(gold)
+        n_pred_match += sum(
+            any(_tri_match(p, g) for g in gold) for p in pred)
+        n_gold_match += sum(
+            any(_tri_match(p, g) for p in pred) for g in gold)
+    precision = n_pred_match / n_pred
+    recall = n_gold_match / n_gold
+    assert precision >= 0.55, (
+        f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
+    assert recall >= 0.63, (
+        f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
