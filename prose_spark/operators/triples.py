@@ -393,15 +393,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if vs > 0 and tok[vs - 1]["tag"] == "EX":
                 prev_vp = None
                 continue
-            # explicitly negated copular predicate ("It was not that
-            # ...") asserts nothing; deontic negations of content verbs
-            # ("can't require a password") stay — they carry the fact
+            # explicitly negated predicate ("It was not that ...",
+            # "had not spoken", "could not confide") asserts nothing.
+            # Exception: deontic "can't"/"can not" ("can't require a
+            # password") — the prohibition IS the fact being stated.
             head_verb = next((tok[k] for k in range(vs, ve)
                               if tok[k]["tag"].startswith("VB")),
                              None)
             if (any(t.lower() in _NEG_TOKENS for t in vtexts)
-                    and head_verb is not None
-                    and head_verb["text"].lower() in _BE_FORMS):
+                    and not any(t.lower() in ("ca", "can")
+                                for t in vtexts)):
                 prev_vp = None
                 continue
             cands = [sp for sp in nps if sp[1] <= vs]
@@ -437,11 +438,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and nearest == prev_vp[0]
                     and all(tok[k]["text"].lower()
                             in (",", "and", "or")
+                            for k in range(prev_vp[2], vs))
+                    and any(tok[k]["text"].lower() in ("and", "or")
                             for k in range(prev_vp[2], vs))):
                 # VP coordination with nothing between the predicates
-                # but coordination tokens since the PREVIOUS verb group
-                # ended ("I did so, and saw ..."): the shared subject is
-                # the candidate itself, comma parity notwithstanding
+                # but coordination tokens — INCLUDING an explicit
+                # and/or — since the PREVIOUS verb group ended ("I did
+                # so, and saw ..."): the shared subject is the
+                # candidate itself, comma parity notwithstanding. A
+                # bare comma is NOT enough here: "Your Majesty, as I
+                # understand, became ..." must not share "I" across
+                # the parenthetical's closing comma.
                 subj_span = nearest
                 shared = True
             else:
@@ -693,10 +700,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     in ("WDT", "WP")):
                 prev_vp = None
                 continue
-            # negative-polarity object ("any emotion akin to love" under
-            # a cleft negation): "any" marks a negated-scope NP — the
-            # assertion is not licensed
-            if tok[obj_span[0]]["text"].lower() == "any":
+            # negative-polarity / negated object ("any emotion akin to
+            # love" under a cleft negation; "will be of no importance"):
+            # "any" marks a negated-scope NP and a "no" determiner
+            # negates the assertion outright
+            if tok[obj_span[0]]["text"].lower() in ("any", "no"):
                 prev_vp = None
                 continue
             # (subject comma parity is enforced by the even-distance

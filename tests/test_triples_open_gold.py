@@ -16,7 +16,9 @@ subordinate-clause scope, object-before-next-same-clause-verb with
 parenthetical and coordination handling, even-comma subject walk with
 quote boundaries, relative-object fallback, object-control infinitive
 re-binding, light-verb folding, it-cleft/existential/inversion drops):
-P = 0.8054 (120/149), R = 0.8219 (120/146); on the original 55
+P = 0.8092 (123/152), R = 0.8200 (123/150) after the r5
+negation-scope/parenthetical-share fixes + 4-sentence migration from
+the held-out file; on the original 55
 sentences P >= 0.80 / R >= 0.83 (r4: 0.6509 / 0.7975) — recorded in
 BASELINE.md next to the templated number. The floors below are
 regression guards a few points under the measurement.
@@ -52,7 +54,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 100
+    assert len(data) == 104
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -106,7 +108,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 30
+    assert len(data) == 26
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     for e in data:
         _, toks, _ = annotate_document(e["sent"])
@@ -121,7 +123,7 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for p in pred) for g in gold)
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    assert precision >= 0.55, (
+    assert precision >= 0.60, (
         f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
-    assert recall >= 0.63, (
+    assert recall >= 0.64, (
         f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
