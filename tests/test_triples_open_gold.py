@@ -108,7 +108,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 26
+    assert len(data) == 54
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     for e in data:
         _, toks, _ = annotate_document(e["sent"])
@@ -123,7 +123,7 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for p in pred) for g in gold)
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    assert precision >= 0.60, (
+    assert precision >= 0.67, (
         f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
-    assert recall >= 0.64, (
+    assert recall >= 0.68, (
         f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
