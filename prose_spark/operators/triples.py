@@ -9,8 +9,10 @@ then emit (subj, pred, obj) for each verb group with suitable arguments.
 Implemented as a regex over a per-sentence tag-code string (one char per
 token), which is O(tokens) per sentence and fully data-parallel across
 documents — no shuffle. On top of the core patterns sits the r4/r5
-guard grammar, tuned against a 100-sentence hand-labeled open-text gold
-(tests/goldens/open_text_triples_gold.json; P=0.805/R=0.822 measured):
+guard grammar, tuned against a 104-sentence hand-labeled open-text gold
+(tests/goldens/open_text_triples_gold.json; P=0.809/R=0.820 measured;
+held-out on 54 never-tuned sentences: P=0.720/R=0.728 — see
+open_text_triples_heldout.json for the protocol):
 
 - assertion scope: negated copulas / "no"/"not" subjects / "any" NPI
   objects, conditional and wh-clauses, existentials, subject-aux
