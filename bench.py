@@ -528,9 +528,15 @@ def scale_up(cores: int) -> dict:
                 # checkpoints/aggregates before its final count)
                 "shuffle_bytes": _shuffle_bytes_since(spark, marker),
             }
-            out[f"canonicalize_{tag}"]["shuffle_bytes_per_form"] = round(
-                out[f"canonicalize_{tag}"]["shuffle_bytes"]
-                / (n_forms * 3), 1)
+            # _shuffle_bytes_since returns -1 when metrics extraction
+            # fails (best-effort REST probe); propagating the sentinel
+            # into per-form / growth ratios would report nonsense
+            # negatives, so derived numbers are only computed from a
+            # real measurement
+            if out[f"canonicalize_{tag}"]["shuffle_bytes"] >= 0:
+                out[f"canonicalize_{tag}"]["shuffle_bytes_per_form"] = round(
+                    out[f"canonicalize_{tag}"]["shuffle_bytes"]
+                    / (n_forms * 3), 1)
             # decompose (same method as the minhash leg): one-sided
             # band-exchange cost + pre-distinct candidate pair terms of
             # the 30x10 banding canonicalize uses, so super-linear
@@ -573,8 +579,9 @@ def scale_up(cores: int) -> dict:
         c1x, c4x = out["canonicalize_1x"], out["canonicalize_4x"]
         out["canonicalize_time_growth_4x_vs_1x"] = round(
             c4x["seconds"] / max(c1x["seconds"], 1e-9), 2)
-        out["canonicalize_shuffle_growth_4x_vs_1x"] = round(
-            c4x["shuffle_bytes"] / max(c1x["shuffle_bytes"], 1), 2)
+        if c1x["shuffle_bytes"] >= 0 and c4x["shuffle_bytes"] >= 0:
+            out["canonicalize_shuffle_growth_4x_vs_1x"] = round(
+                c4x["shuffle_bytes"] / max(c1x["shuffle_bytes"], 1), 2)
         return out
     finally:
         spark.stop()

@@ -89,7 +89,9 @@ def _decode_png(data: bytes) -> np.ndarray:
             f"PNG bit depth {depth}/interlace {interlace} unsupported "
             "(8-bit non-interlaced only)"
         )
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"malformed PNG: color type {color}")
     stride = w * channels
     expected = h * (stride + 1)
     # decompression-bomb / runaway-dimension guard: same discipline as
@@ -261,12 +263,17 @@ _AUDIO_FEATURE_DIM = 8
 _AUDIO_MAX_SECONDS = 30
 
 
-def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
     """Decode a RIFF/WAV PCM blob FOR REAL (stdlib ``wave`` + numpy —
     no external dependency): 8/16/32-bit PCM, any channel count
     (downmixed to mono). Returns (float64 samples in [-1, 1],
-    sample_rate). Non-WAV formats (mp3/ogg/flac) need codec libraries
-    absent from this environment and raise NotImplementedError."""
+    sample_rate, true_duration_seconds). The ``_AUDIO_MAX_SECONDS``
+    work cap is applied AT DECODE TIME (``readframes`` stops at the
+    cap) so a multi-GB WAV never materializes its full float64
+    expansion in executor memory; the returned duration is still the
+    blob's TRUE length, read from the header frame count. Non-WAV
+    formats (mp3/ogg/flac) need codec libraries absent from this
+    environment and raise NotImplementedError."""
     import io
     import wave
 
@@ -280,7 +287,9 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
         sr = w.getframerate()
         ch = w.getnchannels()
         width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+        n_total = w.getnframes()
+        n_read = min(n_total, sr * _AUDIO_MAX_SECONDS) if sr else n_total
+        raw = w.readframes(n_read)
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
@@ -294,14 +303,21 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"{width * 8}-bit PCM unsupported")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
-    return x, sr
+    return x, sr, (n_total / sr if sr else 0.0)
 
 
-def _audio_features(x: np.ndarray, sr: int) -> list[float]:
+def _audio_features(
+    x: np.ndarray, sr: int, duration: float | None = None
+) -> list[float]:
     """Real signal-level features (all numpy, no stubs): duration, RMS,
     zero-crossing rate, spectral centroid / peak / 85% rolloff (as
-    fractions of Nyquist), spectral flatness, sample-rate tag."""
-    duration = len(x) / sr if sr else 0.0
+    fractions of Nyquist), spectral flatness, sample-rate tag.
+
+    ``duration`` carries the blob's TRUE length when the caller decoded
+    with the work cap (decode_audio truncates samples but reports the
+    header frame count); defaults to len(x)/sr for direct callers."""
+    if duration is None:
+        duration = len(x) / sr if sr else 0.0
     x = x[: sr * _AUDIO_MAX_SECONDS]
     if len(x) == 0:
         return [0.0] * _AUDIO_FEATURE_DIM
@@ -359,7 +375,7 @@ def extract_audio_features(
             for blob in pdf[blob_col]:
                 b = bytes(blob) if blob is not None else b""
                 try:
-                    x, sr = decode_audio(b)
+                    x, sr, dur = decode_audio(b)
                 except Exception:
                     if errors == "raise":
                         raise
@@ -383,7 +399,7 @@ def extract_audio_features(
                         "sha1": hashlib.sha1(b).hexdigest(),
                     }
                 )
-                feats.append(_audio_features(x, sr))
+                feats.append(_audio_features(x, sr, dur))
             out = pdf[list(key_cols)].copy()
             out["audio_meta"] = metas
             out["features"] = feats

@@ -708,6 +708,15 @@ def test_png_decode_real(spark):
             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="decode cap"):
         decode_image(bomb)
+    # invalid color type follows the 'malformed PNG' ValueError
+    # contract, not a bare KeyError (r5 ADVICE)
+    badcolor = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4,
+                                             8, 5, 0, 0, 0))
+                + chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="color type 5"):
+        decode_image(badcolor)
 
 
 def _encode_wav(samples, sr, width=2, channels=1):
@@ -746,8 +755,8 @@ def test_wav_audio_decode_real(spark):
     sr = 8000
     t = np.arange(sr) / sr           # 1 second
     sine = 0.5 * np.sin(2 * np.pi * 440 * t)
-    x, got_sr = decode_audio(_encode_wav(sine, sr))
-    assert got_sr == sr and len(x) == sr
+    x, got_sr, dur = decode_audio(_encode_wav(sine, sr))
+    assert got_sr == sr and len(x) == sr and abs(dur - 1.0) < 1e-9
     assert np.max(np.abs(x - sine)) < 1e-3   # 16-bit quantization
     feats = _audio_features(x, sr)
     peak_hz = feats[4] * sr / 2
@@ -756,11 +765,25 @@ def test_wav_audio_decode_real(spark):
     assert abs(feats[1] - 0.5 / np.sqrt(2)) < 1e-2  # sine RMS
 
     # 8-bit and stereo paths
-    x8, _ = decode_audio(_encode_wav(sine, sr, width=1))
+    x8, _, _ = decode_audio(_encode_wav(sine, sr, width=1))
     assert np.max(np.abs(x8 - sine)) < 2e-2  # 8-bit quantization
     stereo = np.stack([sine, -sine], axis=1).reshape(-1)
-    xs, _ = decode_audio(_encode_wav(stereo, sr, channels=2))
+    xs, _, _ = decode_audio(_encode_wav(stereo, sr, channels=2))
     assert np.max(np.abs(xs)) < 1e-3         # L/R cancel in downmix
+
+    # decode-time work cap (r5 ADVICE): a blob longer than
+    # _AUDIO_MAX_SECONDS only materializes the capped sample window
+    # (readframes stops at the cap — the float64 expansion of the rest
+    # never exists), while the duration feature still reports the TRUE
+    # header length
+    from prose_spark.operators.multimodal import _AUDIO_MAX_SECONDS
+
+    long_sine = 0.5 * np.sin(
+        2 * np.pi * 440 * np.arange(sr * (_AUDIO_MAX_SECONDS + 5)) / sr)
+    xl, _, dl = decode_audio(_encode_wav(long_sine, sr))
+    assert len(xl) == sr * _AUDIO_MAX_SECONDS
+    assert abs(dl - (_AUDIO_MAX_SECONDS + 5)) < 1e-9
+    assert abs(_audio_features(xl, sr, dl)[0] - dl) < 1e-9
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3-ish")

@@ -4,7 +4,7 @@ The templated-corpus number (P=1.0 / R>=0.95, test_spark_pipeline
 test_triple_recall_vs_templated_gold) measures the extractor on
 sentences the generator itself emits — it overstates open-text
 precision of the POS-pattern grammar. This suite measures the same
-extractor on 100 hand-labeled sentences from the reference's own
+extractor on 104 hand-labeled sentences from the reference's own
 testdata (article.txt + sherlock.txt; gold file documents the labeling
 convention) with standard lenient OIE matching: a predicted triple
 matches a gold triple when each slot's normalized token set is
@@ -88,20 +88,19 @@ def test_open_text_triple_precision_recall():
 
 
 def test_open_text_triple_heldout():
-    """GENERALIZATION floor: 30 sherlock sentences labeled AFTER the r5
-    guard grammar was frozen and never used for tuning
-    (tests/goldens/open_text_triples_heldout.json). Measured r5:
-    P = 0.5873 (37/63), R = 0.6727 (37/55) — substantially below the
-    tuned-set 0.805/0.822, which is the point: the tuned figure
-    overstates open-text quality exactly as train==test tagger accuracy
-    does, and THIS number is the honest one. Floors a few points under
-    the measurement. Error mass concentrates in: negated non-copular
-    predicates kept ('had not spoken'), negated objects ('of no
-    importance'), parenthetical subject-stealing ('as I understand'),
-    relative-clause subject misbinds, and PP-internal object
-    attachment — the next tuning round's worklist (tune on the TUNED
-    set; if a change is driven by a held-out failure, the affected
-    sentences must migrate into the tuned set)."""
+    """GENERALIZATION floor: 54 never-tuned sherlock/article sentences
+    labeled AFTER the corresponding guard grammar was frozen
+    (tests/goldens/open_text_triples_heldout.json — the second tranche;
+    the first tranche's tuned-against sentences migrated to the tuned
+    set per the migration rule). Measured end of r5: P = 0.720, R =
+    0.728 — below the tuned-set 0.809/0.820, which is the point: the
+    tuned figure overstates open-text quality exactly as train==test
+    tagger accuracy does, and THIS number is the honest one. Floors a
+    few points under the measurement. Remaining error mass (r6
+    worklist): relative-clause misbinds, PP attachment, appositive
+    rebinds, quotative inversion. Tune on the TUNED set; if a change is
+    driven by a held-out failure, the affected sentences must migrate
+    into the tuned set."""
     heldout = Path(__file__).parent / "goldens" / \
         "open_text_triples_heldout.json"
     from prose_spark.operators.annotate import annotate_document
