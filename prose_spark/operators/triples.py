@@ -8,10 +8,10 @@ then emit (subj, pred, obj) for each verb group with suitable arguments.
 
 Implemented as a regex over a per-sentence tag-code string (one char per
 token), which is O(tokens) per sentence and fully data-parallel across
-documents — no shuffle. On top of the core patterns sits the r4/r5
-guard grammar, tuned against a 104-sentence hand-labeled open-text gold
-(tests/goldens/open_text_triples_gold.json; P=0.809/R=0.820 measured;
-held-out on 54 never-tuned sentences: P=0.720/R=0.728 — see
+documents — no shuffle. On top of the core patterns sits the r4-r6
+guard grammar, tuned against a 127-sentence hand-labeled open-text gold
+(tests/goldens/open_text_triples_gold.json; P=0.851/R=0.838 measured;
+held-out on 60 never-tuned sentences: P=0.747/R=0.800 — see
 open_text_triples_heldout.json for the protocol):
 
 - assertion scope: negated copulas / "no"/"not" subjects / "any" NPI
@@ -143,6 +143,58 @@ def _is_object_control(word: str) -> bool:
     w = word.lower()
     return any(w.startswith(s) for s in _OBJ_CONTROL_STEMS)
 
+
+# transfer verbs whose "to"-infinitive after a filled object is a
+# PURPOSE clause, not a controlled complement ("I would give one of the
+# provinces of my kingdom to have that photograph" asserts the giving,
+# not <I> have <photograph>)
+_TRANSFER_STEMS = ("give", "gave", "given", "lend", "lent", "sell",
+                   "sold", "pay", "paid", "offer")
+
+# words the tagger sometimes calls verbs that never are: bare color
+# terms ("the deep blue cloak" -> blue/VBZ) and spelled-out number
+# words ("seven hundred in notes" -> hundred/VBD)
+_NEVER_VERB_WORDS = frozenset((
+    "blue", "red", "green", "white", "black", "grey", "gray", "brown",
+    "yellow", "pink", "purple", "orange",
+    "hundred", "thousand", "million", "billion", "dozen",
+))
+
+# bare-NP temporal heads: "that very moment/day/instant" is an
+# adverbial, never an object ("which he had apparently adjusted that
+# very moment"); gated on the "very" to keep real objects ("I remember
+# that day")
+_TEMPORAL_NOUNS = frozenset(("moment", "instant", "time", "day",
+                             "morning", "evening", "night", "week",
+                             "year", "hour", "minute"))
+
+# "at <noun>" adverbial idioms — never objects
+_AT_IDIOM_NOUNS = frozenset(("present", "once", "last", "length",
+                             "first"))
+
+_REFLEXIVES = frozenset(("myself", "yourself", "himself", "herself",
+                         "itself", "ourselves", "yourselves",
+                         "themselves"))
+
+# intransitive presentational/motion verbs: a relative pronoun directly
+# after one is an EXTRAPOSED relative on the verb's subject ("A man
+# entered who could hardly have been less than six feet") — unlike
+# cognition/speech verbs, which take wh-COMPLEMENTS ("I know who did
+# it") and stay suppressed
+_PRESENTATIONAL_VERBS = frozenset((
+    "entered", "arrived", "came", "come", "appeared", "emerged",
+    "followed", "remained", "stood", "sat", "lay", "rose", "returned",
+    "departed", "passed", "walked", "ran", "vanished", "died", "lived",
+))
+
+# narration verbs that frame a quoted question ('"You had my note?" he
+# asked'): the quote's content is a QUESTION, asserted by nobody
+_NARRATION_VERBS = frozenset(("asked", "said", "inquired", "enquired",
+                              "demanded", "queried", "cried", "replied",
+                              "returned", "answered", "remarked",
+                              "observed", "exclaimed", "muttered",
+                              "whispered", "shouted", "continued"))
+
 # straight/typographic quotes and PTB two-char quote tokens: the
 # sanitizer folds typographic quotes to '"', which the tagger then
 # mistags (NNP/NN/VBP) on open text, leaking quote marks into NP/VP
@@ -226,6 +278,50 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
 
         def n_commas(a: int, b: int) -> int:
             return ncom[b] - ncom[a] if b > a else 0
+
+        # nonrestrictive relative-clause commas are TRANSPARENT for the
+        # subject walk: in "Dr. Watson, who is good enough to help me",
+        # the ", who" comma (and its closing partner) must not flip the
+        # parity that would otherwise wall the antecedent off from the
+        # clause's verbs. A comma opens an RC when (an optional and/or
+        # plus) a wh-token follows it; its close is the next comma.
+        comma_positions = [k for k in range(len(tok))
+                           if tok[k]["text"] == ","]
+        rc_commas: set[int] = set()
+        for c in comma_positions:
+            j = c + 1
+            if j < len(tok) and tok[j]["text"].lower() in ("and", "or"):
+                j += 1
+            # relative pronouns only — a wh-ADVERB after the comma
+            # ("..., how is she to prove ...") opens an interrogative,
+            # not a relative on the preceding NP
+            if j < len(tok) and (tok[j]["tag"] or "") in (
+                    "WDT", "WP", "WP$"):
+                rc_commas.add(c)
+                nxt = next((c2 for c2 in comma_positions if c2 > c),
+                           None)
+                if nxt is not None:
+                    rc_commas.add(nxt)
+
+        def n_commas_subj(a: int, b: int) -> int:
+            n = n_commas(a, b)
+            return n - sum(1 for c in rc_commas if a <= c < b)
+
+        # quoted questions framed by a narration verb ('"You had my
+        # note?" he asked') assert nothing — suppress verbs inside such
+        # a quote span. Quote tokens pair up in order; an odd count
+        # means the sentence opened mid-quote (virtual open at 0).
+        qpos = [k for k in range(len(tok))
+                if tok[k]["text"] in _QUOTE_TOKENS]
+        if len(qpos) % 2:
+            qpos = [-1] + qpos
+        question_quotes: list[tuple[int, int]] = []
+        for q1, q2 in zip(qpos[0::2], qpos[1::2]):
+            if q2 - 1 < 0 or tok[q2 - 1]["text"] not in ("?", "?!"):
+                continue
+            if any(tok[k]["text"].lower() in _NARRATION_VERBS
+                   for k in range(q2 + 1, min(q2 + 4, len(tok)))):
+                question_quotes.append((q1, q2))
         subj_override: dict[tuple[int, int], tuple[int, int]] = {}
         # appositive chain-closing comma positions: the verb right after
         # one is the MAIN verb of the sentence ("Maria Garcia, the
@@ -310,6 +406,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             keep their matrix subject and are never suppressed."""
             vtags = [tok[k]["tag"] for k in range(vs, ve)]
             verb_tags = [t for t in vtags if t.startswith("VB")]
+            # VBD/VBN-ambiguous -ed form directly after an OF-governed
+            # noun is a reduced relative ("... suggestive of resolution
+            # pushed to the length of obstinacy"), not a predicate —
+            # an of-PP nominal never subjects a finite verb
+            if (verb_tags == ["VBD"] and tok[vs]["tag"] == "VBD"
+                    and tok[vs]["text"].lower().endswith("ed")
+                    and vs > 0 and code[vs - 1] == "N"):
+                np_b = next((sp for sp in nps if sp[1] == vs), None)
+                if (np_b is not None and np_b[0] > 0
+                        and tok[np_b[0] - 1]["text"].lower() == "of"):
+                    return True
             if ("MD" in vtags
                     or any(t in ("VB", "VBD", "VBP", "VBZ") for t in vtags)
                     or not verb_tags
@@ -333,6 +440,35 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # January"), so VBG-bearing groups are exempt
             absolutive = (prev_code in "NS"
                           and all(t == "VBN" for t in verb_tags))
+            # a VBN-mistagged MAIN verb is not an absolutive: subject
+            # NP opens the sentence (only quotes/NP-lead material
+            # before it) and no finite verb exists elsewhere outside a
+            # relative clause ("Our visitor glanced with ... at the
+            # figure of the man who had been depicted ..." — glanced/
+            # VBN is the only matrix verb candidate)
+            if absolutive:
+                np_b = next((sp for sp in nps if sp[1] == vs), None)
+                if np_b is not None and all(
+                    tok[k]["text"] in _QUOTE_TOKENS
+                    or tok[k]["tag"] in ("PRP$", "DT", "PDT")
+                    or tok[k]["tag"].startswith("JJ")
+                    for k in range(0, np_b[0])
+                ):
+                    # matrix region = everything before the first
+                    # wh-token; finite verbs after it belong to
+                    # relative clauses and do not disqualify
+                    first_w = next(
+                        (k for k in range(len(tok))
+                         if (tok[k]["tag"] or "").startswith("W")),
+                        len(tok))
+                    finite_elsewhere = any(
+                        tok[k]["tag"] in ("VB", "VBD", "VBP", "VBZ",
+                                          "MD")
+                        and not (vs <= k < ve)
+                        for k in range(0, first_w)
+                    )
+                    if not finite_elsewhere:
+                        absolutive = False
             return (premodifies_noun or absolutive or prev_code in "DJP"
                     or prev_text in (",", "and", "or"))
 
@@ -350,6 +486,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             and not _nonfinite_suppressed(m.start(), m.end())
         ]
         vp_starts = {s0 for s0, _e0 in vp_spans}
+        # set when a wh-gap guard killed a verb: coordinated verbs in
+        # the SAME comma segment continue that wh-clause ("to quench
+        # what might grow to be an immense scandal and seriously
+        # compromise ...") and are equally out of assertion scope
+        wh_kill: int | None = None
         for vpi, (vs, ve) in enumerate(vp_spans):
             next_vs = len(code)
             coord_ends: list[int] = []
@@ -385,7 +526,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # ally yields <mandate> requires <insurers>)
             if (ve < len(code)
                     and (tok[ve]["text"].lower() in _CLAUSAL_DROP
-                         or tok[ve]["tag"].startswith("W"))):
+                         or tok[ve]["tag"].startswith("W"))
+                    # an extraposed relative after a presentational
+                    # verb falls through: the objectless predicate is
+                    # recorded so the relative's verb can re-bind to
+                    # its subject
+                    and not (tok[ve]["tag"] in ("WDT", "WP")
+                             and any(tok[k]["text"].lower()
+                                     in _PRESENTATIONAL_VERBS
+                                     for k in range(vs, ve)))):
                 # wh-words too: "know how he was employing ...", "see
                 # where he has secreted ..." take interrogative clauses
                 prev_vp = None
@@ -402,6 +551,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             head_verb = next((tok[k] for k in range(vs, ve)
                               if tok[k]["tag"].startswith("VB")),
                              None)
+            # tagger-proof non-verbs: color and number words ("the deep
+            # blue cloak" -> blue/VBZ, "seven hundred in notes" ->
+            # hundred/VBD) never predicate anything
+            if (head_verb is not None
+                    and head_verb["text"].lower() in _NEVER_VERB_WORDS):
+                prev_vp = None
+                continue
+            # inside a narrated quoted question — asserted by nobody
+            if any(q1 < vs < q2 for q1, q2 in question_quotes):
+                prev_vp = None
+                continue
+            # coordinated continuation of a wh-clause whose head verb
+            # was suppressed (same comma segment, no wh of its own)
+            if (wh_kill is not None and vs > wh_kill
+                    and n_commas(wh_kill, vs) == 0
+                    and not (vs > 0
+                             and tok[vs - 1]["tag"].startswith("W"))):
+                prev_vp = None
+                continue
             if (any(t.lower() in _NEG_TOKENS for t in vtexts)
                     and not any(t.lower() in ("ca", "can")
                                 for t in vtexts)):
@@ -419,6 +587,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and nearest[0] >= prev_vp[2]
                     and all(tok[k]["text"].lower()
                             in (",", "and", "or")
+                            # coordinated relative clauses re-open on
+                            # the same antecedent ("Boots which
+                            # extended ..., and which were trimmed ...")
+                            # — wh-tokens ride along in the gap
+                            or tok[k]["tag"].startswith("W")
                             for k in range(nearest[1], vs))
                     and (any(tok[k]["text"].lower()
                              in ("and", "or")
@@ -427,13 +600,32 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # bare comma: "waved me to an armchair, threw
                          # across his case of cigars, and indicated ..."
                          # — except the exception-preposition idiom
-                         # ", save with ..." the tagger marks VB
+                         # ", save with ..." the tagger marks VB, and
+                         # except when the candidate sits in a DIFFERENT
+                         # comma segment than the previous predicate
+                         # ("this gentleman, your friend, is ..." must
+                         # not share "I" from "I understand")
                          or ([tok[k]["text"]
                               for k in range(nearest[1], vs)] == [","]
                              and tok[vs]["text"].lower()
-                             != "save"))):
+                             != "save"
+                             and n_commas(prev_vp[2], nearest[0]) % 2
+                             == 0))):
                 # coordinated predicates share the subject: the nearest
                 # NP before this verb is the PREVIOUS verb's object
+                subj_span = prev_vp[0]
+                shared = True
+            elif (nearest is not None and prev_vp is not None
+                    and prev_vp[1] is not None
+                    and nearest == prev_vp[1]
+                    and nearest[1] == vs
+                    and any(tok[k]["tag"] in ("WDT", "WP")
+                            for k in range(prev_vp[0][1], prev_vp[2]))):
+                # reduced/wh relative closed, matrix verb resumes: in
+                # "the cloak which was thrown over his shoulders was
+                # lined ...", the NP abutting this verb is the RELATIVE
+                # CLAUSE's object — the matrix subject is the clause's
+                # antecedent (the previous predicate's subject)
                 subj_span = prev_vp[0]
                 shared = True
             elif (nearest is not None and prev_vp is not None
@@ -468,7 +660,35 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     if any(tok[k]["text"] in _QUOTE_TOKENS
                            for k in range(sp[1], vs)):
                         break
-                    if n_commas(sp[1], vs) % 2 == 0:
+                    # an ANTECEDENT-LESS wh-token (free relative)
+                    # between candidate and verb means the verb lives
+                    # inside the wh-clause — the candidate belongs to
+                    # the matrix ("precaution has to be taken to quench
+                    # what might grow to be ..."). A wh with an
+                    # abutting antecedent NP ("Dr. Watson, who is good
+                    # enough to help me") is an ordinary relative and
+                    # does not wall the walk.
+                    def _free_wh(k: int) -> bool:
+                        j = k - 1
+                        steps = 0
+                        while (j >= 0 and steps < 3
+                               and (tok[j]["text"] in (",", "and", "or")
+                                    or tok[j]["tag"].startswith("RB"))):
+                            j -= 1
+                            steps += 1
+                        return not any(e0 == j + 1 for _s0, e0 in nps)
+                    if any(
+                        tok[k]["tag"].startswith("W")
+                        and _free_wh(k)
+                        and not all(
+                            tok[k2]["tag"].startswith(("W", "RB"))
+                            or tok[k2]["text"] == ","
+                            for k2 in range(k, vs)
+                        )
+                        for k in range(sp[1], vs)
+                    ):
+                        continue
+                    if n_commas_subj(sp[1], vs) % 2 == 0:
                         subj_span = sp
                         break
                     last_comma = next(k for k in range(vs - 1, sp[1] - 1, -1)
@@ -497,8 +717,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     k -= 1
                     steps += 1
                 if not any(e == k + 1 for _s, e in nps):
-                    prev_vp = None
-                    continue
+                    # extraposed subject relative: the wh directly
+                    # follows a just-emitted objectless predicate ("A
+                    # man entered who could hardly have been ...") —
+                    # the antecedent is that predicate's subject
+                    if (prev_vp is not None and prev_vp[1] is None
+                            and prev_vp[2] == k + 1):
+                        subj_span = prev_vp[0]
+                        shared = True
+                    else:
+                        wh_kill = vs
+                        prev_vp = None
+                        continue
             # subject-auxiliary inversion ("had you lived a few
             # centuries ago") marks a counterfactual/question clause —
             # only a true auxiliary before the subject counts, not a
@@ -508,6 +738,29 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     in _AUX_FORMS):
                 prev_vp = None
                 continue
+            # subject-relative antecedent PP-chain: when the subject is
+            # a wh-relative's antecedent ("the impression of barbaric
+            # opulence which was suggested by ..."), extend it leftward
+            # over "NP of" links so the chain HEAD ("the impression")
+            # stays in the surface
+            subj_chain_ext = False
+            if (not rebound and not shared and vs > 0
+                    and tok[vs - 1]["tag"].startswith("W")
+                    and subj_span[1] >= vs - 3):
+                _start = subj_span[0]
+                while (_start > 0
+                       and tok[_start - 1]["text"].lower() == "of"):
+                    _prev_np = next((sp for sp in nps
+                                     if sp[1] == _start - 1), None)
+                    if _prev_np is None:
+                        break
+                    _start = _prev_np[0]
+                if _start != subj_span[0]:
+                    subj_span = (_start, subj_span[1])
+                    # keep the chain head's determiner in the surface:
+                    # "the impression of barbaric opulence", not
+                    # "impression of ..." — the head is mid-phrase
+                    subj_chain_ext = True
             # negated subject: "Not everyone subscribes ...", "no
             # national legislation was approved ..." — drop (the leading
             # "no" determiner is inspected before phrase() strips it)
@@ -530,7 +783,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # ("how you work it out"); locative/temporal
                          # ones presuppose their content ("where the
                          # firelight strikes it") and stay
-                         or before_tok["text"].lower() in ("how", "why"))):
+                         or before_tok["text"].lower() in ("how", "why"))
+                    # a sentence-initial subordinate clause with NO
+                    # matrix clause after it IS the assertion — a
+                    # dialogue answer ('"Because she has said that she
+                    # would send it ..."') asserts its content; the
+                    # matrix pattern ("Because many laws are
+                    # controversial, they ...") always carries a comma
+                    and not (all(tok[k]["text"] in _QUOTE_TOKENS
+                                 for k in range(0, subj_span[0] - 1))
+                             and not any(c >= subj_span[0]
+                                         for c in comma_positions))):
                 prev_vp = None
                 continue
             # an NP whose surface ENDS in an adjective-complement word
@@ -556,6 +819,27 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and tok[subj_span[0] - 1]["text"].lower()
                     == "in"):
                 prev_vp = None
+                continue
+            # expletive extraposition "it BE (ADJ/too much) to <verb>":
+            # the walked-to "it" is a dummy — nothing acts ("it is not
+            # too much to say ...", "it was difficult to name ...")
+            if (not rebound and not shared
+                    and subj_span[1] - subj_span[0] == 1
+                    and tok[subj_span[0]]["text"].lower() == "it"
+                    and vs > 0
+                    and tok[vs - 1]["text"].lower() == "to"
+                    and any(tok[k]["text"].lower() in _BE_FORMS
+                            for k in range(subj_span[1], vs))):
+                prev_vp = None
+                continue
+            # "<NP> and <verb>" with no prior predicate: the verb is
+            # the second conjunct of a coordination whose first verb
+            # the tagger missed ("The man sprang from his chair and
+            # paced ..." with sprang/NN) — the walked NP is the lost
+            # verb's argument, not this verb's subject
+            if (not rebound and not shared and prev_vp is None
+                    and [tok[k]["text"].lower()
+                         for k in range(subj_span[1], vs)] == ["and"]):
                 continue
             # coordinated predicates share the subject: in "Students can
             # use bathrooms and join school athletic teams", the nearest
@@ -583,6 +867,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and prev_vp[0][1] - prev_vp[0][0] == 1
                         and tok[prev_vp[0][0]]["text"].lower()
                         == "it"):
+                    prev_vp = None
+                    continue
+                # a transfer verb with a filled object takes a PURPOSE
+                # infinitive, not a controlled complement ("would give
+                # one of the provinces ... to have that photograph")
+                if (prev_vp[1] is not None
+                        and any(prev_vp[3].lower().startswith(s)
+                                for s in _TRANSFER_STEMS)):
                     prev_vp = None
                     continue
                 subj_span = (prev_vp[1]
@@ -643,6 +935,39 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and tok[s]["text"].lower()
                         in _IN_IDIOM_NOUNS):
                     return False
+                # "at present/once/last/..." adverbial idioms likewise
+                if (e - s == 1 and s > 0
+                        and tok[s - 1]["text"].lower() == "at"
+                        and tok[s]["text"].lower()
+                        in _AT_IDIOM_NOUNS):
+                    return False
+                # a reflexive INTENSIFIER directly followed by another
+                # nominal is not the object ("She is herself the very
+                # soul of delicacy"); a clause-final reflexive is a
+                # real object ("I have just called myself")
+                if (e - s == 1
+                        and tok[s]["text"].lower() in _REFLEXIVES
+                        and e < len(code) and code[e] in "DNSJC"):
+                    return False
+                # bare-NP temporal adverbial ("adjusted that very
+                # moment") — the "very" gates it off real objects;
+                # the tagger may put "very" inside or before the span
+                if (tok[e - 1]["text"].lower() in _TEMPORAL_NOUNS
+                        and any(tok[k]["text"].lower() == "very"
+                                for k in range(max(s - 1, 0), e - 1))):
+                    return False
+                # a bare pronoun abutting a following verb group after
+                # a COPULA is that verb's subject, not a complement
+                # ("of such weight it may have an influence"); non-BE
+                # verbs keep it — speech/cognition verbs take elided-
+                # that complements ("said it would use drones") whose
+                # embedded subject is conventionally the object
+                if (is_be_head
+                        and e - s == 1 and code[s] == "S"
+                        and e in vp_starts
+                        and not any(tok[k]["text"].lower() == "that"
+                                    for k in range(ve, s))):
+                    return False
                 return True
 
             obj_span = next(
@@ -690,6 +1015,41 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 prev_vp = (subj_span, None, ve,
                            head_verb["text"] if head_verb else "")
                 continue
+            # INFINITIVAL copular adjectival complement: in "to be ADJ
+            # (P NP)" the NP belongs to the adjective, and the clause
+            # predicates a property, not a relation ("wishes his agent
+            # to be unknown to you" must not yield <person> be <you>).
+            # Finite copulas keep theirs — "were abhorrent to his mind"
+            # IS the asserted relation.
+            _p_after = ve
+            while _p_after < len(code) and code[_p_after] == "R":
+                _p_after += 1
+            if (is_be_head and shared and vs > 0
+                    and tok[vs - 1]["text"].lower() == "to"
+                    and _p_after < len(code)
+                    and code[_p_after] == "J"
+                    and obj_span[0] > _p_after):
+                prev_vp = None
+                continue
+            # "that"-complement object whose embedded clause is NEGATED
+            # asserts no pairing ("may confess at once that the title
+            # ... is not exactly my own"): keep only affirmative
+            # embedded clauses ("has said that she would send it")
+            if any(tok[k]["text"].lower() == "that"
+                   for k in range(ve, obj_span[0])):
+                # the embedded clause asserts nothing if its predicate
+                # is negated; the complement's own verb may sit past an
+                # intervening relative ("that the title by which I have
+                # just called myself is not ..."), so ANY negated VP in
+                # the complement's remainder vetoes the pairing
+                if any(
+                    s2 >= obj_span[1]
+                    and any(tok[k]["text"].lower() in _NEG_TOKENS
+                            for k in range(s2, e2))
+                    for s2, e2 in vp_spans
+                ):
+                    prev_vp = None
+                    continue
             # it-cleft: "It is the German who is so uncourteous ..."
             # asserts only the embedded relation, which the relative
             # clause itself yields — the dummy-subject copula is noise
@@ -723,7 +1083,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and tok[obj_span[0]]["text"].lower() == "it"
                     and oe < len(code) and code[oe] == "P"
                     and tok[oe]["text"].lower()
-                    not in _SUBORD_CONJ):
+                    not in _SUBORD_CONJ
+                    # idiom fold is a LIGHT-VERB property ("made it
+                    # through") — literal verbs keep the pronoun object
+                    # ("hurled it upon the ground" -> <he> hurled <it>)
+                    and head_verb is not None
+                    and head_verb["text"].lower().startswith(
+                        ("make", "made", "mak"))):
                 folded = next(
                     ((s, e) for s, e in nps if s == oe + 1), None
                 )
@@ -731,8 +1097,30 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     v_toks = v_toks + [tok[obj_span[0]],
                                        tok[oe]]
                     obj_span = folded
+            # literal verbs with the same shape ("hurled it upon the
+            # ground", "handed it to him") keep the pronoun object AND
+            # also yield the folded relation — both readings are true
+            # and gold labels carry both
+            fold_extra = None
+            if (obj_span[1] - obj_span[0] == 1
+                    and tok[obj_span[0]]["text"].lower() == "it"
+                    and obj_span[1] < len(code)
+                    and code[obj_span[1]] == "P"
+                    and tok[obj_span[1]]["text"].lower()
+                    not in _SUBORD_CONJ
+                    and tok[obj_span[1]]["text"].lower()
+                    not in ("as", "by")
+                    and not (head_verb is not None
+                             and head_verb["text"].lower().startswith(
+                                 ("make", "made", "mak")))):
+                _f2 = next(((s, e) for s, e in nps
+                            if s == obj_span[1] + 1), None)
+                if _f2 is not None:
+                    fold_extra = (tok[obj_span[0]],
+                                  tok[obj_span[1]], _f2)
 
-            s_toks = phrase(subj_span)
+            s_toks = (list(tok[k] for k in range(*subj_span))
+                      if subj_chain_ext else phrase(subj_span))
             o_toks = phrase(obj_span)
             if not s_toks or not o_toks:
                 prev_vp = None
@@ -811,6 +1199,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     "confidence": min(conf(s_toks), conf(o_toks)),
                 }
             )
+            if fold_extra is not None and not passive and not resultative:
+                _it, _prep, _f2 = fold_extra
+                f_toks = phrase(_f2)
+                if f_toks:
+                    out.append(
+                        {
+                            "sent_idx": si,
+                            "subj": " ".join(t["text"] for t in s_toks),
+                            "pred": f"{pred} {_it['text']} "
+                                    f"{_prep['text']}",
+                            "obj": " ".join(t["text"] for t in f_toks),
+                            "pred_norm": f"{pred_norm} "
+                                         f"{_it['text'].lower()} "
+                                         f"{_prep['text'].lower()}",
+                            "subj_label": ent_label(s_toks),
+                            "obj_label": ent_label(f_toks),
+                            "confidence": min(conf(s_toks),
+                                              conf(f_toks)),
+                        }
+                    )
     return out
 
 

@@ -1,27 +1,28 @@
-"""Open-text triple quality vs HAND-LABELED gold (r4, grown r5).
+"""Open-text triple quality vs HAND-LABELED gold (r4, grown r5/r6).
 
 The templated-corpus number (P=1.0 / R>=0.95, test_spark_pipeline
 test_triple_recall_vs_templated_gold) measures the extractor on
 sentences the generator itself emits — it overstates open-text
 precision of the POS-pattern grammar. This suite measures the same
-extractor on 104 hand-labeled sentences from the reference's own
+extractor on 127 hand-labeled sentences from the reference's own
 testdata (article.txt + sherlock.txt; gold file documents the labeling
 convention) with standard lenient OIE matching: a predicted triple
 matches a gold triple when each slot's normalized token set is
 contained in (or contains) the gold slot's.
 
-Measured r5 baselines (deterministic kernel, pinned models; after the
-r5 guard batch: non-finite/absolutive suppression, negation +
-subordinate-clause scope, object-before-next-same-clause-verb with
-parenthetical and coordination handling, even-comma subject walk with
-quote boundaries, relative-object fallback, object-control infinitive
-re-binding, light-verb folding, it-cleft/existential/inversion drops):
-P = 0.8092 (123/152), R = 0.8200 (123/150) after the r5
-negation-scope/parenthetical-share fixes + 4-sentence migration from
-the held-out file; on the original 55
-sentences P >= 0.80 / R >= 0.83 (r4: 0.6509 / 0.7975) — recorded in
-BASELINE.md next to the templated number. The floors below are
-regression guards a few points under the measurement.
+Measured r6 baselines (deterministic kernel, pinned models; after the
+r6 guard batch: relative-clause subject rebinds + coordinated-wh
+share, nonrestrictive-comma transparency, free-wh crossing ban with
+run-on suppression, absolutive main-verb exemption, quoted-question
+narration suppression, expletive extraposition, at-idiom / temporal /
+reflexive-intensifier object guards, light-verb fold restricted to
+make-stems with dual emission for literal verbs, transfer-verb purpose
+infinitives, never-verb color/number words, Because-initial dialogue
+answers): P = 0.8505 (165/194), R = 0.8376 (165/197) on 127 sentences
+(104 r5-tuned + 23 migrated from held-out per the migration rule);
+r5 values were P = 0.8092 (123/152), R = 0.8200 (123/150) on 104 —
+recorded in BASELINE.md next to the templated number. The floors
+below are regression guards a few points under the measurement.
 """
 
 import json
@@ -54,7 +55,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 104
+    assert len(data) == 127
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -73,14 +74,16 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors under the measured r4 values
-    # (P=0.6509 = 69/106, R=0.7975 = 63/79 — same as the docstring)
-    assert precision >= 0.77, (
+    # regression floors a few points under the measured r6 values
+    # (P = 0.8505 = 165/194, R = 0.8376 = 165/197 on the 127-sentence
+    # set: 104 from r5 plus the 23 held-out sentences that drove the
+    # r6 guard batch, migrated per the protocol)
+    assert precision >= 0.82, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.77")
-    assert recall >= 0.78, (
+        f"{n_pred}) regressed below 0.82")
+    assert recall >= 0.81, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
-        f"{n_gold}) regressed below 0.78")
+        f"{n_gold}) regressed below 0.81")
     # the relation-free probes (TOC headers, negated-only sentences)
     # must stay near-silent: spurious triples there are pure noise
     assert header_preds <= 8, (
@@ -88,26 +91,30 @@ def test_open_text_triple_precision_recall():
 
 
 def test_open_text_triple_heldout():
-    """GENERALIZATION floor: 54 never-tuned sherlock/article sentences
-    labeled AFTER the corresponding guard grammar was frozen
-    (tests/goldens/open_text_triples_heldout.json — the second tranche;
-    the first tranche's tuned-against sentences migrated to the tuned
-    set per the migration rule). Measured end of r5: P = 0.720, R =
-    0.728 — below the tuned-set 0.809/0.820, which is the point: the
+    """GENERALIZATION floor: 60 never-tuned sherlock sentences labeled
+    blind AFTER the corresponding guard grammar froze
+    (tests/goldens/open_text_triples_heldout.json): 31 second-tranche
+    survivors plus a 29-sentence third tranche (blue carbuncle +
+    boscombe valley narrative) added after the r6 guard batch; the 23
+    sentences whose failures drove that batch migrated to the tuned set
+    per the migration rule. Measured r6: P = 0.7473 (68/91), R = 0.8000
+    (68/85) — below the tuned-set 0.851/0.838, which is the point: the
     tuned figure overstates open-text quality exactly as train==test
     tagger accuracy does, and THIS number is the honest one. Floors a
-    few points under the measurement. Remaining error mass (r6
-    worklist): relative-clause misbinds, PP attachment, appositive
-    rebinds, quotative inversion. Tune on the TUNED set; if a change is
-    driven by a held-out failure, the affected sentences must migrate
-    into the tuned set."""
+    few points under the measurement (r5 floors were 0.67/0.68 at
+    measured 0.720/0.728). Remaining error mass (r7 worklist): tagger
+    OOV misses (sprang/hailed as NN), adverb-into-NP chunking
+    ("companion speedily"), it-cleft relative loss, multi-PP second
+    attachments. Tune on the TUNED set; if a change is driven by a
+    held-out failure, the affected sentences must migrate into the
+    tuned set."""
     heldout = Path(__file__).parent / "goldens" / \
         "open_text_triples_heldout.json"
     from prose_spark.operators.annotate import annotate_document
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 54
+    assert len(data) == 60
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     for e in data:
         _, toks, _ = annotate_document(e["sent"])
@@ -122,7 +129,7 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for p in pred) for g in gold)
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    assert precision >= 0.67, (
+    assert precision >= 0.72, (
         f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
-    assert recall >= 0.68, (
+    assert recall >= 0.76, (
         f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
