@@ -582,6 +582,141 @@ def scale_up(cores: int) -> dict:
         if c1x["shuffle_bytes"] >= 0 and c4x["shuffle_bytes"] >= 0:
             out["canonicalize_shuffle_growth_4x_vs_1x"] = round(
                 c4x["shuffle_bytes"] / max(c1x["shuffle_bytes"], 1), 2)
+
+        # Zipfian-vocabulary canonicalize leg (r5 verdict item #3): the
+        # md5-diverse leg above measures RANDOM band collisions (tiny
+        # buckets, an n^2 term with a small constant); a real crawl
+        # vocabulary is Zipfian — hot surface tokens repeat across
+        # forms, whole band buckets densify, and the HOT-BUCKET pair
+        # term dominates. That is the regime max_bucket_size exists
+        # for, so this leg measures it directly: seeded Zipf(s=1)
+        # token-pair surfaces at 1x/4x, uncapped vs capped, reporting
+        # the candidate-pair growth (super-linear by construction),
+        # the cap's shuffle reduction, and the cap's recall cost on
+        # planted near-dup variants (base+'s' must share entity_id
+        # with base).
+        def zipf_base(n_forms, vocab=2000, toks=2, seed=11):
+            # inverse-CDF Zipf rank = floor(vocab^u) gives p(rank) ~
+            # 1/rank; rank -> md5-prefix token so hot ranks share an
+            # exact 6-char token without spurious prefix overlap
+            cols = []
+            for j in range(toks):
+                u = (F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(j), F.lit(seed)),
+                    F.lit(1_000_000)) / 1_000_000.0)
+                rank = F.floor(
+                    F.pow(F.lit(float(vocab)), u)).cast("int")
+                cols.append(F.substring(
+                    F.md5(F.concat(F.lit("z"), rank.cast("string"))),
+                    1, 6))
+            return spark.range(n_forms).select(
+                F.concat_ws(" ", *cols).alias("text"))
+
+        def zipf_mentions(base):
+            variants = base.select(
+                F.concat(F.col("text"), F.lit("s")).alias("text")
+            ).union(base.select(
+                F.concat(F.lit("the "), F.col("text")).alias("text")))
+            return (
+                base.union(variants)
+                .crossJoin(spark.range(5).select(
+                    F.col("id").alias("rep")))
+                .select(F.concat(F.lit("u"), F.col("rep")).alias("url"),
+                        "text")
+                .repartition(cores * 2)
+            )
+
+        def zipf_point(n_forms, tag, max_bucket_size=None):
+            from prose_spark.operators.canonicalize import _char_grams
+            from prose_spark.operators.canonicalize import (
+                normalize_mentions as _nm,
+            )
+
+            base = zipf_base(n_forms)
+            mentions = zipf_mentions(base)
+            stats: dict = {}
+            marker = _exec_marker(spark)
+            t0 = time.time()
+            result = canonicalize_mentions(
+                mentions, stats=stats, max_bucket_size=max_bucket_size)
+            n_ent = result.select("entity_id").distinct().count()
+            dt = time.time() - t0
+            shuffle = _shuffle_bytes_since(spark, marker)
+            point = {
+                "n_forms": n_forms * 3, "n_entities": n_ent,
+                "seconds": round(dt, 2),
+                "forms_per_sec": round(n_forms * 3 / dt, 1),
+                "cc_rounds": stats.get("rounds"),
+                "cc_path": stats.get("path"),
+                "shuffle_bytes": shuffle,
+            }
+            if max_bucket_size is not None:
+                point["max_bucket_size"] = max_bucket_size
+            # planted-variant recall: each base form's +'s' variant
+            # must land in the same entity (the cap's recall cost —
+            # uncapped this is 1.0 by the verify contract)
+            norm_ent = result.select("norm", "entity_id")
+            pairs_bv = _nm(base.select("text")).select(
+                F.col("norm").alias("bn"),
+                F.concat(F.col("norm"), F.lit("s")).alias("vn"),
+            ).distinct()
+            row = (
+                pairs_bv
+                .join(norm_ent.select(F.col("norm").alias("bn"),
+                                      F.col("entity_id").alias("be")),
+                      "bn")
+                .join(norm_ent.select(F.col("norm").alias("vn"),
+                                      F.col("entity_id").alias("ve")),
+                      "vn")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.when(F.col("be") == F.col("ve"), 1)
+                           .otherwise(0)).alias("hit"))
+                .collect()[0]
+            )
+            point["planted_variant_recall"] = round(
+                int(row["hit"] or 0) / max(int(row["n"] or 0), 1), 4)
+            # hot-bucket decomposition (same probe as the md5 leg):
+            # pre-distinct candidate pair terms + the max bucket size
+            # the cap would bite on
+            forms = _nm(mentions).select("norm").distinct().select(
+                F.col("norm").alias("k"), _char_grams("norm").alias("g"))
+            brow = (
+                _banded_keys(forms, 30, 10, "xxhash64")
+                .groupBy("band", "bkey").agg(F.count("*").alias("n"))
+                .agg(F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("cand"), F.max("n").alias("maxb"))
+                .collect()[0]
+            )
+            point.update({
+                "band_bucket_pair_terms": int(brow["cand"] or 0),
+                "max_band_bucket": int(brow["maxb"] or 0),
+            })
+            out[f"canonicalize_zipf_{tag}"] = point
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            zipf_point(2500, "1x")
+            zipf_point(10000, "4x")
+            zipf_point(10000, "4x_capped", max_bucket_size=20)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        z1, z4 = (out["canonicalize_zipf_1x"],
+                  out["canonicalize_zipf_4x"])
+        z4c = out["canonicalize_zipf_4x_capped"]
+        out["canonicalize_zipf_time_growth_4x_vs_1x"] = round(
+            z4["seconds"] / max(z1["seconds"], 1e-9), 2)
+        out["canonicalize_zipf_candidate_terms_growth_4x_vs_1x"] = round(
+            z4["band_bucket_pair_terms"]
+            / max(z1["band_bucket_pair_terms"], 1), 2)
+        if z1["shuffle_bytes"] >= 0 and z4["shuffle_bytes"] >= 0:
+            out["canonicalize_zipf_shuffle_growth_4x_vs_1x"] = round(
+                z4["shuffle_bytes"] / max(z1["shuffle_bytes"], 1), 2)
+        if z4["shuffle_bytes"] > 0 and z4c["shuffle_bytes"] >= 0:
+            out["canonicalize_zipf_capped_shuffle_vs_uncapped_4x"] = (
+                round(z4c["shuffle_bytes"] / z4["shuffle_bytes"], 2))
+        out["canonicalize_zipf_capped_entity_inflation_4x"] = round(
+            z4c["n_entities"] / max(z4["n_entities"], 1), 4)
         return out
     finally:
         spark.stop()

@@ -362,5 +362,120 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/triples")
 
 
+def update_canonical_tables(
+    spark: SparkSession,
+    out_dir: str,
+    new_buckets: set[int] | None = None,
+    incremental: bool = False,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """Build or refresh ``<out>/entities_canonical`` and
+    ``<out>/triples_canonical`` from the job's triples table.
+
+    ``incremental=True`` is the marker-driven re-canonicalization path:
+    only the mentions from ``new_buckets`` (the buckets THIS run
+    processed, i.e. the run_kg_job metrics) are folded into the existing
+    canonical table via merge_canonicalize — the accumulated vocabulary
+    is never re-paired against itself, which at crawl scale is the
+    difference between |new| x |vocab| band collisions per increment and
+    a full |vocab|^2 re-canonicalization (canonicalize.py
+    merge_canonicalize docstring). A missing or empty existing table
+    falls back to the batch path. Uncapped incremental output is
+    row-for-row equal to a batch run over the union (the pytest-pinned
+    merge contract); capped mode keeps committed clusters stable by
+    design.
+
+    The canonical-TRIPLES projection is always rebuilt over the full
+    triples table: entity ids are content-addressed on the canonical
+    surface, and folding new mentions into a cluster can re-pick its
+    canonical form — old rows' ids must follow. That rebuild is two
+    broadcast hash joins over already-extracted triples (no annotate
+    re-run), linear in triples with no shuffle skew from hot entities.
+
+    Returns ``{"path": "batch"|"incremental"|"noop", "n_forms": int,
+    "n_canon_triples": int}``.
+    """
+    from prose_spark.operators.canonicalize import (
+        canonicalize_mentions,
+        merge_canonicalize,
+        norm_col,
+    )
+
+    canon_path = f"{out_dir}/entities_canonical"
+    triples_path = f"{out_dir}/triples_canonical"
+    triples = read_triples(spark, out_dir)
+
+    existing = None
+    if incremental:
+        try:
+            existing = spark.read.parquet(canon_path)
+            if not existing.head(1):
+                existing = None
+        except AnalysisException:
+            existing = None
+
+    if incremental and existing is not None and not new_buckets:
+        # fully-resumed run: nothing new to fold; keep the table as-is
+        # (still build the triples projection if a crash left it missing)
+        if Path(triples_path, "_SUCCESS").exists():
+            return {"path": "noop", "n_forms": 0, "n_canon_triples": 0}
+        canon = existing
+        path_taken = "noop"
+    elif incremental and existing is not None:
+        new_triples = triples.filter(
+            F.col("bucket").isin(list(new_buckets))
+        )
+        new_mentions = new_triples.select(
+            F.col("subj").alias("text")
+        ).unionAll(new_triples.select(F.col("obj").alias("text")))
+        canon = merge_canonicalize(
+            new_mentions, existing, max_bucket_size=max_bucket_size
+        )
+        # materialize BEFORE overwriting the parquet the merge read
+        # from: merge_canonicalize localCheckpoints `existing`, so the
+        # output lineage already cannot re-read canon_path, but the
+        # table is one row per form — pinning that invariant here is
+        # cheap and survives future lineage changes
+        canon = canon.localCheckpoint()
+        path_taken = "incremental"
+    else:
+        mentions = triples.select(
+            F.col("subj").alias("text")
+        ).unionAll(triples.select(F.col("obj").alias("text")))
+        canon = canonicalize_mentions(
+            mentions, max_bucket_size=max_bucket_size
+        )
+        path_taken = "batch"
+
+    if path_taken != "noop":
+        canon.write.mode("overwrite").parquet(canon_path)
+        canon = spark.read.parquet(canon_path)
+
+    # join surfaces through the SAME normalization that built the
+    # canonical table (plain lower() would never match punctuated
+    # surfaces like "Acme Corp."); the canonical table is small ->
+    # broadcast, so hot entities cause no shuffle skew
+    canon_triples = (
+        triples
+        .withColumn("subj_norm_key", norm_col("subj"))
+        .withColumn("obj_norm_key", norm_col("obj"))
+        .join(
+            F.broadcast(canon.selectExpr(
+                "norm AS subj_norm", "entity_id AS subj_id").distinct()),
+            F.col("subj_norm_key") == F.col("subj_norm"), "left")
+        .join(
+            F.broadcast(canon.selectExpr(
+                "norm AS obj_norm", "entity_id AS obj_id").distinct()),
+            F.col("obj_norm_key") == F.col("obj_norm"), "left")
+        .select("subj_id", "pred_norm", "obj_id", "url", "confidence")
+    )
+    canon_triples.write.mode("overwrite").parquet(triples_path)
+    return {
+        "path": path_taken,
+        "n_forms": canon.count(),
+        "n_canon_triples": spark.read.parquet(triples_path).count(),
+    }
+
+
 def reset_output(out_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)

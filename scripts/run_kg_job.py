@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--canonicalize", action="store_true",
                     help="also build entities_canonical + canonical triples")
+    ap.add_argument("--incremental-canonical", action="store_true",
+                    help="fold only THIS run's buckets into an existing "
+                         "entities_canonical via merge_canonicalize "
+                         "(marker-driven re-canonicalization: the "
+                         "accumulated vocabulary is never re-paired "
+                         "against itself); falls back to batch when no "
+                         "prior table exists; implies --canonicalize")
     ap.add_argument("--gold-metrics", action="store_true",
                     help="synthetic pages only: record per-bucket P/R vs "
                          "the generator's gold triples in the done markers")
@@ -107,41 +114,17 @@ def main() -> None:
         ).collect()[0]
         print(f"per-bucket mean precision {row['p']}, recall {row['r']}")
 
-    if args.canonicalize:
-        from prose_spark.operators.canonicalize import (
-            canonicalize_mentions,
-            norm_col,
-        )
+    if args.canonicalize or args.incremental_canonical:
+        from prose_spark.sources.checkpoints import update_canonical_tables
 
-        mentions = triples.select(
-            F.col("subj").alias("text")
-        ).unionAll(triples.select(F.col("obj").alias("text")))
-        canon = canonicalize_mentions(
-            mentions, max_bucket_size=args.max_bucket_size)
-        canon.write.mode("overwrite").parquet(f"{args.out}/entities_canonical")
-        # join surfaces through the SAME normalization used to build the
-        # canonical table (plain lower() would never match punctuated
-        # surfaces like "Acme Corp."); the canonical table is small ->
-        # broadcast, so hot entities cause no shuffle skew
-        canon_triples = (
-            triples
-            .withColumn("subj_norm_key", norm_col("subj"))
-            .withColumn("obj_norm_key", norm_col("obj"))
-            .join(
-                F.broadcast(canon.selectExpr(
-                    "norm AS subj_norm", "entity_id AS subj_id").distinct()),
-                F.col("subj_norm_key") == F.col("subj_norm"), "left")
-            .join(
-                F.broadcast(canon.selectExpr(
-                    "norm AS obj_norm", "entity_id AS obj_id").distinct()),
-                F.col("obj_norm_key") == F.col("obj_norm"), "left")
-            .select("subj_id", "pred_norm", "obj_id", "url", "confidence")
+        stats = update_canonical_tables(
+            spark, args.out,
+            new_buckets={r.bucket for r in metrics.collect()},
+            incremental=args.incremental_canonical,
+            max_bucket_size=args.max_bucket_size,
         )
-        canon_triples.write.mode("overwrite").parquet(
-            f"{args.out}/triples_canonical"
-        )
-        print(f"canonical: {canon.count()} entity forms, "
-              f"{canon_triples.count()} canonical triples")
+        print(f"canonical ({stats['path']}): {stats['n_forms']} entity "
+              f"forms, {stats['n_canon_triples']} canonical triples")
 
     spark.stop()
 
