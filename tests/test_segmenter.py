@@ -186,3 +186,56 @@ def test_offsets_are_bytes_into_original():
 def test_empty_and_whitespace():
     assert default_segmenter().segment("") == []
     assert default_segmenter().segment("   \n\t ") == []
+
+
+def test_segmenter_heldout():
+    """GENERALIZATION floor (r6, symmetry with the tagger/triples
+    held-out protocol): 45 hand-labeled sentence boundaries over six
+    verbatim sherlock.txt passages (tests/goldens/segmenter_heldout.json)
+    chosen for boundary hazards — attribution after quote-final ?/!,
+    '--interjection!' runs, nested single quotes, Mr./Dr. + proper
+    names, semicolon lists. Labels were written BLIND (before running
+    the segmenter) and never drove a rule or training decision; punkt's
+    unsupervised training saw this raw TEXT (train_punkt.py), which is
+    the standard Kiss-Strunk protocol — the held-out property is about
+    the boundary LABELS. Measured at freeze (r6): sentence-exact
+    P = 0.8511 (40/47), R = 0.8889 (40/45), F1 = 0.870 — recorded in
+    BASELINE.md next to the golden-rule number, which this corrects for
+    exactly as train==test tagger accuracy is corrected by its held-out
+    split. Floors a few points under the measurement. Remaining error
+    mass (r7 worklist): frequent-sentence-starter override of known
+    abbreviations ('Mr. Sherlock', 'Mr. Holmes' — a training-corpus
+    artifact: both words start many sherlock sentences), attribution
+    after exclamation-quote ('"Seven!" I answered.'), nested-quote
+    boundary (".' \"'"). Any fix driven by these passages must migrate
+    them out of this set per the held-out protocol."""
+    import json
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    from prose_spark.nlp.segmenter import segment_with_offsets
+
+    gold_path = Path(__file__).parent / "goldens" / \
+        "segmenter_heldout.json"
+    doc = json.loads(gold_path.read_text())
+    assert len(doc["passages"]) == 6
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s).strip()
+
+    tp = n_pred = n_gold = 0
+    for p in doc["passages"]:
+        pred = Counter(norm(s) for s, _, _ in
+                       segment_with_offsets(p["text"]))
+        gold = Counter(norm(g) for g in p["gold"])
+        tp += sum((pred & gold).values())
+        n_pred += sum(pred.values())
+        n_gold += sum(gold.values())
+    assert n_gold == 45
+    precision = tp / n_pred
+    recall = tp / n_gold
+    assert precision >= 0.82, (
+        f"segmenter held-out precision {precision:.4f} ({tp}/{n_pred})")
+    assert recall >= 0.85, (
+        f"segmenter held-out recall {recall:.4f} ({tp}/{n_gold})")
