@@ -3,16 +3,18 @@ with typed metadata, processed by Arrow-batched mapInPandas stages.
 
 PNG images (8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced)
 decode FOR REAL via a dependency-free stdlib-zlib + numpy decoder
-(``_decode_png``) — signature-sniffed, all five scanline filters — and
-WAV/PCM audio decodes for real via stdlib ``wave`` + numpy
-(``decode_audio``: 8/16/32-bit, stereo downmix, FFT-based spectral
-features in ``_audio_features``). Other
-formats' decode kernels are STUBBED in this environment (no
-PIL/ffmpeg/torchaudio in the image): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by the content hash) produces stable feature vectors
-so the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-batch shape — is real and tested end-to-end.
+(``_decode_png``) — signature-sniffed, all five scanline filters;
+baseline JPEG (8-bit Huffman sequential SOF0/SOF1, 4:4:4/4:2:2/4:2:0
+subsampling, restart markers) decodes for real via ``_decode_jpeg``
+(numpy-only marker parser + canonical Huffman + IDCT); and WAV/PCM
+audio decodes for real via stdlib ``wave`` + numpy (``decode_audio``:
+8/16/32-bit, stereo downmix, FFT-based spectral features in
+``_audio_features``). Other formats' decode kernels are STUBBED in this
+environment (no PIL/ffmpeg/torchaudio in the image): ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by the content hash) produces stable
+feature vectors so the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested end-to-end.
 
 At 100 TB scale the relevant design points, all honored here:
 - binary payloads stay OUT of shuffles: features are extracted in a
@@ -159,14 +161,326 @@ def _decode_png(data: bytes) -> np.ndarray:
     return pal[px[:, :, 0]]
 
 
+# JPEG zigzag scan order: _JPEG_ZIGZAG[k] is the raster index of the
+# k-th coefficient in a zigzag-serialized 8x8 block (ITU-T T.81 fig. 5)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# 8x8 IDCT basis: spatial = _IDCT_M @ coefs @ _IDCT_M.T
+# (M[x, u] = c(u)/2 * cos((2x+1) u pi / 16), c(0) = 1/sqrt(2))
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical JPEG Huffman table from a DHT segment's BITS (count of
+    codes per length 1..16) and HUFFVAL arrays (ITU-T T.81 annex C
+    code-assignment order): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    if vi != len(vals):
+        raise ValueError("malformed JPEG: DHT bits/vals mismatch")
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment: un-stuffs
+    0xFF00, and ``restart()`` realigns across RSTn markers (resetting
+    is the caller's job for DC predictors)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("malformed JPEG: truncated entropy data")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt != 0x00:
+                raise ValueError(
+                    "malformed JPEG: unexpected marker in entropy data"
+                )
+            p += 1
+        self.pos = p + 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        # drop pad bits to the byte boundary, then consume the RSTn
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("malformed JPEG: expected restart marker")
+        self.pos = p + 2
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("malformed JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # ITU-T T.81 F.2.2.1: the s-bit magnitude field encodes
+    # [-2^s+1, -2^(s-1)] U [2^(s-1), 2^s-1]
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Dependency-free baseline-JPEG decoder (numpy only): 8-bit
+    Huffman-coded sequential DCT (SOF0/SOF1), grayscale or YCbCr with
+    arbitrary integer sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
+    restart markers, tables read from the stream. Returns HxWx3 uint8
+    (JFIF YCbCr->RGB, nearest-neighbor chroma upsampling). Progressive
+    (SOF2), arithmetic-coded, hierarchical, and CMYK streams raise
+    NotImplementedError honestly; structural damage raises
+    ValueError('malformed JPEG: ...') matching the PNG contract.
+
+    The entropy loop is per-bit Python — correct and adequate for
+    feature extraction on test corpora; a 100 TB media pipeline would
+    swap in a C-backed decoder behind the same ``decode_image``
+    signature (exactly the PNG decoder's documented trade-off)."""
+    import struct
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("malformed JPEG: missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("malformed JPEG: truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:
+            raise ValueError("malformed JPEG: EOI before SOS")
+        if pos + 2 > len(data):
+            raise ValueError("malformed JPEG: truncated segment")
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("malformed JPEG: bad segment length")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 15
+                n = 64 * (2 if pq else 1)
+                raw = seg[sp + 1:sp + 1 + n]
+                if len(raw) < n:
+                    raise ValueError("malformed JPEG: short DQT")
+                qt[tq] = np.frombuffer(
+                    raw, dtype=">u2" if pq else np.uint8
+                ).astype(np.int32)
+                sp += 1 + n
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp + 17 <= len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                bits = seg[sp + 1:sp + 17]
+                nv = sum(bits)
+                vals = seg[sp + 17:sp + 17 + nv]
+                if len(vals) < nv:
+                    raise ValueError("malformed JPEG: short DHT")
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                sp += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG unsupported (8-bit baseline only)"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", seg[6 + 3 * i:9 + 3 * i]
+                )
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) unsupported — baseline (SOF0/SOF1) only"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows
+            break
+        # APPn / COM / DNL etc.: skipped
+    if frame is None:
+        raise ValueError("malformed JPEG: SOS before SOF")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("malformed JPEG: zero dimensions")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"JPEG {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap"
+        )
+    ns = seg[0]
+    if ns != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG unsupported"
+        )
+    scan_tables = {}
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        scan_tables[cs] = (tdta >> 4, tdta & 15)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hs, vs, _ in comps:
+        if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                f"JPEG sampling factors {hs}x{vs} vs {hmax}x{vmax} "
+                "unsupported"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, _ in comps:
+        planes[cid] = np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
+    reader = _JpegBitReader(data, pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart()
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mcu, mcux)
+        for cid, hs, vs, tq in comps:
+            try:
+                dc_tab = huff[(0, scan_tables[cid][0])]
+                ac_tab = huff[(1, scan_tables[cid][1])]
+                q = qt[tq]
+            except KeyError:
+                raise ValueError(
+                    "malformed JPEG: missing Huffman/quant table"
+                ) from None
+            for by in range(vs):
+                for bx in range(hs):
+                    coefs = np.zeros(64)
+                    s = _jpeg_huff_decode(reader, dc_tab)
+                    if s > 11:
+                        raise ValueError("malformed JPEG: DC category")
+                    pred[cid] += _jpeg_extend(reader.receive(s), s)
+                    coefs[0] = pred[cid] * int(q[0])
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError(
+                                "malformed JPEG: AC run past block"
+                            )
+                        coefs[k] = (
+                            _jpeg_extend(reader.receive(s), s) * int(q[k])
+                        )
+                        k += 1
+                    block = np.zeros(64)
+                    block[_JPEG_ZIGZAG] = coefs
+                    spatial = (
+                        _IDCT_M @ block.reshape(8, 8) @ _IDCT_M.T + 128.0
+                    )
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
+    full = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to an HxWx3 uint8 array.
 
-    PNG (8-bit, non-interlaced) decodes FOR REAL via the dependency-free
-    ``_decode_png`` (stdlib zlib + numpy) — no ``fake`` needed. Other
-    formats (JPEG etc.) need an image library absent from this
-    environment; ``fake=True`` derives a deterministic 8x8x3 array from
-    the content hash (stable across runs/machines) for plumbing tests.
+    PNG (8-bit, non-interlaced) and baseline JPEG (8-bit Huffman
+    sequential, SOF0/SOF1, incl. chroma subsampling and restart
+    markers) decode FOR REAL via the dependency-free ``_decode_png`` /
+    ``_decode_jpeg`` (stdlib + numpy) — no ``fake`` needed. Other
+    formats (GIF/WebP/progressive JPEG etc.) need an image library
+    absent from this environment; ``fake=True`` derives a deterministic
+    8x8x3 array from the content hash (stable across runs/machines) for
+    plumbing tests.
     """
     if blob and bytes(blob[:8]) == _PNG_SIG:
         try:
@@ -177,11 +491,18 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
             # and only surfaces as an error on the real path
             if not fake:
                 raise
+    elif blob and bytes(blob[:2]) == b"\xff\xd8":
+        try:
+            return _decode_jpeg(bytes(blob))
+        except Exception:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL/opencv, not available "
-            "in this environment — PNG decodes natively; pass fake=True "
-            "for the deterministic test stub on other formats"
+            "non-PNG/JPEG image decoding requires PIL/opencv, not "
+            "available in this environment — PNG and baseline JPEG "
+            "decode natively; pass fake=True for the deterministic "
+            "test stub on other formats"
         )
     digest = hashlib.sha256(blob or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
@@ -229,6 +550,8 @@ def extract_image_features(
                 metas.append(
                     {
                         "mime": ("image/png" if b[:8] == _PNG_SIG
+                                 else "image/jpeg"
+                                 if b[:2] == b"\xff\xd8"
                                  else "image/unknown"),
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
