@@ -72,7 +72,7 @@ _TAG_CODE = {
 # "never spoke") so a mid-VP adverb doesn't truncate the predicate and
 # strand the main verb as a bogus object — optional trailing adverb,
 # optional particle/preposition attaching the object.
-_NP_RE = re.compile(r"D?J*N[NJCG]*|S|C(?=V)|D(?![NJCG])")
+_NP_RE = re.compile(r"D?J*N[NJCG]*|S|C(?=V)|DJ+(?![NJCG])|D(?![NJCG])")
 _VP_RE = re.compile(r"M?R*V+(?:R+V+)*R*P?")
 
 # irregular 3rd-person forms whose -s strip would be wrong ("is" -> "i")
@@ -201,6 +201,41 @@ _NARRATION_VERBS = frozenset(("asked", "said", "inquired", "enquired",
 # spans; force them out of every span at the code level
 _QUOTE_TOKENS = frozenset(('"', "``", "''", "'", "`", "“", "”"))
 
+# unambiguous irregular pasts the tagger's OOV path mistakes for
+# nouns/prepositions on narrative text ("He sprang round" -> sprang/
+# VBZ-or-NN, "threw it down" -> threw/IN, "hailed a four-wheeler" ->
+# hailed/NN): these surfaces are verbs in every English reading, so the
+# chunker codes them V regardless of tag. Deliberately excludes
+# noun-capable pasts (rose, lay, stood, sat, drew — "Drew" is a name)
+_CHUNK_VERB_WORDS = frozenset(("sprang", "threw", "hailed", "flung",
+                               "crept", "leapt", "clung", "strode",
+                               "wept", "slammed"))
+
+# -ly manner adverbs the OOV path tags NN/NNS glue themselves into NP
+# chunks ("my companion speedily overtook" -> subject "companion
+# speedily"): code them R unless the surface is a genuine -ly noun
+_LY_NOUN_EXCEPTIONS = frozenset((
+    "family", "families", "assembly", "assemblies", "ally", "allies",
+    "rally", "rallies", "belly", "bellies", "bully", "bullies",
+    "jelly", "folly", "lily", "lilies", "monopoly", "supply",
+    "supplies", "reply", "replies", "butterfly", "melancholy",
+    "anomaly", "tally", "gully", "dolly", "holly",
+))
+
+# bare particles the tagger sometimes codes as nouns: clause-final
+# "sprang round," must not take the particle as an object
+_PARTICLE_OBJECTS = frozenset(("round", "aside", "forth"))
+
+# nouns that close an NP as a trailing adverbial, not phrase content
+# ("had been concerned in some such matter before" -> before/NN glued
+# onto the object)
+_TRAILING_ADV_NOUNS = frozenset(("before", "after", "since", "ago",
+                                 "too", "also", "then", "now"))
+
+_MONTH_NOUNS = frozenset(("january", "february", "march", "april",
+                          "may", "june", "july", "august", "september",
+                          "october", "november", "december"))
+
 
 def _code(tags: list[str]) -> str:
     return "".join(_TAG_CODE.get(t, ".") for t in tags)
@@ -221,11 +256,39 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
     for si, idxs in by_sent.items():
         tok = [tokens[i] for i in idxs]
         tags = [t["tag"] or "" for t in tok]
-        code = "".join(
-            "." if tokens[i]["text"] in _QUOTE_TOKENS
-            else _TAG_CODE.get(t, ".")
-            for i, t in zip(idxs, tags)
-        )
+        code_l = []
+        for i, t in zip(idxs, tags):
+            text = tokens[i]["text"]
+            low = text.lower()
+            if text in _QUOTE_TOKENS:
+                code_l.append(".")
+            elif low in _CHUNK_VERB_WORDS:
+                code_l.append("V")
+            elif (t in ("NN", "NNS") and len(low) >= 5
+                  and low.endswith("ly") and text.islower()
+                  and low not in _LY_NOUN_EXCEPTIONS):
+                code_l.append("R")
+            else:
+                code_l.append(_TAG_CODE.get(t, "."))
+        # a modal licenses a BASE VERB: when the next content token
+        # after "MD (, short-parenthetical ,)?" is coded N ("will, of
+        # course, stay in London" -> stay/NN), it is that verb
+        for k, c in enumerate(code_l):
+            if c != "M":
+                continue
+            j = k + 1
+            if j < len(tok) and tok[j]["text"] == ",":
+                close = next((m for m in range(j + 1, min(j + 5, len(tok)))
+                              if tok[m]["text"] == ","), None)
+                if close is None:
+                    continue
+                j = close + 1
+            while j < len(code_l) and code_l[j] == "R":
+                j += 1
+            if (j < len(code_l) and code_l[j] == "N"
+                    and tok[j]["text"].islower()):
+                code_l[j] = "V"
+        code = "".join(code_l)
         nps = [
             (m.start(), m.end())
             for m in _NP_RE.finditer(code)
@@ -322,6 +385,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if any(tok[k]["text"].lower() in _NARRATION_VERBS
                    for k in range(q2 + 1, min(q2 + 4, len(tok)))):
                 question_quotes.append((q1, q2))
+        # quotative-inversion attribution tails: a narration verb
+        # directly after a closing quote ('..., " cried the little
+        # fellow with outstretched hands') opens an attribution region
+        # whose mistagged NPs/VPs assert nothing — suppress predicates
+        # from there to the next quote (the quote CONTENT keeps its
+        # triples; only the frame is noise)
+        attribution_kills: list[tuple[int, int]] = []
+        for _q1, q2 in zip(qpos[0::2], qpos[1::2]):
+            if (q2 + 1 < len(tok)
+                    and tok[q2 + 1]["text"].lower() in _NARRATION_VERBS):
+                # the frame ends where real content resumes: the next
+                # quote, comma, or subordinator ('said Holmes as the
+                # old man signed ...' keeps the as-clause's triples)
+                end = next(
+                    (k for k in range(q2 + 2, len(tok))
+                     if k in qpos or tok[k]["text"] == ","
+                     or tok[k]["text"].lower() in _BE_CROSS_BLOCKERS),
+                    len(tok))
+                attribution_kills.append((q2, end))
         subj_override: dict[tuple[int, int], tuple[int, int]] = {}
         # appositive chain-closing comma positions: the verb right after
         # one is the MAIN verb of the sentence ("Maria Garcia, the
@@ -505,7 +587,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # coordinated verb sharing this verb's object
                     # ("she eclipses and predominates the whole ...") —
                     # the object lives past the coordinated verb, and
-                    # must be parity-consistent from ITS end as well
+                    # must be parity-consistent from ITS end as well.
+                    # NOT when the coordinated verb ends in its own
+                    # preposition: the NP past it is that verb's PP
+                    # object, never shared ("cried and sobbed like a
+                    # child" must not yield <wind> cried <child>)
+                    if code[e2 - 1] == "P":
+                        next_vs = s2
+                        break
                     coord_ends.append(e2)
                     continue
                 next_vs = s2
@@ -560,6 +649,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 continue
             # inside a narrated quoted question — asserted by nobody
             if any(q1 < vs < q2 for q1, q2 in question_quotes):
+                prev_vp = None
+                continue
+            # inside a quotative-attribution tail — frame, not content
+            if any(a < vs < b for a, b in attribution_kills):
                 prev_vp = None
                 continue
             # coordinated continuation of a wh-clause whose head verb
@@ -732,10 +825,62 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # subject-auxiliary inversion ("had you lived a few
             # centuries ago") marks a counterfactual/question clause —
             # only a true auxiliary before the subject counts, not a
-            # participial premodifier ("charged change comes at ...")
+            # participial premodifier ("charged change comes at ...").
+            # Exception: the cleft copula in "It was NP who VBD ..." is
+            # not an inversion — the clefted NP is the embedded verb's
+            # subject ("It was Catherine Cusack who told me of it")
             if (not rebound and not shared and subj_span[0] > 0
                     and tok[subj_span[0] - 1]["text"].lower()
                     in _AUX_FORMS):
+                if not (tok[subj_span[0] - 1]["text"].lower()
+                        in _BE_FORMS
+                        and subj_span[0] >= 2
+                        and tok[subj_span[0] - 2]["text"].lower()
+                        == "it"):
+                    prev_vp = None
+                    continue
+            # "as"-relativizer clause ("such complete information as
+            # was drawn from him"): comparative-relative content is not
+            # asserted of the walked-to NP
+            if (not rebound and not shared and subj_span[1] == vs - 1
+                    and vs > 0
+                    and tok[vs - 1]["text"].lower() == "as"):
+                prev_vp = None
+                continue
+            # a bare ACCUSATIVE pronoun subject marks a small-clause /
+            # for-to construction whose content the sentence does not
+            # assert: perception gerunds ("found him talking with his
+            # son") and "for me to <verb>" ("it is not for me to judge
+            # you"). Bare-infinitive small clauses stay — "heard him
+            # mention her" conventionally yields <him> mention <her>
+            if (not rebound and not shared
+                    and subj_span[1] - subj_span[0] == 1
+                    and tok[subj_span[0]]["text"].lower()
+                    in ("me", "him", "us", "them")):
+                if (head_verb is not None
+                        and head_verb["tag"] == "VBG"):
+                    prev_vp = None
+                    continue
+                if (vs > 0 and tok[vs - 1]["text"].lower() == "to"
+                        and subj_span[0] > 0
+                        and tok[subj_span[0] - 1]["text"].lower()
+                        == "for"):
+                    prev_vp = None
+                    continue
+            # a direct second-person question ("You had heard, Ryder,
+            # of this blue stone?") asserts nothing of "you"; third-
+            # person polite directives ("Your Majesty will stay ...?")
+            # keep their content. The question mark may be segmented
+            # into the next sentence, so a comma-bounded bare-NNP
+            # VOCATIVE ("..., Ryder, ...") equally marks the direct
+            # address
+            if (subj_span[1] - subj_span[0] == 1
+                    and tok[subj_span[0]]["text"].lower() == "you"
+                    and (any(t["text"] in ("?", "?!") for t in tok)
+                         or any(c2 == c1 + 2
+                                and tok[c1 + 1]["tag"] == "NNP"
+                                for c1, c2 in zip(comma_positions,
+                                                  comma_positions[1:])))):
                 prev_vp = None
                 continue
             # subject-relative antecedent PP-chain: when the subject is
@@ -968,6 +1113,20 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and not any(tok[k]["text"].lower() == "that"
                                     for k in range(ve, s))):
                     return False
+                # a NOMINATIVE pronoun across a non-empty gap that
+                # abuts a later verb is the NEXT clause's subject, for
+                # any head verb ("When I went down there I found him"
+                # must not yield <I> went down <I>); an abutting
+                # pronoun stays — elided-that complements ("believed
+                # they were right") conventionally keep theirs
+                if (e - s == 1 and code[s] == "S"
+                        and tok[s]["text"].lower()
+                        in ("i", "he", "she", "we", "they")
+                        and s > ve
+                        and e in vp_starts
+                        and not any(tok[k]["text"].lower() == "that"
+                                    for k in range(ve, s))):
+                    return False
                 return True
 
             obj_span = next(
@@ -988,7 +1147,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and subj_span[0] > 0):
                 wpos = subj_span[0] - 1
                 wtok = tok[wpos]
-                if wtok["tag"] in ("WDT", "WP"):
+                # "whom" heads OBJECT relatives whose gap usually sits
+                # in an embedded infinitive ("the very man whom I have
+                # longed to meet") — re-using the antecedent as this
+                # verb's object double-emits; gold keeps the matrix
+                # copula only
+                if wtok["text"].lower() == "whom":
+                    k = None
+                elif wtok["tag"] in ("WDT", "WP"):
                     k = wpos - 1
                     steps = 0
                     while (k >= 0 and steps < 3
@@ -1007,13 +1173,73 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         ((s, e) for s, e in reversed(nps) if e == k + 1),
                         None,
                     )
+            # the CONTENT verb (last VB*) carries the lexical identity
+            # for downstream re-binding: "was urging his son to marry"
+            # must test "urging" (object-control), not the aux "was"
+            content_verb = next(
+                (tok[k]["text"] for k in range(ve - 1, vs - 1, -1)
+                 if tok[k]["tag"].startswith("VB")),
+                head_verb["text"] if head_verb else "")
+            # a bare mistagged PARTICLE is not an object ("He sprang
+            # round, and ..." with round/NN): clause-final or comma-
+            # bounded, it folds away and the predicate is objectless
+            if (obj_span is not None
+                    and obj_span[1] - obj_span[0] == 1
+                    and tok[obj_span[0]]["text"].lower()
+                    in _PARTICLE_OBJECTS
+                    and (obj_span[1] >= len(code)
+                         or tok[obj_span[1]]["text"] in (",", ".", ";",
+                                                         "!", "?"))):
+                obj_span = None
             if obj_span is None:
                 # keep the subject visible for VP-coordination sharing
                 # ("I did so, and saw ..." — "did" has no object but
                 # "saw" still shares "I"); obj None disables the
                 # object-control rebind path
-                prev_vp = (subj_span, None, ve,
-                           head_verb["text"] if head_verb else "")
+                prev_vp = (subj_span, None, ve, content_verb)
+                continue
+            # locative-PP object displaced by a "that"-complement: in
+            # "could see in the gas-light that every vestige of colour
+            # had been driven ...", the PP is adverbial and the
+            # asserted object is the complement's subject (the same
+            # convention as "requires that insurers cover ...")
+            drop_trailing_p = False
+            if (code[ve - 1] == "P"
+                    and tok[ve - 1]["text"].lower()
+                    in ("in", "at", "on", "from", "through", "under",
+                        "over", "within")
+                    and obj_span[1] < len(code)
+                    and tok[obj_span[1]]["text"].lower() == "that"):
+                _nxt = next((sp for sp in nps
+                             if sp[0] == obj_span[1] + 1), None)
+                if _nxt is not None:
+                    obj_span = _nxt
+                    drop_trailing_p = True
+            # causative "have <NP> VBN" ("had this unfortunate man
+            # arrested") asserts the arranging, not a have-relation;
+            # the participle is often VBD-mistagged, so accept either
+            # form provided it has no object of its own (an objectful
+            # -ed verb opens a new clause instead)
+            if (head_verb is not None
+                    and head_verb["text"].lower()
+                    in ("have", "has", "had", "having")
+                    and obj_span[1] < len(code)
+                    and tok[obj_span[1]]["tag"] in ("VBN", "VBD")
+                    and (obj_span[1] + 1 >= len(code)
+                         or code[obj_span[1] + 1] not in "DNSJC")):
+                prev_vp = None
+                continue
+            # expletive temporal frame "It was in the latter days of
+            # September": dummy "it" + BE + preposition + time noun
+            # asserts nothing
+            if (is_be_head
+                    and subj_span[1] - subj_span[0] == 1
+                    and tok[subj_span[0]]["text"].lower() == "it"
+                    and code[ve - 1] == "P"
+                    and tok[obj_span[1] - 1]["text"].lower().rstrip("s")
+                    in _TEMPORAL_NOUNS
+                    | {m.rstrip("s") for m in _MONTH_NOUNS}):
+                prev_vp = None
                 continue
             # INFINITIVAL copular adjectival complement: in "to be ADJ
             # (P NP)" the NP belongs to the adjective, and the clause
@@ -1119,14 +1345,22 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     fold_extra = (tok[obj_span[0]],
                                   tok[obj_span[1]], _f2)
 
+            if drop_trailing_p and v_toks and v_toks[-1]["tag"] in (
+                    "IN", "TO", "RP"):
+                v_toks = v_toks[:-1]
             s_toks = (list(tok[k] for k in range(*subj_span))
                       if subj_chain_ext else phrase(subj_span))
             o_toks = phrase(obj_span)
+            # a trailing adverbial noun glued into the object chunk is
+            # not phrase content ("concerned in some such matter
+            # before" -> before/NN)
+            while (len(o_toks) > 1
+                   and o_toks[-1]["text"].lower() in _TRAILING_ADV_NOUNS):
+                o_toks = o_toks[:-1]
             if not s_toks or not o_toks:
                 prev_vp = None
                 continue
-            prev_vp = (subj_span, obj_span, ve,
-                       head_verb["text"] if head_verb is not None else "")
+            prev_vp = (subj_span, obj_span, ve, content_verb)
 
             # resultative passive: "<subj> BE VBN as <complement> by
             # <agent>" keeps the SURFACE orientation ("those mysteries
@@ -1171,6 +1405,29 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # "has been founded by X" -> pred "founded", not "been founded"
                 # ("been" is itself tagged VBN)
                 v_toks = [t for t in v_toks if t["tag"] == "VBN"][-1:]
+            # displaced agent passive: "<subj> BE (RB) VBN <particle/
+            # complement> by <agent>" — the particle/complement keeps
+            # "by" outside the verb group, so the VP-final-by inversion
+            # above cannot see it ("were suddenly cut short by a loud
+            # hubbub", "had been drawn out by Holmes"). Invert to the
+            # agent-active orientation with the complement folded into
+            # the predicate. A bare "VBN by" with a split aux ("...,
+            # deeply attracted by the study") has an EMPTY gap and
+            # keeps its surface orientation.
+            if not resultative and not passive:
+                _gap = list(range(ve, obj_span[0]))
+                if (_gap and tok[_gap[-1]]["text"].lower() == "by"
+                        and len(_gap) <= 3
+                        and all(code[k] in "RJP" for k in _gap[:-1])
+                        and any(t["tag"] == "VBN" for t in v_toks)
+                        and any(t["text"].lower() in _BE_FORMS
+                                for t in v_toks)
+                        and not n_commas(ve, obj_span[0])):
+                    _li = max(i for i, t in enumerate(v_toks)
+                              if t["tag"] == "VBN")
+                    v_toks = v_toks[_li:] + [tok[k] for k in _gap[:-1]]
+                    s_toks, o_toks = o_toks, s_toks
+                    passive = True
 
             pred = " ".join(t["text"] for t in v_toks)
             head = next((t for t in v_toks if t["tag"].startswith("VB")), None)
