@@ -6,7 +6,10 @@ decode FOR REAL via a dependency-free stdlib-zlib + numpy decoder
 (``_decode_png``) — signature-sniffed, all five scanline filters;
 baseline JPEG (8-bit Huffman sequential SOF0/SOF1, 4:4:4/4:2:2/4:2:0
 subsampling, restart markers) decodes for real via ``_decode_jpeg``
-(numpy-only marker parser + canonical Huffman + IDCT); and WAV/PCM
+(numpy-only marker parser + canonical Huffman + IDCT); GIF87a/89a
+(full LZW with early-change, interlacing, first frame) and
+uncompressed BMP (8/24/32-bit) decode via ``_decode_gif`` /
+``_decode_bmp``; and WAV/PCM
 audio decodes for real via stdlib ``wave`` + numpy (``decode_audio``:
 8/16/32-bit, stereo downmix, FFT-based spectral features in
 ``_audio_features``). Other formats' decode kernels are STUBBED in this
@@ -470,37 +473,224 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Dependency-free BMP decoder: uncompressed (BI_RGB) 8-bit
+    paletted / 24-bit / 32-bit, bottom-up or top-down rows, 4-byte row
+    padding. RLE/bitfield compression raises NotImplementedError."""
+    import struct
+
+    if len(data) < 54:
+        raise ValueError("malformed BMP: truncated header")
+    if data[:2] != b"BM":
+        raise ValueError("malformed BMP: missing BM signature")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant unsupported")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} unsupported (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("malformed BMP: bad dimensions")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"BMP {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    pal = None
+    if bpp == 8:
+        (ncolors,) = struct.unpack("<I", data[46:50])
+        ncolors = ncolors or 256
+        praw = data[14 + hdr_size:14 + hdr_size + 4 * ncolors]
+        if len(praw) < 4 * ncolors:
+            raise ValueError("malformed BMP: truncated palette")
+        # BGRA entries
+        pal = np.frombuffer(praw, dtype=np.uint8).reshape(-1, 4)[:, 2::-1]
+    stride = ((w * bpp // 8) + 3) & ~3
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError("malformed BMP: truncated pixel data")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        return pal[rows[:, :w]]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_pixels: int) -> bytearray:
+    """GIF LZW decompressor (LSB-first variable-width codes, clear/EOI
+    handling, dictionary growth to 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    buf = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = table[: clear + 2]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("malformed GIF: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("malformed GIF: LZW code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("malformed GIF: LZW output overrun")
+            prev = entry
+            # GIF "early change": the code width grows one code early
+            # relative to table fullness (the decoder's table lags the
+            # encoder's by one add, so the decoder bumps at 2^w - 1)
+            if len(table) >= (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """Dependency-free GIF87a/89a decoder: global/local color tables,
+    interlacing, full LZW with dictionary growth; decodes the FIRST
+    image frame (animation frames beyond it are ignored), transparency
+    flattened onto the palette color."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("malformed GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("malformed GIF: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + 3 * n > len(data):
+            raise ValueError("malformed GIF: truncated color table")
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{b0:02x}")
+        x0, y0, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        pos += 10
+        if w == 0 or h == 0:
+            raise ValueError("malformed GIF: empty image descriptor")
+        if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+            raise NotImplementedError(
+                f"GIF {w}x{h} exceeds the "
+                f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            if pos + 3 * n > len(data):
+                raise ValueError("malformed GIF: truncated color table")
+            ct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                               offset=pos).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("malformed GIF: no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("malformed GIF: short pixel data")
+        grid = np.frombuffer(bytes(idx[: w * h]),
+                             dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            out_rows = np.empty((h, w), dtype=np.uint8)
+            order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(start, h, step)]
+            for src, dst in enumerate(order):
+                out_rows[dst] = grid[src]
+            grid = out_rows
+        if int(grid.max(initial=0)) >= len(ct):
+            raise ValueError("malformed GIF: palette index out of range")
+        return ct[grid]
+    raise ValueError("malformed GIF: no image data")
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to an HxWx3 uint8 array.
 
-    PNG (8-bit, non-interlaced) and baseline JPEG (8-bit Huffman
-    sequential, SOF0/SOF1, incl. chroma subsampling and restart
-    markers) decode FOR REAL via the dependency-free ``_decode_png`` /
-    ``_decode_jpeg`` (stdlib + numpy) — no ``fake`` needed. Other
-    formats (GIF/WebP/progressive JPEG etc.) need an image library
+    PNG (8-bit, non-interlaced), baseline JPEG (8-bit Huffman
+    sequential SOF0/SOF1, incl. chroma subsampling and restart
+    markers), GIF87a/89a (full LZW, interlacing, first frame), and
+    uncompressed BMP (8/24/32-bit) decode FOR REAL via the
+    dependency-free ``_decode_png`` / ``_decode_jpeg`` / ``_decode_gif``
+    / ``_decode_bmp`` (stdlib + numpy) — no ``fake`` needed. Other
+    formats (WebP/TIFF/progressive JPEG etc.) need an image library
     absent from this environment; ``fake=True`` derives a deterministic
     8x8x3 array from the content hash (stable across runs/machines) for
     plumbing tests.
     """
-    if blob and bytes(blob[:8]) == _PNG_SIG:
+    decoder = None
+    if blob:
+        head = bytes(blob[:8])
+        if head == _PNG_SIG:
+            decoder = _decode_png
+        elif head[:2] == b"\xff\xd8":
+            decoder = _decode_jpeg
+        elif head[:6] in (b"GIF87a", b"GIF89a"):
+            decoder = _decode_gif
+        elif head[:2] == b"BM":
+            decoder = _decode_bmp
+    if decoder is not None:
         try:
-            return _decode_png(bytes(blob))
+            return decoder(bytes(blob))
         except Exception:
             # fake=True is the never-raises plumbing-test contract: a
-            # malformed/unsupported PNG falls back to the stub there,
+            # malformed/unsupported blob falls back to the stub there,
             # and only surfaces as an error on the real path
-            if not fake:
-                raise
-    elif blob and bytes(blob[:2]) == b"\xff\xd8":
-        try:
-            return _decode_jpeg(bytes(blob))
-        except Exception:
             if not fake:
                 raise
     if not fake:
         raise NotImplementedError(
-            "non-PNG/JPEG image decoding requires PIL/opencv, not "
-            "available in this environment — PNG and baseline JPEG "
+            "non-PNG/JPEG/GIF/BMP image decoding requires PIL/opencv, "
+            "not available in this environment — those four formats "
             "decode natively; pass fake=True for the deterministic "
             "test stub on other formats"
         )
@@ -552,6 +742,10 @@ def extract_image_features(
                         "mime": ("image/png" if b[:8] == _PNG_SIG
                                  else "image/jpeg"
                                  if b[:2] == b"\xff\xd8"
+                                 else "image/gif"
+                                 if b[:6] in (b"GIF87a", b"GIF89a")
+                                 else "image/bmp"
+                                 if b[:2] == b"BM"
                                  else "image/unknown"),
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
