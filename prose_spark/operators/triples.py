@@ -259,17 +259,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         code_l = []
         for i, t in zip(idxs, tags):
             text = tokens[i]["text"]
-            low = text.lower()
             if text in _QUOTE_TOKENS:
                 code_l.append(".")
-            elif low in _CHUNK_VERB_WORDS:
-                code_l.append("V")
-            elif (t in ("NN", "NNS") and len(low) >= 5
-                  and low.endswith("ly") and text.islower()
-                  and low not in _LY_NOUN_EXCEPTIONS):
-                code_l.append("R")
-            else:
-                code_l.append(_TAG_CODE.get(t, "."))
+                continue
+            c = _TAG_CODE.get(t, ".")
+            if c != "V":  # verb-tagged tokens need no override look
+                low = text.lower()
+                if low in _CHUNK_VERB_WORDS:
+                    c = "V"
+                elif (t in ("NN", "NNS") and len(low) >= 5
+                      and low.endswith("ly") and text.islower()
+                      and low not in _LY_NOUN_EXCEPTIONS):
+                    c = "R"
+            code_l.append(c)
         # a modal licenses a BASE VERB: when the next content token
         # after "MD (, short-parenthetical ,)?" is coded N ("will, of
         # course, stay in London" -> stay/NN), it is that verb
@@ -391,6 +393,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # whose mistagged NPs/VPs assert nothing — suppress predicates
         # from there to the next quote (the quote CONTENT keeps its
         # triples; only the frame is noise)
+        # hoisted per-sentence facts for the second-person-question
+        # guard: a '?' token anywhere, or a comma-bounded bare-NNP
+        # vocative (",", NNP, ",") — both O(sentence) once, not per VP
+        second_person_question = (
+            any(t["text"] in ("?", "?!") for t in tok)
+            or any(c2 == c1 + 2 and tok[c1 + 1]["tag"] == "NNP"
+                   for c1, c2 in zip(comma_positions,
+                                     comma_positions[1:])))
         attribution_kills: list[tuple[int, int]] = []
         for _q1, q2 in zip(qpos[0::2], qpos[1::2]):
             if (q2 + 1 < len(tok)
@@ -876,11 +886,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # address
             if (subj_span[1] - subj_span[0] == 1
                     and tok[subj_span[0]]["text"].lower() == "you"
-                    and (any(t["text"] in ("?", "?!") for t in tok)
-                         or any(c2 == c1 + 2
-                                and tok[c1 + 1]["tag"] == "NNP"
-                                for c1, c2 in zip(comma_positions,
-                                                  comma_positions[1:])))):
+                    and second_person_question):
                 prev_vp = None
                 continue
             # subject-relative antecedent PP-chain: when the subject is
