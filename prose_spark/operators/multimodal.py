@@ -716,12 +716,22 @@ def extract_image_features(
     blob_col: str = "html",  # any binary column
     key_cols: tuple[str, ...] = ("url",),
     fake: bool = True,
+    errors: str = "raise",
 ) -> DataFrame:
     """Map-only feature extraction over binary media columns.
 
     -> key cols + media metadata struct + feature vector. The binary
     column is consumed inside the stage and never shuffled.
+
+    ``errors`` (same contract as ``extract_audio_features``): "raise"
+    fails the job on the first undecodable blob (explicit, the
+    default); "null" emits NULL features with a mime="error" meta row
+    instead — at corpus scale one truncated/WebP/exotic blob must not
+    abort a million-blob stage, and the NULL rows stay countable
+    downstream. Irrelevant when ``fake=True`` (the stub never raises).
     """
+    if errors not in ("raise", "null"):
+        raise ValueError(f"errors must be 'raise' or 'null', got {errors!r}")
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(
         key_fields
@@ -736,7 +746,22 @@ def extract_image_features(
             metas, feats = [], []
             for blob in pdf[blob_col]:
                 b = bytes(blob) if blob is not None else b""
-                img = decode_image(b, fake=fake)
+                try:
+                    img = decode_image(b, fake=fake)
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    metas.append(
+                        {
+                            "mime": "error",
+                            "width": 0,
+                            "height": 0,
+                            "n_bytes": len(b),
+                            "sha1": hashlib.sha1(b).hexdigest(),
+                        }
+                    )
+                    feats.append(None)
+                    continue
                 metas.append(
                     {
                         "mime": ("image/png" if b[:8] == _PNG_SIG

@@ -222,3 +222,32 @@ def test_gif_bmp_spark_stage(spark):
     assert rows["b"].media_meta.mime == "image/bmp"
     assert (rows["b"].media_meta.width,
             rows["b"].media_meta.height) == (5, 9)
+
+
+def test_image_errors_null_corpus_mode(spark):
+    """errors='null' parity with the audio stage: undecodable blobs
+    yield mime='error' + NULL features instead of aborting the stage;
+    errors='raise' (default) propagates."""
+    from pyspark.sql.utils import PythonException
+
+    from prose_spark.operators.multimodal import extract_image_features
+
+    rng = np.random.default_rng(15)
+    rgb = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    rows = [("ok", bytearray(_encode_bmp(rgb, 24))),
+            ("bad", bytearray(b"RIFF....WEBPgarbage")),
+            ("trunc", bytearray(_ONE_PX_GIF[:12]))]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r.url: r for r in extract_image_features(
+        df, blob_col="html", fake=False, errors="null").collect()}
+    assert got["ok"].media_meta.mime == "image/bmp"
+    assert got["ok"].features is not None
+    for k in ("bad", "trunc"):
+        assert got[k].media_meta.mime == "error"
+        assert got[k].features is None
+        assert got[k].media_meta.n_bytes > 0
+    with pytest.raises(PythonException):
+        extract_image_features(
+            df, blob_col="html", fake=False, errors="raise").collect()
+    with pytest.raises(ValueError, match="errors must be"):
+        extract_image_features(df, blob_col="html", errors="bogus")
