@@ -228,9 +228,26 @@ _PARTICLE_OBJECTS = frozenset(("round", "aside", "forth"))
 
 # nouns that close an NP as a trailing adverbial, not phrase content
 # ("had been concerned in some such matter before" -> before/NN glued
-# onto the object)
+# onto the object); "round"/"about" are particle variants of the same
+# glue ("wrapped a shawl round me" -> object "shawl round")
 _TRAILING_ADV_NOUNS = frozenset(("before", "after", "since", "ago",
-                                 "too", "also", "then", "now"))
+                                 "too", "also", "then", "now",
+                                 # mistagged-NN accusative pronouns
+                                 # glued onto an NP tail ("my arms
+                                 # round her" -> her/NN): a pronoun
+                                 # after a noun run is never phrase
+                                 # content
+                                 "her", "him", "them", "me", "us"))
+
+# perception verbs taking bare small clauses ("heard her key turn in
+# the lock"): the tagger calls the embedded base verb a noun and glues
+# it onto the object NP — split it back out and assert both relations
+_PERCEPTION_VERBS = frozenset(("heard", "hear", "saw", "see", "watched",
+                               "watch", "felt", "feel", "observed",
+                               "noticed"))
+_SMALLCLAUSE_VERBS = frozenset(("turn", "run", "fall", "rise", "move",
+                                "slip", "drop", "break", "ring",
+                                "swing", "roll", "shake", "tremble"))
 
 _MONTH_NOUNS = frozenset(("january", "february", "march", "april",
                           "may", "june", "july", "august", "september",
@@ -272,6 +289,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                       and low not in _LY_NOUN_EXCEPTIONS):
                     c = "R"
             code_l.append(c)
+        # "her" is the one surface that is BOTH possessive determiner
+        # and accusative pronoun; tagged PRP$ with no nominal (or
+        # gerund) following it IS the pronoun ("ran to her and threw
+        # ...") — code it S so it can argument. Other PRP$ surfaces
+        # (its/my/your/their/his) stay determiners.
+        for k, c in enumerate(code_l):
+            if (c == "." and tags[k] == "PRP$"
+                    and tok[k]["text"].lower() == "her"
+                    and (k + 1 >= len(code_l)
+                         or code_l[k + 1] not in "NJCGV")):
+                code_l[k] = "S"
         # a modal licenses a BASE VERB: when the next content token
         # after "MD (, short-parenthetical ,)?" is coded N ("will, of
         # course, stay in London" -> stay/NN), it is that verb
@@ -735,6 +763,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and nearest == prev_vp[0]
                     and all(tok[k]["text"].lower()
                             in (",", "and", "or")
+                            # a predicative complement directly after
+                            # an objectless copula is part of the
+                            # previous predicate, not a gap breaker
+                            # ("door was unlocked, and revolved ...")
+                            or (code[k] in "JR" and prev_vp[1] is None
+                                and all(code[k2] in "JR" for k2 in
+                                        range(prev_vp[2], k)))
                             for k in range(prev_vp[2], vs))
                     and any(tok[k]["text"].lower() in ("and", "or")
                             for k in range(prev_vp[2], vs))):
@@ -894,15 +929,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # opulence which was suggested by ..."), extend it leftward
             # over "NP of" links so the chain HEAD ("the impression")
             # stays in the surface
+            # generalized (r6.3): the same of-chain extension applies
+            # to PLAIN subjects — the nearest-NP walk otherwise picks
+            # the PP tail as the head ("A vague feeling of impending
+            # misfortune impressed me" must not subject "misfortune")
             subj_chain_ext = False
             if (not rebound and not shared and vs > 0
-                    and tok[vs - 1]["tag"].startswith("W")
+                    and (tok[vs - 1]["tag"].startswith("W")
+                         or subj_span[1] == vs)
                     and subj_span[1] >= vs - 3):
                 _start = subj_span[0]
-                while (_start > 0
-                       and tok[_start - 1]["text"].lower() == "of"):
+                while _start > 0:
+                    # step over gerund/adjective premodifiers the NP
+                    # chunker excluded ("of impending misfortune")
+                    j = _start - 1
+                    while j > 0 and code[j] in "JV":
+                        j -= 1
+                    if tok[j]["text"].lower() != "of":
+                        break
                     _prev_np = next((sp for sp in nps
-                                     if sp[1] == _start - 1), None)
+                                     if sp[1] == j), None)
                     if _prev_np is None:
                         break
                     _start = _prev_np[0]
@@ -1133,6 +1179,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and not any(tok[k]["text"].lower() == "that"
                                     for k in range(ve, s))):
                     return False
+                # an object is never fetched across a "without"- or
+                # "of"-governed gerund ("died without having recovered
+                # her consciousness", "is now desirous of getting
+                # those letters back" — the NP belongs to the gerund);
+                # aspectual "by"-chains keep theirs ("must begin by
+                # binding you both")
+                for k in range(ve, s):
+                    if (code[k] == "V" and k > 0
+                            and tok[k - 1]["text"].lower()
+                            in ("without", "of")):
+                        return False
                 return True
 
             obj_span = next(
@@ -1354,15 +1411,50 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if drop_trailing_p and v_toks and v_toks[-1]["tag"] in (
                     "IN", "TO", "RP"):
                 v_toks = v_toks[:-1]
+            # perception small clause: "heard her key turn in the lock"
+            # — the embedded base verb (tagger: NN) glues onto the
+            # object NP; split it out, keep the perception triple on
+            # the bare object, and assert the embedded relation too
+            small_clause = None
+            if (head_verb is not None
+                    and head_verb["text"].lower() in _PERCEPTION_VERBS
+                    and obj_span[1] - obj_span[0] >= 2
+                    and tok[obj_span[1] - 1]["text"].lower()
+                    in _SMALLCLAUSE_VERBS):
+                sc_verb = tok[obj_span[1] - 1]
+                sc_pair = None
+                if obj_span[1] < len(code) and code[obj_span[1]] == "P":
+                    sc_obj = next((sp for sp in nps
+                                   if sp[0] == obj_span[1] + 1), None)
+                    if sc_obj is not None:
+                        sc_pair = (tok[obj_span[1]], sc_obj)
+                obj_span = (obj_span[0], obj_span[1] - 1)
+                if sc_pair is not None:
+                    small_clause = (sc_verb, sc_pair[0], sc_pair[1])
             s_toks = (list(tok[k] for k in range(*subj_span))
                       if subj_chain_ext else phrase(subj_span))
             o_toks = phrase(obj_span)
-            # a trailing adverbial noun glued into the object chunk is
-            # not phrase content ("concerned in some such matter
-            # before" -> before/NN)
-            while (len(o_toks) > 1
-                   and o_toks[-1]["text"].lower() in _TRAILING_ADV_NOUNS):
-                o_toks = o_toks[:-1]
+            # trailing glue stripped off the object chunk by POSITION:
+            # mistagged accusative pronouns and adverbial nouns always
+            # ("concerned in some such matter before"), the particles
+            # round/about only when they mediate a further pronoun/NP
+            # ("wrapped a shawl round me" strips; "the final round of
+            # increases" keeps its head noun)
+            _oend = obj_span[1]
+            while _oend - obj_span[0] > 1:
+                _w = tok[_oend - 1]["text"].lower()
+                if _w in _TRAILING_ADV_NOUNS:
+                    _oend -= 1
+                    continue
+                if (_w in ("round", "about") and _oend < len(code)
+                        and (code[_oend] in "SD"
+                             or tok[_oend]["text"].lower()
+                             in ("her", "him", "them", "me", "us"))):
+                    _oend -= 1
+                    continue
+                break
+            if _oend != obj_span[1]:
+                o_toks = phrase((obj_span[0], _oend)) or o_toks
             if not s_toks or not o_toks:
                 prev_vp = None
                 continue
@@ -1479,6 +1571,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                             "subj_label": ent_label(s_toks),
                             "obj_label": ent_label(f_toks),
                             "confidence": min(conf(s_toks),
+                                              conf(f_toks)),
+                        }
+                    )
+            if (small_clause is not None and not passive
+                    and not resultative):
+                _scv, _scp, _sco = small_clause
+                f_toks = phrase(_sco)
+                if f_toks:
+                    out.append(
+                        {
+                            "sent_idx": si,
+                            "subj": " ".join(t["text"] for t in o_toks),
+                            "pred": f"{_scv['text']} {_scp['text']}",
+                            "obj": " ".join(t["text"] for t in f_toks),
+                            "pred_norm": (f"{_scv['text'].lower()} "
+                                          f"{_scp['text'].lower()}"),
+                            "subj_label": ent_label(o_toks),
+                            "obj_label": ent_label(f_toks),
+                            "confidence": min(conf(o_toks),
                                               conf(f_toks)),
                         }
                     )
