@@ -805,47 +805,119 @@ _AUDIO_FEATURE_DIM = 8
 _AUDIO_MAX_SECONDS = 30
 
 
+# a-law / mu-law (ITU-T G.711) expansion tables, computed from the
+# standard segment/mantissa formulas
+def _g711_tables():
+    alaw = np.empty(256)
+    ulaw = np.empty(256)
+    for i in range(256):
+        a = i ^ 0x55
+        seg = (a & 0x70) >> 4
+        mant = a & 0x0F
+        v = (mant << 4) + 8 if seg == 0 else ((mant << 4) + 0x108) << (seg - 1)
+        # transmitted sign bit SET (after the 0x55 toggle) = positive
+        alaw[i] = v if a & 0x80 else -v
+        u = ~i & 0xFF
+        seg = (u & 0x70) >> 4
+        mant = u & 0x0F
+        v = (((mant << 3) + 0x84) << seg) - 0x84
+        ulaw[i] = -v if u & 0x80 else v
+    return alaw / 32768.0, ulaw / 32768.0
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
+def _parse_wav_chunks(b: bytes):
+    """RIFF chunk walk -> (fmt_chunk_bytes, data_offset, data_size)."""
+    import struct
+
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            fmt = b[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data = (pos + 8, min(size, len(b) - pos - 8))
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return fmt, data[0], data[1]
+
+
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
-    """Decode a RIFF/WAV PCM blob FOR REAL (stdlib ``wave`` + numpy —
-    no external dependency): 8/16/32-bit PCM, any channel count
-    (downmixed to mono). Returns (float64 samples in [-1, 1],
+    """Decode a RIFF/WAV blob FOR REAL (stdlib + numpy — no external
+    dependency): integer PCM (8/16/32-bit), IEEE float32/float64
+    (format 3), A-law / mu-law (G.711, formats 6/7), and
+    WAVE_FORMAT_EXTENSIBLE wrappers of any of those; any channel
+    count (downmixed to mono). Returns (float64 samples in [-1, 1],
     sample_rate, true_duration_seconds). The ``_AUDIO_MAX_SECONDS``
-    work cap is applied AT DECODE TIME (``readframes`` stops at the
-    cap) so a multi-GB WAV never materializes its full float64
-    expansion in executor memory; the returned duration is still the
-    blob's TRUE length, read from the header frame count. Non-WAV
-    formats (mp3/ogg/flac) need codec libraries absent from this
-    environment and raise NotImplementedError."""
-    import io
-    import wave
+    work cap is applied AT DECODE TIME (only the capped byte range is
+    ever converted) so a multi-GB WAV never materializes its full
+    float64 expansion in executor memory; the returned duration is
+    still the blob's TRUE length from the header. Compressed formats
+    (mp3/ogg/flac) need codec libraries absent from this environment
+    and raise NotImplementedError."""
+    import struct
 
     b = bytes(blob or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio decoding requires codec libraries not "
-            "available in this environment — WAV/PCM decodes natively"
+            "available in this environment — WAV (PCM/float/G.711) "
+            "decodes natively"
         )
-    with wave.open(io.BytesIO(b)) as w:
-        sr = w.getframerate()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        n_total = w.getnframes()
-        n_read = min(n_total, sr * _AUDIO_MAX_SECONDS) if sr else n_total
-        raw = w.readframes(n_read)
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        # 8-bit WAV is unsigned
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-             - 128.0) / 128.0
-    elif width == 4:
-        x = (np.frombuffer(raw, dtype="<i4").astype(np.float64)
-             / 2147483648.0)
-    else:
-        raise NotImplementedError(f"{width * 8}-bit PCM unsupported")
+    fmt, doff, dsize = _parse_wav_chunks(b)
+    if len(fmt) < 16:
+        raise ValueError("malformed WAV: short fmt chunk")
+    tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: first GUID u16 is tag
+        if len(fmt) < 26:
+            raise ValueError("malformed WAV: short extensible fmt")
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    if ch < 1 or sr < 1:
+        raise ValueError("malformed WAV: bad channel count/rate")
+    if tag not in (1, 3, 6, 7):
+        raise NotImplementedError(
+            f"WAV format tag {tag} (compressed) unsupported — "
+            "PCM/float/G.711 decode natively"
+        )
+    width = bits // 8
+    if width < 1:
+        raise ValueError("malformed WAV: bad bit depth")
+    frame_bytes = width * ch
+    n_total = dsize // frame_bytes
+    n_read = min(n_total, sr * _AUDIO_MAX_SECONDS)
+    raw = b[doff:doff + n_read * frame_bytes]
+    if tag == 1:  # integer PCM
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif width == 4:
+            x = (np.frombuffer(raw, dtype="<i4").astype(np.float64)
+                 / 2147483648.0)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    elif tag == 3:  # IEEE float
+        if width == 4:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif width == 8:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+    elif tag == 6:  # A-law
+        x = _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
+    else:  # tag == 7, mu-law (unknown tags rejected above)
+        x = _ULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
     if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
-    return x, sr, (n_total / sr if sr else 0.0)
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, sr, n_total / sr
 
 
 def _audio_features(
