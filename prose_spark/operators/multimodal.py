@@ -388,6 +388,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     for i in range(ns):
         cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
         scan_tables[cs] = (tdta >> 4, tdta & 15)
+    if ns == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # 8x8 data unit per MCU in raster order, regardless of the
+        # frame's declared sampling factors
+        comps = [(cid, 1, 1, tq) for cid, _hs, _vs, tq in comps]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     for _, hs, vs, _ in comps:
@@ -459,7 +464,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                           hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
@@ -522,7 +527,10 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        return pal[rows[:, :w]]
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("malformed BMP: palette index out of range")
+        return pal[idx]
     px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
     return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
 
@@ -568,10 +576,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
             if len(out) > max_pixels:
                 raise ValueError("malformed GIF: LZW output overrun")
             prev = entry
-            # GIF "early change": the code width grows one code early
-            # relative to table fullness (the decoder's table lags the
-            # encoder's by one add, so the decoder bumps at 2^w - 1)
-            if len(table) >= (1 << code_size) - 1 and code_size < 12:
+            # width grows when the table fills the current code size
+            # (giflib's rule; "early change" is a TIFF quirk, NOT GIF —
+            # verified against real-world GIFs, which fail to decode
+            # under the 2^w - 1 variant)
+            if len(table) >= (1 << code_size) and code_size < 12:
                 code_size += 1
     return out
 
@@ -911,6 +920,9 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
             x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
         else:
             raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+        # honor the [-1, 1] contract every other format guarantees:
+        # unmastered float audio can carry inter-sample peaks above 1.0
+        x = np.clip(x, -1.0, 1.0)
     elif tag == 6:  # A-law
         x = _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
     else:  # tag == 7, mu-law (unknown tags rejected above)

@@ -1420,7 +1420,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and head_verb["text"].lower() in _PERCEPTION_VERBS
                     and obj_span[1] - obj_span[0] >= 2
                     and tok[obj_span[1] - 1]["text"].lower()
-                    in _SMALLCLAUSE_VERBS):
+                    in _SMALLCLAUSE_VERBS
+                    # an ORDINARY deverbal noun object stays whole:
+                    # "saw the break in the clouds" must not split —
+                    # a determiner/adjective-article directly before
+                    # the candidate verb marks it as the NP head
+                    and tok[obj_span[1] - 2]["tag"] not in ("DT", "PDT",
+                                                            "PRP$")):
                 sc_verb = tok[obj_span[1] - 1]
                 sc_pair = None
                 if obj_span[1] < len(code) and code[obj_span[1]] == "P":

@@ -18,24 +18,10 @@ from prose_spark.operators.annotate import annotate_document  # noqa: E402
 from prose_spark.operators.triples import extract_triples_doc  # noqa: E402
 
 
-def _norm(s: str) -> set:
-    import re
-    out = set()
-    # mirror test_triples_open_gold._toks: possessives re-attached
-    for t in s.lower().replace(" 's", "'s").split():
-        t = re.sub(r"[^0-9a-z]+", "", t)
-        if t:
-            out.add(t)
-    return out
-
-
-def _slot(a: str, b: str) -> bool:
-    sa, sb = _norm(a), _norm(b)
-    return bool(sa) and bool(sb) and (sa <= sb or sb <= sa)
-
-
-def _tri_match(p, g) -> bool:
-    return all(_slot(a, b) for a, b in zip(p, g))
+# the matching convention lives in ONE place — the regression test —
+# so this dev harness can never drift from what the floors measure
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+from test_triples_open_gold import _tri_match  # noqa: E402
 
 
 def score(path: Path, dump: bool) -> tuple[float, float]:

@@ -2,14 +2,15 @@
 (prose_spark/operators/multimodal.py `_decode_gif` / `_decode_bmp`).
 
 Same strategy as the PNG/JPEG suites: minimal TEST-SIDE ENCODERS
-(struct-packed BMP; a real compress-style GIF LZW encoder with the
-spec's early-change width rule) produce genuine files from known pixel
-arrays, and the decoders must recover them exactly (both formats are
-lossless). Shared-bug risk for the GIF bit/framing layer is bounded by
-a REAL-WORLD fixture: the canonical 35-byte 1x1 white GIF whose LZW
-stream (0x44 0x01 = CLEAR, index 0, EOI at 3-bit codes) is decoded
-against hand-derived expectations, so a consistently-wrong bit order
-or code framing in both encoder and decoder cannot pass."""
+(struct-packed BMP; a real compress-style GIF LZW encoder using the
+standard giflib width rule — GIF has NO TIFF-style early change)
+produce genuine files from known pixel arrays, and the decoders must
+recover them exactly (both formats are lossless). Shared-bug risk for
+the GIF bit/framing layer is bounded by REAL-WORLD inputs: the
+canonical 35-byte 1x1 white GIF decoded against hand-derived
+expectations, plus every standard-encoder GIF shipped in this
+container (test_gif_real_world_files), which a shared width-rule bug
+cannot pass — exactly the bug a review pass caught here."""
 
 from __future__ import annotations
 
@@ -85,10 +86,10 @@ def _gif_lzw_encode(indices, min_code_size):
         if next_code < 4096:
             table[cur] = next_code
             next_code += 1
-            # early change: width grows as soon as the newest entry
-            # fills the current width (so the next assignable code is
-            # representable) — giflib's RunningCode >= MaxCode1 rule
-            if next_code >= (1 << code_size) and code_size < 12:
+            # the decoder's table lags the encoder's by one add, so
+            # the encoder bumps one entry later than table-fullness
+            # (matches giflib decoders; GIF has NO early change)
+            if next_code > (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = bytes([p])
     if prev:
@@ -251,3 +252,18 @@ def test_image_errors_null_corpus_mode(spark):
             df, blob_col="html", fake=False, errors="raise").collect()
     with pytest.raises(ValueError, match="errors must be"):
         extract_image_features(df, blob_col="html", errors="bogus")
+
+
+def test_gif_real_world_files():
+    """Regression for the LZW width-bump rule: GIFs from a STANDARD
+    encoder (system doc images, present in this container) must
+    decode — under the wrong 'early change' variant every one of
+    these fails at the first width boundary. Skips if absent."""
+    import glob
+
+    files = glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
+    if not files:
+        pytest.skip("no system GIFs available")
+    for f in files:
+        img = decode_image(open(f, "rb").read())
+        assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0

@@ -394,3 +394,19 @@ def test_jpeg_spark_stage(spark):
     assert (row.media_meta.width, row.media_meta.height) == (27, 19)
     ref = decode_image(blob).reshape(-1, 3).astype("float64")
     assert abs(row.features[0] - ref[:, 0].mean() / 255.0) < 1e-6
+
+
+def test_jpeg_grayscale_ignores_declared_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one
+    data unit per MCU — so a grayscale JPEG declaring 2x2 sampling
+    factors (some encoders do) must decode identically to 1x1."""
+    g = _smooth_rgb(17, 23, seed=6)[:, :, 0]
+    blob = bytearray(_encode_jpeg(g, quality=95))
+    ref = decode_image(bytes(blob))
+    sof = bytes(blob).index(b"\xff\xc0")
+    # marker(2)+len(2)+prec(1)+h(2)+w(2)+nc(1) -> component id at +10,
+    # its sampling byte at +11
+    assert blob[sof + 11] == 0x11
+    blob[sof + 11] = 0x22
+    got = decode_image(bytes(blob))
+    assert np.array_equal(got, ref)

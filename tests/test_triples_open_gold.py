@@ -144,3 +144,24 @@ def test_open_text_triple_heldout():
         f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
     assert recall >= 0.86, (
         f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
+
+
+def test_smallclause_split_spares_deverbal_nouns():
+    """Review-pass regression: the perception small-clause split
+    ("heard her key turn in the lock") must not fire on ordinary
+    deverbal-noun objects — "saw the break in the clouds" keeps its
+    whole NP and emits no bare-determiner garbage."""
+    from prose_spark.operators.annotate import annotate_document
+    from prose_spark.operators.triples import extract_triples_doc
+
+    for sent, obj_word in (
+        ("He saw the break in the clouds.", "break"),
+        ("I watched the fall of the empire with great interest.",
+         "fall"),
+    ):
+        _, toks, _ = annotate_document(sent)
+        triples = [(t["subj"], t["pred"], t["obj"])
+                   for t in extract_triples_doc(toks)]
+        assert len(triples) == 1, triples
+        assert obj_word in triples[0][2]
+        assert triples[0][2].strip() not in ("the", "a")
