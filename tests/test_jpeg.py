@@ -410,3 +410,31 @@ def test_jpeg_grayscale_ignores_declared_sampling_factors():
     blob[sof + 11] = 0x22
     got = decode_image(bytes(blob))
     assert np.array_equal(got, ref)
+
+
+def test_jpeg_real_world_files():
+    """Decode JPEGs produced by standard encoders (CPython's own test
+    fixtures plus any rust-doc photos present); a shared encoder/
+    decoder bug cannot pass external files. Skips if none found."""
+    import glob
+
+    candidates = (
+        glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                  "imghdrdata/python.jpg")
+        + glob.glob("/root/.rustup/toolchains/*/share/doc/rust/html/"
+                    "embedded-book/assets/verify.jpeg")
+    )
+    decoded = 0
+    for f in candidates:
+        try:
+            blob = open(f, "rb").read()
+        except OSError:
+            continue
+        try:
+            img = decode_image(blob)
+        except NotImplementedError:
+            continue  # progressive etc. raise honestly
+        assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
+        decoded += 1
+    if not decoded:
+        pytest.skip("no decodable real-world JPEGs available")
