@@ -301,6 +301,47 @@ def q_kg_pages_triples(spark, sf_dir):
     ).orderBy("url", "sent_idx", "subj", "pred", "obj")
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Distributed PageRank over the customer->supplier purchase graph
+    (orders x lineitem): the classic iterative join-based graph op, one
+    shuffle per round. Fully cross-engine: the DuckDB oracle unrolls
+    the same 5 damped iterations as CTEs over the same edge list, so
+    every rank value is recomputed independently end-to-end."""
+    from prose_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def q_kg_entity_degree(spark, sf_dir):
+    """Per-entity degree statistics over the SAME deterministic triple
+    set as nlp_triples (aggregation verified cross-engine against the
+    pinned golden, exactly the kg_triple_support pattern)."""
+    from prose_spark.operators.graph import entity_degrees
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tr = annotate_and_extract_triples(
+        docs.select("doc_id", "text"), key_cols=("doc_id",)
+    )
+    return (
+        entity_degrees(tr)
+        .orderBy("entity")
+    )
+
+
 def q_nlp_triples(spark, sf_dir):
     # fused single-stage path: text -> triples in one mapInPandas
     from prose_spark.operators.triples import annotate_and_extract_triples
@@ -920,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_canonical_entities": q_nlp_canonical_entities,
         "kg_triple_support": q_kg_triple_support,
         "kg_merge_canonical": q_kg_merge_canonical,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_entity_degree": q_kg_entity_degree,
         "nlp_sentiment": q_nlp_sentiment,
         "nlp_sentiment_ml": q_nlp_sentiment_ml,
         "ta_quality": q_ta_quality,
@@ -1165,6 +1208,41 @@ _SIMHASH_FOLD = """
 """
 
 
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank CTE chain mirroring graph.pagerank exactly:
+    same edge list, same (1-d)/N + d*sum(rank/out_deg) step, same
+    no-dangling-redistribution convention — every rank recomputed
+    independently by DuckDB."""
+    ctes = [
+        "edges AS (SELECT DISTINCT 'c' || o_custkey AS src,"
+        " 's' || l_suppkey AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "outd AS (SELECT src, count(*)::DOUBLE AS d"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, (SELECT 1.0/n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r.rank / o.d) AS c"
+            f" FROM edges e JOIN outd o ON e.src = o.src"
+            f" JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" (SELECT (1 - {damping})/n FROM nn)"
+            f" + {damping} * coalesce(c{i}.c, 0) AS rank"
+            f" FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank"
+        f" FROM r{iterations} ORDER BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     pinned = {
@@ -1189,6 +1267,29 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS first_source
             FROM tr GROUP BY subj, pred_norm, obj
             ORDER BY subj, pred_norm, obj
+        """,
+        "kg_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        # degree statistics recomputed by DuckDB over the pinned
+        # nlp_triples golden (the hash-verified identical input),
+        # exactly the kg_triple_support pattern
+        "kg_entity_degree": f"""
+            WITH tr AS (SELECT * FROM read_parquet(
+                '{golden_path("nlp_triples")}/*.parquet')),
+            outd AS (SELECT subj AS entity,
+                            count(*)::BIGINT AS out_triples,
+                            count(DISTINCT obj)::BIGINT AS out_neighbors
+                     FROM tr GROUP BY subj),
+            ind AS (SELECT obj AS entity,
+                           count(*)::BIGINT AS in_triples,
+                           count(DISTINCT subj)::BIGINT AS in_neighbors
+                    FROM tr GROUP BY obj)
+            SELECT coalesce(outd.entity, ind.entity) AS entity,
+                   coalesce(out_triples, 0)::BIGINT AS out_triples,
+                   coalesce(out_neighbors, 0)::BIGINT AS out_neighbors,
+                   coalesce(in_triples, 0)::BIGINT AS in_triples,
+                   coalesce(in_neighbors, 0)::BIGINT AS in_neighbors
+            FROM outd FULL OUTER JOIN ind ON outd.entity = ind.entity
+            ORDER BY entity
         """,
         # incremental canonicalization must reproduce the BATCH pinned
         # golden exactly (exact-equivalence contract, different code path)
