@@ -495,9 +495,16 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
+    if compression == 3 and len(data) >= 66:
+        # BI_BITFIELDS with the STANDARD BGRA masks is plain 32-bit
+        # BGR(A) — the common case real encoders emit
+        masks = struct.unpack("<III", data[54:66])
+        if masks == (0x00FF0000, 0x0000FF00, 0x000000FF):
+            compression = 0
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} unsupported (BI_RGB only)")
+            f"BMP compression {compression} unsupported "
+            "(BI_RGB / standard-mask BI_BITFIELDS only)")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
     top_down = h < 0
@@ -662,18 +669,202 @@ def _decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("malformed GIF: no image data")
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytearray:
+    """TIFF LZW (spec 6.0 section 13): MSB-first variable-width codes
+    and — unlike GIF — genuine 'early change': the width bumps one
+    entry before the table fills."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    code_size = 9
+    buf = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= code_size:
+            code = (buf >> (nbits - code_size)) & ((1 << code_size) - 1)
+            nbits -= code_size
+            if code == CLEAR:
+                table = table[:258]
+                code_size = 9
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("malformed TIFF: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("malformed TIFF: LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("malformed TIFF: LZW output overrun")
+            prev = entry
+            # TIFF early change: bump at 2^w - 1 (libtiff behavior)
+            if len(table) >= (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                break
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return out
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Dependency-free baseline-TIFF decoder: 8-bit grayscale / RGB(A)
+    / palette, strip-organized, uncompressed / PackBits / LZW (with
+    the optional horizontal predictor), II and MM byte orders, first
+    IFD. Tiled, 16-bit, CMYK, and JPEG-in-TIFF variants raise
+    honestly."""
+    import struct
+
+    if data[:2] not in (b"II", b"MM") or len(data) < 8:
+        raise ValueError("malformed TIFF: bad header")
+    bo = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise ValueError("malformed TIFF: bad magic")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("malformed TIFF: truncated IFD")
+    (n_ent,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def read_values(typ, cnt, raw):
+        if typ == 3:
+            fmtc, sz = "H", 2
+        elif typ == 4:
+            fmtc, sz = "I", 4
+        elif typ == 1:
+            fmtc, sz = "B", 1
+        else:
+            return None
+        total = sz * cnt
+        src = raw[:4] if total <= 4 else None
+        if src is None:
+            (off,) = struct.unpack(bo + "I", raw[:4])
+            src = data[off:off + total]
+        if len(src) < total:
+            raise ValueError("malformed TIFF: truncated tag data")
+        return list(struct.unpack(bo + str(cnt) + fmtc, src[:total]))
+
+    tags: dict[int, list] = {}
+    for i in range(n_ent):
+        e = data[ifd_off + 2 + 12 * i:ifd_off + 14 + 12 * i]
+        if len(e) < 12:
+            raise ValueError("malformed TIFF: truncated IFD entry")
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        vals = read_values(typ, cnt, e[8:12])
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("malformed TIFF: missing dimensions")
+    comp = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bps = tags.get(258, [8] * spp)
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("malformed TIFF: missing strip layout")
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"{bps[0]}-bit TIFF unsupported (8-bit samples only)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported "
+            "(uncompressed/LZW/PackBits only)")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} (CMYK/YCbCr) unsupported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"TIFF {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    predictor = one(317, 1)
+    stride = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = data[off:off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError("malformed TIFF: truncated strip")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        need = n_rows * stride
+        if comp == 1:
+            out = chunk[:need]
+        elif comp == 5:
+            out = _tiff_lzw_decode(chunk, need)
+        else:
+            out = _packbits_decode(chunk, need)
+        if len(out) < need:
+            raise ValueError("malformed TIFF: short strip data")
+        raw += out[:need]
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("malformed TIFF: palette image without map")
+        # 16-bit color map entries, R/G/B planes
+        pal = (np.array(cmap[: 3 * 256]).reshape(3, 256).T // 257
+               ).astype(np.uint8)
+        return pal[px[:, :, 0]]
+    if photometric in (0, 1):
+        g = px[:, :, 0]
+        if photometric == 0:  # WhiteIsZero
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB(A): alpha dropped
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to an HxWx3 uint8 array.
 
     PNG (8-bit, non-interlaced), baseline JPEG (8-bit Huffman
     sequential SOF0/SOF1, incl. chroma subsampling and restart
-    markers), GIF87a/89a (full LZW, interlacing, first frame), and
-    uncompressed BMP (8/24/32-bit) decode FOR REAL via the
-    dependency-free ``_decode_png`` / ``_decode_jpeg`` / ``_decode_gif``
-    / ``_decode_bmp`` (stdlib + numpy) — no ``fake`` needed. Other
-    formats (WebP/TIFF/progressive JPEG etc.) need an image library
-    absent from this environment; ``fake=True`` derives a deterministic
-    8x8x3 array from the content hash (stable across runs/machines) for
+    markers), GIF87a/89a (full LZW, interlacing, first frame),
+    BMP (8/24/32-bit, BI_RGB / standard-mask BI_BITFIELDS), and
+    baseline TIFF (8-bit strips, uncompressed/LZW/PackBits, both byte
+    orders) decode FOR REAL via the dependency-free ``_decode_png`` /
+    ``_decode_jpeg`` / ``_decode_gif`` / ``_decode_bmp`` /
+    ``_decode_tiff`` (stdlib + numpy) — no ``fake`` needed. Other
+    formats (WebP/progressive JPEG etc.) need an image library absent
+    from this environment; ``fake=True`` derives a deterministic 8x8x3
+    array from the content hash (stable across runs/machines) for
     plumbing tests.
     """
     decoder = None
@@ -687,6 +878,8 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
             decoder = _decode_gif
         elif head[:2] == b"BM":
             decoder = _decode_bmp
+        elif head[:4] in (b"II*\x00", b"MM\x00*"):
+            decoder = _decode_tiff
     if decoder is not None:
         try:
             return decoder(bytes(blob))
@@ -780,6 +973,8 @@ def extract_image_features(
                                  if b[:6] in (b"GIF87a", b"GIF89a")
                                  else "image/bmp"
                                  if b[:2] == b"BM"
+                                 else "image/tiff"
+                                 if b[:4] in (b"II*\x00", b"MM\x00*")
                                  else "image/unknown"),
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
