@@ -360,11 +360,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline (SOF0/SOF1) only"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                "unsupported — sequential (SOF0/SOF1) and progressive "
+                "(SOF2) only"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             break
@@ -851,21 +854,326 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     return px[:, :, :3].copy()  # RGB(A): alpha dropped
 
 
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Progressive-JPEG decoder (SOF2, Huffman): full spectral
+    selection + successive approximation per ITU-T T.81 G.1.2 — DC
+    first/refinement scans (interleaved or single-component), AC
+    first scans with EOB-run coding, and AC refinement scans with
+    correction bits — buffering quantized coefficients per component
+    and running dequant + IDCT + upsample + YCbCr once after all
+    scans. Restart markers reset predictors and EOB runs. Shares the
+    bit reader, Huffman tables, IDCT basis, and the decode cap with
+    the baseline path."""
+    import struct
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) int32
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(data):
+            raise ValueError("malformed JPEG: truncated segment")
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("malformed JPEG: bad segment length")
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 15
+                n = 64 * (2 if pq else 1)
+                raw = seg[sp + 1:sp + 1 + n]
+                if len(raw) < n:
+                    raise ValueError("malformed JPEG: short DQT")
+                qt[tq] = np.frombuffer(
+                    raw, dtype=">u2" if pq else np.uint8
+                ).astype(np.int32)
+                sp += 1 + n
+        elif marker == 0xC4:
+            sp = 0
+            while sp + 17 <= len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                bits = seg[sp + 1:sp + 17]
+                nv = sum(bits)
+                vals = seg[sp + 17:sp + 17 + nv]
+                if len(vals) < nv:
+                    raise ValueError("malformed JPEG: short DHT")
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                sp += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit progressive JPEG unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+                raise NotImplementedError(
+                    f"JPEG {w}x{h} exceeds the "
+                    f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hs, vs, _tq in comps:
+                if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+                    raise NotImplementedError(
+                        f"JPEG sampling {hs}x{vs} unsupported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = (h, w, comps, hmax, vmax, mcux, mcuy)
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = np.zeros(
+                    (mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            h, w, comps, hmax, vmax, mcux, mcuy = frame
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                spec = next((c for c in comps if c[0] == cs), None)
+                if spec is None:
+                    raise ValueError("malformed JPEG: unknown scan comp")
+                scan_comps.append((spec, tdta >> 4, tdta & 15))
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            reader = _JpegBitReader(data, pos)
+            pos = _jpeg_progressive_scan(
+                reader, data, scan_comps, coefs, huff,
+                ss, se, ah, al, frame, restart_interval)
+        # APPn/COM skipped
+    if frame is None or not coefs:
+        raise ValueError("malformed JPEG: no frame data")
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+    full = []
+    for cid, hs, vs, tq in comps:
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("malformed JPEG: missing quant table")
+        c = coefs[cid] * q  # (bh, bw, 64) quantized -> raw
+        blocks = np.zeros((c.shape[0], c.shape[1], 64))
+        blocks[:, :, _JPEG_ZIGZAG] = c
+        bh, bw = c.shape[0], c.shape[1]
+        spatial = (
+            np.einsum(
+                "xu,rcuv,yv->rxcy",
+                _IDCT_M,
+                blocks.reshape(bh, bw, 8, 8),
+                _IDCT_M,
+            ).reshape(bh * 8, bw * 8)
+            + 128.0
+        )
+        if hs != hmax or vs != vmax:
+            spatial = np.repeat(
+                np.repeat(spatial, vmax // vs, axis=0),
+                hmax // hs, axis=1)
+        full.append(spatial[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(reader, data, scan_comps, coefs, huff,
+                           ss, se, ah, al, frame, restart_interval):
+    """Decode one progressive scan in place; returns the stream
+    position after the entropy-coded segment."""
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+    eobrun = 0
+    pred = {spec[0]: 0 for spec, _, _ in scan_comps}
+
+    def maybe_restart(unit_index, total_units):
+        nonlocal eobrun
+        if (restart_interval and unit_index
+                and unit_index % restart_interval == 0
+                and unit_index < total_units):
+            reader.restart()
+            eobrun = 0
+            for k in pred:
+                pred[k] = 0
+
+    if ss == 0:
+        # ----- DC scan -----
+        if se != 0:
+            raise ValueError("malformed JPEG: DC scan with Se != 0")
+
+        def dc_block(cid, by, bx, dc_tab):
+            c = coefs[cid][by, bx]
+            if ah == 0:
+                s = _jpeg_huff_decode(reader, dc_tab)
+                if s > 11:
+                    raise ValueError("malformed JPEG: DC category")
+                pred[cid] += _jpeg_extend(reader.receive(s), s)
+                c[0] = pred[cid] << al
+            else:
+                if reader.read_bit():
+                    c[0] |= 1 << al
+
+        if len(scan_comps) > 1:
+            total = mcux * mcuy
+            for mcu in range(total):
+                maybe_restart(mcu, total)
+                my, mx = divmod(mcu, mcux)
+                for spec, td, _ta in scan_comps:
+                    cid, hs, vs, _tq = spec
+                    dc_tab = (huff.get((0, td))
+                              if ah == 0 else None)
+                    if ah == 0 and dc_tab is None:
+                        raise ValueError(
+                            "malformed JPEG: missing DC table")
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_block(cid, my * vs + by, mx * hs + bx,
+                                     dc_tab)
+        else:
+            spec, td, _ta = scan_comps[0]
+            cid, hs, vs, _tq = spec
+            bw = -(-((w * hs + hmax - 1) // hmax) // 8)
+            bh = -(-((h * vs + vmax - 1) // vmax) // 8)
+            dc_tab = huff.get((0, td)) if ah == 0 else None
+            if ah == 0 and dc_tab is None:
+                raise ValueError("malformed JPEG: missing DC table")
+            total = bw * bh
+            for u in range(total):
+                maybe_restart(u, total)
+                by, bx = divmod(u, bw)
+                dc_block(cid, by, bx, dc_tab)
+    else:
+        # ----- AC scan: single component, non-interleaved -----
+        if len(scan_comps) != 1:
+            raise ValueError("malformed JPEG: interleaved AC scan")
+        spec, _td, ta = scan_comps[0]
+        cid, hs, vs, _tq = spec
+        ac_tab = huff.get((1, ta))
+        if ac_tab is None:
+            raise ValueError("malformed JPEG: missing AC table")
+        bw = -(-((w * hs + hmax - 1) // hmax) // 8)
+        bh = -(-((h * vs + vmax - 1) // vmax) // 8)
+        p1, m1 = 1 << al, -1 << al
+        total = bw * bh
+        for u in range(total):
+            maybe_restart(u, total)
+            by, bx = divmod(u, bw)
+            c = coefs[cid][by, bx]
+            if ah == 0:
+                # first scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ac_tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "malformed JPEG: AC run past band")
+                    c[k] = _jpeg_extend(reader.receive(s), s) << al
+                    k += 1
+            else:
+                # refinement scan (T.81 G.1.2.3 / libjpeg AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "malformed JPEG: bad refine size")
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            if c[k] != 0:
+                                if reader.read_bit():
+                                    if (c[k] & p1) == 0:
+                                        c[k] += p1 if c[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        c[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # correction bits still appear in EOB-covered
+                    # blocks for already-nonzero coefficients
+                    while k <= se:
+                        if c[k] != 0 and reader.read_bit():
+                            if (c[k] & p1) == 0:
+                                c[k] += p1 if c[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    # resync to the next true marker: the final partial byte (pad
+    # bits) may never have been consumed by the bit reader
+    p = reader.pos
+    while p + 1 < len(data) and not (
+            data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to an HxWx3 uint8 array.
 
-    PNG (8-bit, non-interlaced), baseline JPEG (8-bit Huffman
-    sequential SOF0/SOF1, incl. chroma subsampling and restart
-    markers), GIF87a/89a (full LZW, interlacing, first frame),
-    BMP (8/24/32-bit, BI_RGB / standard-mask BI_BITFIELDS), and
-    baseline TIFF (8-bit strips, uncompressed/LZW/PackBits, both byte
-    orders) decode FOR REAL via the dependency-free ``_decode_png`` /
-    ``_decode_jpeg`` / ``_decode_gif`` / ``_decode_bmp`` /
-    ``_decode_tiff`` (stdlib + numpy) — no ``fake`` needed. Other
-    formats (WebP/progressive JPEG etc.) need an image library absent
-    from this environment; ``fake=True`` derives a deterministic 8x8x3
-    array from the content hash (stable across runs/machines) for
-    plumbing tests.
+    PNG (8-bit, non-interlaced), JPEG — both baseline (SOF0/SOF1,
+    chroma subsampling, restart markers) and PROGRESSIVE (SOF2,
+    spectral selection + successive approximation + EOB runs) —
+    GIF87a/89a (full LZW, interlacing, first frame), BMP
+    (8/24/32-bit, BI_RGB / standard-mask BI_BITFIELDS), and baseline
+    TIFF (8-bit strips, uncompressed/LZW/PackBits, both byte orders)
+    decode FOR REAL via the dependency-free ``_decode_png`` /
+    ``_decode_jpeg`` / ``_decode_jpeg_progressive`` / ``_decode_gif``
+    / ``_decode_bmp`` / ``_decode_tiff`` (stdlib + numpy) — no
+    ``fake`` needed. Remaining formats (WebP, arithmetic-coded JPEG)
+    need an image library absent from this environment; ``fake=True``
+    derives a deterministic 8x8x3 array from the content hash (stable
+    across runs/machines) for plumbing tests.
     """
     decoder = None
     if blob:

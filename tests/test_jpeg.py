@@ -360,11 +360,17 @@ def test_jpeg_grayscale_single_component():
 
 
 def test_jpeg_unsupported_and_malformed():
-    # progressive (SOF2) raises honestly on the real path
+    # progressive (SOF2) is now SUPPORTED; a bare SOF2 header with no
+    # tables or scan data is malformed, not unimplemented
     sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="malformed JPEG"):
         decode_image(sof2)
+    # arithmetic-coded (SOF9) still raises honestly
+    sof9 = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_image(sof9)
     # decode cap: giant declared dims rejected before any allocation
     giant = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
              + struct.pack(">BHHB", 8, 50000, 50000, 1)
@@ -438,3 +444,211 @@ def test_jpeg_real_world_files():
         decoded += 1
     if not decoded:
         pytest.skip("no decodable real-world JPEGs available")
+
+
+# --- progressive test-side encoder (spectral selection + DC
+# successive approximation; grayscale and 4:4:4 color) ----------------
+
+def _prog_blocks(plane, q):
+    """Quantized zigzag blocks of one component plane (pad to 8)."""
+    zz = _zigzag_order()
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = _pad_to(plane.astype(np.float64), ph, pw)
+    out = []
+    for y0 in range(0, ph, 8):
+        row = []
+        for x0 in range(0, pw, 8):
+            coef = _FDCT_A @ (p[y0:y0 + 8, x0:x0 + 8] - 128.0) @ _FDCT_A.T
+            row.append(np.rint(coef.reshape(64)[zz] / q[zz]).astype(int))
+        out.append(row)
+    return out
+
+
+def _emit_ac_first(writer, enc_ac, blocks_band, ss, se):
+    """AC first-scan emission with cross-block EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            n = min(eobrun, (1 << (r + 1)) - 1)
+            r = n.bit_length() - 1
+            writer.write(*enc_ac[r << 4])
+            if r:
+                writer.write(r, n - (1 << r))
+            eobrun -= n
+
+    for blk in blocks_band:
+        nz = [k for k in range(ss, se + 1) if blk[k]]
+        if not nz:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.write(*enc_ac[0xF0])
+                run -= 16
+            s, fld = _magnitude(v)
+            writer.write(*enc_ac[(run << 4) | s])
+            writer.write(s, fld)
+            run = 0
+        if nz[-1] < se:
+            eobrun += 1
+    flush_eob()
+
+
+def _encode_jpeg_progressive(img, quality=90, dc_al=0):
+    """SOF2 stream: DC scan (optionally at Al=dc_al with a refinement
+    scan), then AC bands 1-5 and 6-63 per component."""
+    gray = img.ndim == 2
+    ql = _scaled_quant(_QL, quality)
+    qc = _scaled_quant(_QC, quality)
+    zz = _zigzag_order()
+    h, w = img.shape[:2]
+    if gray:
+        planes = [(1, ql, img)]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            (1, ql, 0.299 * r + 0.587 * g + 0.114 * b),
+            (2, qc, -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+            (3, qc, 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+        ]
+    comp_blocks = {cid: _prog_blocks(p, q) for cid, q, p in planes}
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[zz].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[zz].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, q, _p in planes:
+        sof += bytes([cid, 0x11, 0 if q is ql else 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + _DC_LUM_BITS + _DC_VALS)
+    if not gray:
+        out += seg(0xC4, bytes([0x01]) + _DC_CHR_BITS + _DC_VALS)
+    enc_dc = {0: _enc_table(_DC_LUM_BITS, _DC_VALS),
+              1: _enc_table(_DC_CHR_BITS, _DC_VALS)}
+
+    # --- DC first scan (interleaved when color) at Al=dc_al ---
+    writer = _BitWriter()
+    pred = {cid: 0 for cid, _, _ in planes}
+    bh = len(comp_blocks[1])
+    bw = len(comp_blocks[1][0])
+    for by in range(bh):
+        for bx in range(bw):
+            for cid, q, _p in planes:
+                tid = 0 if q is ql else 1
+                v = int(comp_blocks[cid][by][bx][0]) >> dc_al
+                diff = v - pred[cid]
+                pred[cid] = v
+                s, fld = _magnitude(diff)
+                writer.write(*enc_dc[tid][s])
+                if s:
+                    writer.write(s, fld)
+    writer.flush()
+    sos = bytes([len(planes)])
+    for cid, q, _p in planes:
+        sos += bytes([cid, (0 if q is ql else 1) << 4])
+    sos += bytes([0, 0, dc_al])
+    out += seg(0xDA, sos) + bytes(writer.out)
+    if dc_al:
+        # --- DC refinement scan: one raw bit per block ---
+        writer = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for cid, _q, _p in planes:
+                    writer.write(1, int(comp_blocks[cid][by][bx][0]) & 1)
+        writer.flush()
+        hdr = bytes([len(planes)])
+        for cid, _q, _p in planes:
+            hdr += bytes([cid, 0])
+        hdr += bytes([0, 0, (1 << 4) | 0])
+        out += seg(0xDA, hdr) + bytes(writer.out)
+    # --- AC band scans per component ---
+    for cid, q, _p in planes:
+        tid = 0 if q is ql else 1
+        blocks = [comp_blocks[cid][by][bx]
+                  for by in range(len(comp_blocks[cid]))
+                  for bx in range(len(comp_blocks[cid][0]))]
+        for ss_, se_ in ((1, 5), (6, 63)):
+            syms = []
+            # first pass to collect AC symbols for the table
+            class _Cnt:
+                def write(self, a, b=None):
+                    pass
+            cnt = {}
+            eobrun = 0
+            for blk in blocks:
+                nz = [k for k in range(ss_, se_ + 1) if blk[k]]
+                if not nz:
+                    eobrun += 1
+                    continue
+                run = 0
+                for k in range(ss_, se_ + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        cnt[0xF0] = 1
+                        run -= 16
+                    s, _f = _magnitude(v)
+                    cnt[(run << 4) | s] = 1
+                    run = 0
+            for r in range(15):
+                cnt[r << 4] = 1  # all EOBn codes available
+            bits, vals = _fixed_table(list(cnt))
+            out += seg(0xC4, bytes([0x10 | tid]) + bits + vals)
+            enc_ac = _enc_table(bits, vals)
+            writer = _BitWriter()
+            _emit_ac_first(writer, enc_ac, blocks, ss_, se_)
+            writer.flush()
+            hdr = bytes([1, cid, tid << 4 | tid, ss_, se_, 0])
+            out += seg(0xDA, hdr) + bytes(writer.out)
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive streams from the test-side encoder must decode to
+    the SAME pixels as the equivalent baseline encoding (identical
+    quantized coefficients, different scan order)."""
+    g = _smooth_rgb(21, 26, seed=7)[:, :, 0]
+    base = decode_image(_encode_jpeg(g, quality=90))
+    prog = decode_image(_encode_jpeg_progressive(g, quality=90))
+    assert np.array_equal(prog, base)
+    # DC successive approximation (Al=1 + refinement scan)
+    prog2 = decode_image(_encode_jpeg_progressive(g, quality=90,
+                                                  dc_al=1))
+    assert np.array_equal(prog2, base)
+    # color: interleaved DC scan + per-component AC bands
+    img = _smooth_rgb(18, 15, seed=8)
+    base_c = decode_image(_encode_jpeg(img, quality=92))
+    prog_c = decode_image(_encode_jpeg_progressive(img, quality=92))
+    assert np.array_equal(prog_c, base_c)
+
+
+def test_jpeg_progressive_real_world_files():
+    """Real progressive JPEGs (standard encoders, successive
+    approximation + EOB runs) decode with plausible statistics; the
+    nodejs fixtures are white-background graphics."""
+    import os
+
+    f = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(f):
+        pytest.skip("no real progressive JPEG available")
+    img = decode_image(open(f, "rb").read())
+    assert img.shape == (312, 493, 3)
+    assert img.mean() > 235  # white-dominated graphic
