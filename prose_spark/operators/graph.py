@@ -80,6 +80,12 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
+    # materialize the final ranks once, then release the cached
+    # projections — without this every invocation leaks two persisted
+    # datasets into executor storage for the session's lifetime
+    ranks = ranks.localCheckpoint(eager=True)
+    edeg.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -1,23 +1,37 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-PNG images (8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced)
-decode FOR REAL via a dependency-free stdlib-zlib + numpy decoder
-(``_decode_png``) — signature-sniffed, all five scanline filters;
-baseline JPEG (8-bit Huffman sequential SOF0/SOF1, 4:4:4/4:2:2/4:2:0
-subsampling, restart markers) decodes for real via ``_decode_jpeg``
-(numpy-only marker parser + canonical Huffman + IDCT); GIF87a/89a
-(full LZW with early-change, interlacing, first frame) and
-uncompressed BMP (8/24/32-bit) decode via ``_decode_gif`` /
-``_decode_bmp``; and WAV/PCM
-audio decodes for real via stdlib ``wave`` + numpy (``decode_audio``:
-8/16/32-bit, stereo downmix, FFT-based spectral features in
-``_audio_features``). Other formats' decode kernels are STUBBED in this
-environment (no PIL/ffmpeg/torchaudio in the image): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the content hash) produces stable
-feature vectors so the Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested end-to-end.
+Five image families and the WAV audio family decode FOR REAL with no
+external dependency (stdlib + numpy only), each validated against
+real-world files and/or ground-truth test-side encoders:
+
+- PNG (``_decode_png``): 8-bit gray/gray+alpha/RGB/RGBA/palette,
+  non-interlaced, all five scanline filters;
+- JPEG (``_decode_jpeg`` / ``_decode_jpeg_progressive``): baseline
+  SOF0/SOF1 (chroma subsampling, restart markers) AND progressive
+  SOF2 (spectral selection, successive approximation, EOB runs) —
+  progressive validated by round-trip equality with the equivalent
+  baseline encodings and by real-world progressive files;
+- GIF (``_decode_gif``): 87a/89a, full LZW (giflib width rule — no
+  TIFF-style early change), interlacing, first frame;
+- BMP (``_decode_bmp``): 8/24/32-bit BI_RGB + standard-mask
+  BI_BITFIELDS;
+- TIFF (``_decode_tiff``): 8-bit strips, uncompressed / PackBits /
+  LZW (genuine early change + horizontal predictor), both byte
+  orders — validated bit-identically against the PNG/BMP decodes of
+  the same real-world image;
+- WAV (``decode_audio``): integer PCM (incl. sub-byte bit depths in
+  their blockAlign container), IEEE float, G.711 A-law/mu-law,
+  WAVE_FORMAT_EXTENSIBLE; stereo downmix, FFT spectral features in
+  ``_audio_features``.
+
+Remaining formats (WebP, arithmetic-coded JPEG, compressed audio,
+video) genuinely need PIL/ffmpeg-class codecs absent from this
+environment: ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (seeded by
+the content hash) produces stable feature vectors so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is real and tested end-to-end.
 
 At 100 TB scale the relevant design points, all honored here:
 - binary payloads stay OUT of shuffles: features are extracted in a
@@ -187,6 +201,48 @@ _IDCT_M = np.array(
 )
 
 
+def _jpeg_parse_dqt(seg: bytes, qt: dict) -> None:
+    sp = 0
+    while sp < len(seg):
+        pq, tq = seg[sp] >> 4, seg[sp] & 15
+        n = 64 * (2 if pq else 1)
+        raw = seg[sp + 1:sp + 1 + n]
+        if len(raw) < n:
+            raise ValueError("malformed JPEG: short DQT")
+        qt[tq] = np.frombuffer(
+            raw, dtype=">u2" if pq else np.uint8).astype(np.int32)
+        sp += 1 + n
+
+
+def _jpeg_parse_dht(seg: bytes, huff: dict) -> None:
+    sp = 0
+    while sp + 17 <= len(seg):
+        tc, th = seg[sp] >> 4, seg[sp] & 15
+        bits = seg[sp + 1:sp + 17]
+        nv = sum(bits)
+        vals = seg[sp + 17:sp + 17 + nv]
+        if len(vals) < nv:
+            raise ValueError("malformed JPEG: short DHT")
+        huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+        sp += 17 + nv
+
+
+def _jpeg_finish(full: list) -> np.ndarray:
+    """Shared reconstruction tail: gray repeat or JFIF YCbCr->RGB,
+    rounded and clipped — the ONE place these constants live."""
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
     """Canonical JPEG Huffman table from a DHT segment's BITS (count of
     codes per length 1..16) and HUFFVAL arrays (ITU-T T.81 annex C
@@ -319,28 +375,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("malformed JPEG: bad segment length")
         pos += seglen
         if marker == 0xDB:  # DQT
-            sp = 0
-            while sp < len(seg):
-                pq, tq = seg[sp] >> 4, seg[sp] & 15
-                n = 64 * (2 if pq else 1)
-                raw = seg[sp + 1:sp + 1 + n]
-                if len(raw) < n:
-                    raise ValueError("malformed JPEG: short DQT")
-                qt[tq] = np.frombuffer(
-                    raw, dtype=">u2" if pq else np.uint8
-                ).astype(np.int32)
-                sp += 1 + n
+            _jpeg_parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            sp = 0
-            while sp + 17 <= len(seg):
-                tc, th = seg[sp] >> 4, seg[sp] & 15
-                bits = seg[sp + 1:sp + 17]
-                nv = sum(bits)
-                vals = seg[sp + 17:sp + 17 + nv]
-                if len(vals) < nv:
-                    raise ValueError("malformed JPEG: short DHT")
-                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
-                sp += 17 + nv
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
@@ -466,19 +503,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0),
                           hmax // hs, axis=1)
         full.append(p[:h, :w])
-    if len(full) == 1:
-        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_finish(full)
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
@@ -811,9 +836,17 @@ def _decode_tiff(data: bytes) -> np.ndarray:
             f"TIFF photometric {photometric} (CMYK/YCbCr) unsupported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (strips only)")
-    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+    if tags.get(284, [1])[0] != 1:
         raise NotImplementedError(
-            f"TIFF {w}x{h} exceeds the "
+            "planar-configuration TIFF unsupported (chunky only)")
+    if spp < 1 or spp > 4:
+        raise NotImplementedError(
+            f"{spp}-sample TIFF unsupported (1-4 samples/pixel)")
+    # cap sized on the FULL decode buffer (h*w*spp), not the output —
+    # a small LZW strip can legally expand to the declared size
+    if w * h * max(spp, 3) > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"TIFF {w}x{h}x{spp} exceeds the "
             f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
     predictor = one(317, 1)
     stride = w * spp
@@ -892,28 +925,9 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
         seg = data[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:
-            sp = 0
-            while sp < len(seg):
-                pq, tq = seg[sp] >> 4, seg[sp] & 15
-                n = 64 * (2 if pq else 1)
-                raw = seg[sp + 1:sp + 1 + n]
-                if len(raw) < n:
-                    raise ValueError("malformed JPEG: short DQT")
-                qt[tq] = np.frombuffer(
-                    raw, dtype=">u2" if pq else np.uint8
-                ).astype(np.int32)
-                sp += 1 + n
+            _jpeg_parse_dqt(seg, qt)
         elif marker == 0xC4:
-            sp = 0
-            while sp + 17 <= len(seg):
-                tc, th = seg[sp] >> 4, seg[sp] & 15
-                bits = seg[sp + 1:sp + 17]
-                nv = sum(bits)
-                vals = seg[sp + 17:sp + 17 + nv]
-                if len(vals) < nv:
-                    raise ValueError("malformed JPEG: short DHT")
-                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
-                sp += 17 + nv
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC2:
@@ -990,17 +1004,7 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
                 np.repeat(spatial, vmax // vs, axis=0),
                 hmax // hs, axis=1)
         full.append(spatial[:h, :w])
-    if len(full) == 1:
-        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr,
-         y - 0.344136 * cb - 0.714136 * cr,
-         y + 1.772 * cb],
-        axis=2,
-    )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_finish(full)
 
 
 def _jpeg_progressive_scan(reader, data, scan_comps, coefs, huff,
@@ -1158,6 +1162,24 @@ def _jpeg_progressive_scan(reader, data, scan_comps, coefs, huff,
     return p
 
 
+def _sniff_image(b: bytes):
+    """One authoritative signature table -> (decoder, mime); both
+    decode_image's dispatch and the feature stage's mime column read
+    from here so they can never drift."""
+    head = bytes(b[:8])
+    if head == _PNG_SIG:
+        return _decode_png, "image/png"
+    if head[:2] == b"\xff\xd8":
+        return _decode_jpeg, "image/jpeg"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif, "image/gif"
+    if head[:2] == b"BM":
+        return _decode_bmp, "image/bmp"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff, "image/tiff"
+    return None, "image/unknown"
+
+
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to an HxWx3 uint8 array.
 
@@ -1175,19 +1197,7 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     derives a deterministic 8x8x3 array from the content hash (stable
     across runs/machines) for plumbing tests.
     """
-    decoder = None
-    if blob:
-        head = bytes(blob[:8])
-        if head == _PNG_SIG:
-            decoder = _decode_png
-        elif head[:2] == b"\xff\xd8":
-            decoder = _decode_jpeg
-        elif head[:6] in (b"GIF87a", b"GIF89a"):
-            decoder = _decode_gif
-        elif head[:2] == b"BM":
-            decoder = _decode_bmp
-        elif head[:4] in (b"II*\x00", b"MM\x00*"):
-            decoder = _decode_tiff
+    decoder = _sniff_image(blob)[0] if blob else None
     if decoder is not None:
         try:
             return decoder(bytes(blob))
@@ -1199,10 +1209,11 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
                 raise
     if not fake:
         raise NotImplementedError(
-            "non-PNG/JPEG/GIF/BMP image decoding requires PIL/opencv, "
-            "not available in this environment — those four formats "
-            "decode natively; pass fake=True for the deterministic "
-            "test stub on other formats"
+            "image format not natively decodable (PNG, baseline + "
+            "progressive JPEG, GIF, BMP, and baseline TIFF decode "
+            "without external libraries; WebP/arithmetic-JPEG need "
+            "PIL/opencv, absent here) — pass fake=True for the "
+            "deterministic test stub"
         )
     digest = hashlib.sha256(blob or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
@@ -1274,16 +1285,7 @@ def extract_image_features(
                     continue
                 metas.append(
                     {
-                        "mime": ("image/png" if b[:8] == _PNG_SIG
-                                 else "image/jpeg"
-                                 if b[:2] == b"\xff\xd8"
-                                 else "image/gif"
-                                 if b[:6] in (b"GIF87a", b"GIF89a")
-                                 else "image/bmp"
-                                 if b[:2] == b"BM"
-                                 else "image/tiff"
-                                 if b[:4] in (b"II*\x00", b"MM\x00*")
-                                 else "image/unknown"),
+                        "mime": _sniff_image(b)[1],
                         "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
                         "n_bytes": len(b),
@@ -1397,7 +1399,13 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
             f"WAV format tag {tag} (compressed) unsupported — "
             "PCM/float/G.711 decode natively"
         )
-    width = bits // 8
+    # container width comes from blockAlign when coherent (a 12-bit
+    # sample ships in a 16-bit container, the layout the stdlib wave
+    # module also honored); fall back to ceil(bits/8)
+    if _ba and _ba % ch == 0 and (_ba // ch) in (1, 2, 4, 8):
+        width = _ba // ch
+    else:
+        width = (bits + 7) // 8
     if width < 1:
         raise ValueError("malformed WAV: bad bit depth")
     frame_bytes = width * ch

@@ -113,3 +113,20 @@ def test_wav_work_cap_and_errors():
     broken = b"RIFF" + struct.pack("<I", 12) + b"WAVEjunk" + bytes(8)
     with pytest.raises(ValueError, match="malformed WAV"):
         decode_audio(broken)
+
+
+def test_wav_12bit_in_16bit_container():
+    """Review-pass regression: bits-per-sample that is not a byte
+    multiple ships in a container sized by blockAlign (12-bit -> i16);
+    flooring bits//8 would decode the byte stream as 8-bit garbage."""
+    sr = 8000
+    samples = (np.arange(64, dtype="<i2") * 16) << 4
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 12)
+            + b"data" + struct.pack("<I", len(samples.tobytes()))
+            + samples.tobytes())
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    x, got_sr, dur = decode_audio(blob)
+    assert got_sr == sr and len(x) == 64
+    assert np.array_equal(x, samples.astype(np.float64) / 32768.0)
