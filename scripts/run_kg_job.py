@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--timeout-sec", type=float, default=None,
                     help="per-document budget; dropped docs are counted "
                          "as n_doc_timeouts in the done markers")
+    ap.add_argument("--entity-stats", action="store_true",
+                    help="write entity_degrees + entity_pagerank "
+                         "parquet next to the graph tables")
     ap.add_argument("--max-bucket-size", type=int, default=None,
                     help="canonicalization band-bucket cap (the web-"
                          "scale quadratic-densification guard); default "
@@ -125,6 +128,48 @@ def main() -> None:
         )
         print(f"canonical ({stats['path']}): {stats['n_forms']} entity "
               f"forms, {stats['n_canon_triples']} canonical triples")
+
+    if args.entity_stats:
+        # graph analytics over the materialized triples: per-entity
+        # degrees + PageRank over the subj->obj edge list, written
+        # next to the graph tables (rebuilt each run — derived data,
+        # same discipline as the canonical-triples projection)
+        from prose_spark.operators.graph import entity_degrees, pagerank
+
+        src = args.out + ("/triples_canonical"
+                          if (args.canonicalize
+                              or args.incremental_canonical)
+                          else "/triples")
+        tri = spark.read.parquet(src)
+        subj_col = "subj_id" if "subj_id" in tri.columns else "subj"
+        obj_col = "obj_id" if "obj_id" in tri.columns else "obj"
+        deg = entity_degrees(tri, subj_col=subj_col, obj_col=obj_col)
+        deg.write.mode("overwrite").parquet(args.out + "/entity_degrees")
+        pr = pagerank(
+            tri.select(F.col(subj_col).cast("string").alias("src"),
+                       F.col(obj_col).cast("string").alias("dst"))
+            .distinct(),
+            iterations=5,
+        )
+        pr.write.mode("overwrite").parquet(args.out + "/entity_pagerank")
+        top = pr.orderBy(F.desc("rank")).limit(3).collect()
+        names = {}
+        if subj_col == "subj_id":
+            # resolve canonical ids to their representative surfaces
+            ent = spark.read.parquet(args.out + "/entities_canonical")
+            wanted = [r.node for r in top]
+            names = {
+                str(r.entity_id): r.canonical_text
+                for r in ent.filter(
+                    F.col("entity_id").cast("string").isin(wanted)
+                ).select("entity_id", "canonical_text")
+                .dropDuplicates(["entity_id"]).collect()
+            }
+        print("entity stats: "
+              f"{deg.count()} entities; top by pagerank: "
+              + ", ".join(
+                  f"{names.get(r.node, r.node)} ({r.rank:.4f})"
+                  for r in top))
 
     spark.stop()
 
