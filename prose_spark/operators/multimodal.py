@@ -1162,6 +1162,77 @@ def _jpeg_progressive_scan(reader, data, scan_comps, coefs, huff,
     return p
 
 
+def _decode_netpbm(data: bytes) -> np.ndarray:
+    """Dependency-free netpbm decoder: binary P4 (bitmap) / P5
+    (graymap) / P6 (pixmap) and their ASCII twins P1/P2/P3, maxval
+    <= 255 (P5/P6) with comment handling."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("malformed netpbm: bad magic")
+    kind = int(chr(data[1]))
+    pos = 2
+
+    def next_token():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos]
+            if c in b"#":
+                while pos < len(data) and data[pos] not in b"\n":
+                    pos += 1
+            elif c in b" \t\r\n":
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos] not in b" \t\r\n#":
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed netpbm: truncated header")
+        return int(data[start:pos])
+
+    w = next_token()
+    h = next_token()
+    if w < 1 or h < 1:
+        raise ValueError("malformed netpbm: bad dimensions")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"netpbm {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    maxval = 1 if kind in (1, 4) else next_token()
+    if not 1 <= maxval <= 255:
+        raise NotImplementedError(
+            f"netpbm maxval {maxval} unsupported (8-bit only)")
+    if kind in (4, 5, 6):
+        pos += 1  # single whitespace after the header
+        body = data[pos:]
+        if kind == 4:
+            stride = (w + 7) // 8
+            if len(body) < stride * h:
+                raise ValueError("malformed netpbm: short pixel data")
+            bits = np.unpackbits(
+                np.frombuffer(body, np.uint8, count=stride * h)
+                .reshape(h, stride), axis=1)[:, :w]
+            g = (1 - bits) * 255  # PBM: 1 = black
+            return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+        n = w * h * (3 if kind == 6 else 1)
+        if len(body) < n:
+            raise ValueError("malformed netpbm: short pixel data")
+        px = np.frombuffer(body, np.uint8, count=n)
+    else:
+        n = w * h * (3 if kind == 3 else 1)
+        vals = []
+        while len(vals) < n:
+            vals.append(next_token())
+        px = np.array(vals, dtype=np.int64)
+        if kind == 1:
+            px = (1 - px) * maxval  # ASCII bitmap: 1 = black
+    if maxval != 255:
+        px = (px.astype(np.int64) * 255) // maxval
+    px = px.astype(np.uint8)
+    if kind in (3, 6):
+        return px.reshape(h, w, 3).copy()
+    return np.repeat(px.reshape(h, w)[:, :, None], 3, axis=2)
+
+
 def _sniff_image(b: bytes):
     """One authoritative signature table -> (decoder, mime); both
     decode_image's dispatch and the feature stage's mime column read
@@ -1177,6 +1248,9 @@ def _sniff_image(b: bytes):
         return _decode_bmp, "image/bmp"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff, "image/tiff"
+    if (head[:1] == b"P" and head[1:2] in b"123456"
+            and head[2:3] in b" \t\r\n#"):
+        return _decode_netpbm, "image/x-portable-anymap"
     return None, "image/unknown"
 
 

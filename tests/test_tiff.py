@@ -278,3 +278,37 @@ def test_tiff_planar_and_spp_guards():
     spp[k + 8:k + 10] = struct.pack("<H", 200)
     with pytest.raises((NotImplementedError, ValueError)):
         decode_image(bytes(spp))
+
+
+def test_netpbm_formats():
+    """netpbm: the real-world PPM joins the lossless cross-format
+    triangle (bit-identical to the PNG of the same logo); PGM is its
+    luma within converter rounding; PBM is bilevel; ASCII variants
+    round-trip against their binary twins."""
+    if not _IMGDATA:
+        pytest.skip("no imghdrdata fixtures")
+    base = _IMGDATA[0] + "/"
+    png = decode_image(open(base + "python.png", "rb").read())
+    ppm = decode_image(open(base + "python.ppm", "rb").read())
+    assert np.array_equal(ppm, png)
+    pgm = decode_image(open(base + "python.pgm", "rb").read())
+    luma = np.round(0.299 * png[:, :, 0].astype(float)
+                    + 0.587 * png[:, :, 1] + 0.114 * png[:, :, 2])
+    assert np.abs(pgm[:, :, 0].astype(float) - luma).mean() < 3
+    pbm = decode_image(open(base + "python.pbm", "rb").read())
+    assert set(np.unique(pbm)) <= {0, 255}
+
+    # ASCII twins and maxval scaling
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    p3 = ("P3\n# comment\n7 5\n255\n"
+          + " ".join(map(str, img.reshape(-1)))).encode()
+    assert np.array_equal(decode_image(p3), img)
+    g = rng.integers(0, 16, size=(4, 6), dtype=np.uint8)
+    p2 = ("P2\n6 4\n15\n" + " ".join(map(str, g.reshape(-1)))).encode()
+    got = decode_image(p2)
+    assert np.array_equal(got[:, :, 0], (g.astype(np.int64) * 255) // 15)
+    with pytest.raises(ValueError, match="malformed netpbm"):
+        decode_image(b"P6\n4 4\n255\n\x00")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_image(b"P5\n2 2\n65535\n" + bytes(8))
