@@ -1217,14 +1217,18 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
         if len(body) < n:
             raise ValueError("malformed netpbm: short pixel data")
         px = np.frombuffer(body, np.uint8, count=n)
+    elif kind == 1:
+        # ASCII bitmap digits may be packed without separators
+        bits = [c - 48 for c in data[pos:] if c in (48, 49)]
+        if len(bits) < w * h:
+            raise ValueError("malformed netpbm: short pixel data")
+        px = (1 - np.array(bits[: w * h], dtype=np.int64)) * maxval
     else:
         n = w * h * (3 if kind == 3 else 1)
         vals = []
         while len(vals) < n:
             vals.append(next_token())
         px = np.array(vals, dtype=np.int64)
-        if kind == 1:
-            px = (1 - px) * maxval  # ASCII bitmap: 1 = black
     if maxval != 255:
         px = (px.astype(np.int64) * 255) // maxval
     px = px.astype(np.uint8)

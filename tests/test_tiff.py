@@ -312,3 +312,13 @@ def test_netpbm_formats():
         decode_image(b"P6\n4 4\n255\n\x00")
     with pytest.raises(NotImplementedError, match="maxval"):
         decode_image(b"P5\n2 2\n65535\n" + bytes(8))
+
+
+def test_netpbm_p1_packed_digits():
+    """ASCII PBM digits may be packed without separators."""
+    got = decode_image(b"P1\n# c\n4 2\n0110\n1001")
+    exp = ((1 - np.array([[0, 1, 1, 0], [1, 0, 0, 1]])) * 255
+           ).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], exp)
+    spaced = decode_image(b"P1\n4 2\n0 1 1 0 1 0 0 1")
+    assert np.array_equal(spaced, got)
