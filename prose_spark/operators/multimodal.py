@@ -1162,6 +1162,157 @@ def _jpeg_progressive_scan(reader, data, scan_comps, coefs, huff,
     return p
 
 
+def _decode_ras(data: bytes) -> np.ndarray:
+    """Sun Raster decoder: 8-bit paletted / 24 / 32-bit, standard
+    (BGR), RT_FORMAT_RGB, and RLE (type 2) encodings, 16-bit row
+    padding."""
+    import struct
+
+    if len(data) < 32:
+        raise ValueError("malformed RAS: truncated header")
+    magic, w, h, depth, _length, rtype, maptype, maplen = struct.unpack(
+        ">8i", data[:32])
+    if magic != 0x59A66A95:
+        raise ValueError("malformed RAS: bad magic")
+    if w < 1 or h < 1:
+        raise ValueError("malformed RAS: bad dimensions")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"RAS {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    if depth not in (8, 24, 32):
+        raise NotImplementedError(f"{depth}-bit RAS unsupported")
+    if rtype not in (0, 1, 2, 3):
+        raise NotImplementedError(f"RAS type {rtype} unsupported")
+    pos = 32
+    pal = None
+    if maptype == 1 and maplen:
+        praw = data[pos:pos + maplen]
+        if len(praw) < maplen:
+            raise ValueError("malformed RAS: truncated color map")
+        n = maplen // 3
+        pal = np.frombuffer(praw, np.uint8).reshape(3, n).T  # R,G,B planes
+        pos += maplen
+    elif maptype and maplen:
+        pos += maplen
+    stride = ((w * depth // 8) + 1) & ~1  # rows pad to 16 bits
+    need = stride * h
+    if rtype == 2:
+        # RLE: 0x80 n byte -> byte repeated n+1 (n==0: literal 0x80)
+        src = data[pos:]
+        out = bytearray()
+        i = 0
+        while i < len(src) and len(out) < need:
+            b0 = src[i]
+            if b0 != 0x80:
+                out.append(b0)
+                i += 1
+                continue
+            if i + 1 >= len(src):
+                break
+            n = src[i + 1]
+            if n == 0:
+                out.append(0x80)
+                i += 2
+            else:
+                if i + 2 >= len(src):
+                    break
+                out += bytes([src[i + 2]]) * (n + 1)
+                i += 3
+        raw = bytes(out)
+    else:
+        raw = data[pos:pos + need]
+    if len(raw) < need:
+        raise ValueError("malformed RAS: short pixel data")
+    rows = np.frombuffer(raw, np.uint8, count=need).reshape(h, stride)
+    if depth == 8:
+        idx = rows[:, :w]
+        if pal is not None:
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("malformed RAS: palette index range")
+            return pal[idx]
+        return np.repeat(idx[:, :, None], 3, axis=2).copy()
+    ch = depth // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    if ch == 4:
+        px = px[:, :, 1:]  # leading pad/alpha byte
+    if rtype != 3:  # standard order is BGR; RT_FORMAT_RGB keeps RGB
+        px = px[:, :, ::-1]
+    return px.copy()
+
+
+def _decode_sgi(data: bytes) -> np.ndarray:
+    """SGI image (RGB/.sgi) decoder: 1 byte/channel, verbatim or RLE
+    storage, 1-4 channels (gray expanded, alpha dropped), bottom-up
+    rows."""
+    import struct
+
+    if len(data) < 512:
+        raise ValueError("malformed SGI: truncated header")
+    magic, storage, bpc, dim, w, h, z = struct.unpack(
+        ">hBBHHHH", data[:12])
+    if magic != 474:
+        raise ValueError("malformed SGI: bad magic")
+    if bpc != 1:
+        raise NotImplementedError("16-bit SGI unsupported")
+    if dim == 1:
+        h, z = 1, 1
+    elif dim == 2:
+        z = 1
+    if w < 1 or h < 1 or z < 1 or z > 4:
+        raise ValueError("malformed SGI: bad dimensions")
+    if w * h * 3 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"SGI {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    planes = np.zeros((z, h, w), dtype=np.uint8)
+    if storage == 0:  # verbatim, bottom-up, channel-planar
+        need = 512 + w * h * z
+        if len(data) < need:
+            raise ValueError("malformed SGI: short pixel data")
+        planes = np.frombuffer(
+            data, np.uint8, count=w * h * z, offset=512
+        ).reshape(z, h, w).copy()
+    elif storage == 1:  # RLE with per-scanline offset tables
+        n = h * z
+        tab_end = 512 + 8 * n
+        if len(data) < tab_end:
+            raise ValueError("malformed SGI: truncated RLE tables")
+        starts = np.frombuffer(data, ">u4", count=n, offset=512)
+        lengths = np.frombuffer(data, ">u4", count=n, offset=512 + 4 * n)
+        for c in range(z):
+            for y in range(h):
+                i = int(starts[c * h + y])
+                end = i + int(lengths[c * h + y])
+                if end > len(data):
+                    raise ValueError("malformed SGI: RLE run range")
+                row = bytearray()
+                while i < end:
+                    b0 = data[i]
+                    i += 1
+                    count = b0 & 0x7F
+                    if count == 0:
+                        break
+                    if b0 & 0x80:  # literal run
+                        row += data[i:i + count]
+                        i += count
+                    else:  # repeat next byte
+                        row += bytes([data[i]]) * count
+                        i += 1
+                if len(row) < w:
+                    raise ValueError("malformed SGI: short scanline")
+                planes[c, y] = np.frombuffer(
+                    bytes(row[:w]), np.uint8)
+    else:
+        raise NotImplementedError(f"SGI storage {storage} unsupported")
+    img = planes[::, ::-1]  # bottom-up -> top-down
+    if z == 1:
+        return np.repeat(img[0][:, :, None], 3, axis=2).copy()
+    if z == 2:
+        return np.repeat(img[0][:, :, None], 3, axis=2).copy()
+    return np.stack([img[0], img[1], img[2]], axis=2).copy()
+
+
 def _decode_netpbm(data: bytes) -> np.ndarray:
     """Dependency-free netpbm decoder: binary P4 (bitmap) / P5
     (graymap) / P6 (pixmap) and their ASCII twins P1/P2/P3, maxval
@@ -1255,6 +1406,10 @@ def _sniff_image(b: bytes):
     if (head[:1] == b"P" and head[1:2] in b"123456"
             and head[2:3] in b" \t\r\n#"):
         return _decode_netpbm, "image/x-portable-anymap"
+    if head[:4] == b"\x59\xa6\x6a\x95":
+        return _decode_ras, "image/x-sun-raster"
+    if head[:2] == b"\x01\xda":
+        return _decode_sgi, "image/x-sgi"
     return None, "image/unknown"
 
 
