@@ -9,10 +9,12 @@ destination — and degree statistics are plain aggregations. At 100 TB:
 - the (edge, out_degree) projection is computed once and persisted
   (MEMORY_AND_DISK) — it is re-read every iteration and must not be
   recomputed from the raw triples lineage each time;
-- bucketing/pre-partitioning edges by ``src`` and ranks by ``node`` on
-  the same partitioner makes the per-iteration join co-located
-  (shuffle only the new contributions); AQE's skew handling covers hub
-  entities, which dominate real KG degree distributions;
+- the projections are hash-repartitioned on their join keys (edges by
+  ``src``, the node set by ``node``) before persisting, so every
+  iteration's joins reuse the cached partitioning and shuffle only the
+  fresh contributions/ranks side (plan-asserted: no Exchange above the
+  InMemoryTableScans); AQE's skew handling covers hub entities, which
+  dominate real KG degree distributions;
 - long iteration chains need a ``localCheckpoint`` every ~10 rounds to
   cut lineage (same discipline as the connected-components operator in
   canonicalize.py); with the default 5 rounds the plan stays shallow;
@@ -37,6 +39,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    _capture_plans: list | None = None,
 ) -> DataFrame:
     """Join-based PageRank over a directed edge list -> (node, rank).
 
@@ -52,6 +55,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # single driver-side scalar (node count), not a data collect; also
@@ -60,7 +64,22 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    edeg = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # hash-partition the big persisted projections ONCE on their join
+    # keys: every iteration's edeg-side join input and the nodes-side
+    # rank rebuild then reuse the cached partitioning (plan shows no
+    # Exchange above either InMemoryTableScan), so each of the
+    # `iterations` rounds shuffles only the fresh contribs/ranks side —
+    # at 100x edge scale that is the difference between shuffling the
+    # edge table once vs `iterations` times
+    edeg = (
+        e.join(out_deg, "src")
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize NOW: until the cached AQE plan is final, downstream
+    # planning cannot see the hashpartitioning(src) output and would
+    # insert a per-iteration Exchange on the edge side anyway
+    edeg.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -80,6 +99,10 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
+        if _capture_plans is not None:  # test hook: per-iteration plan
+            _capture_plans.append(
+                ranks._jdf.queryExecution().executedPlan().toString()
+            )
     # materialize the final ranks once, then release the cached
     # projections — without this every invocation leaks two persisted
     # datasets into executor storage for the session's lifetime

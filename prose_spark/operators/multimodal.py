@@ -1297,6 +1297,9 @@ def _decode_sgi(data: bytes) -> np.ndarray:
                         row += data[i:i + count]
                         i += count
                     else:  # repeat next byte
+                        if i >= end:
+                            raise ValueError(
+                                "malformed SGI: truncated RLE run")
                         row += bytes([data[i]]) * count
                         i += 1
                 if len(row) < w:

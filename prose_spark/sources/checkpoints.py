@@ -416,9 +416,15 @@ def update_canonical_tables(
 
     if incremental and existing is not None and not new_buckets:
         # fully-resumed run: nothing new to fold; keep the table as-is
-        # (still build the triples projection if a crash left it missing)
+        # (still build the triples projection if a crash left it missing).
+        # Report the EXISTING tables' real counts — zeros here read as a
+        # failed canonicalization in job logs (r6 ADVICE)
         if Path(triples_path, "_SUCCESS").exists():
-            return {"path": "noop", "n_forms": 0, "n_canon_triples": 0}
+            return {
+                "path": "noop",
+                "n_forms": existing.count(),
+                "n_canon_triples": spark.read.parquet(triples_path).count(),
+            }
         canon = existing
         path_taken = "noop"
     elif incremental and existing is not None:

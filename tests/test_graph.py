@@ -59,6 +59,70 @@ def test_pagerank_hub_ranks_highest(spark):
         pagerank(df, iterations=0)
 
 
+def _strip_cached_subplans(plan: str) -> str:
+    """Drop each InMemoryRelation's embedded build plan (its Exchanges
+    ran once at persist time, not per iteration)."""
+    keep, skip_indent = [], None
+    for ln in plan.splitlines():
+        indent = len(ln) - len(ln.lstrip(" :+-*("))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        keep.append(ln)
+        if "InMemoryRelation" in ln:
+            skip_indent = indent
+    return "\n".join(keep)
+
+
+def test_pagerank_iteration_shuffles_only_contribs(spark):
+    """Co-location contract: the persisted edge+degree and node
+    projections are hash-partitioned on their join keys once, so each
+    iteration's only shuffle is the contribs groupBy(node) — the edge
+    side is never re-exchanged (graph.py module docstring)."""
+    from prose_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges = sorted({
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in rng.integers(0, 40, size=(300, 2))
+        if a != b
+    })
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plans = []
+    # disable broadcast so the joins must prove partitioning alignment
+    # (broadcast would hide a missing co-location at real scale)
+    with _no_broadcast(spark):
+        pagerank(df, iterations=3, _capture_plans=plans).collect()
+    # iteration k's uncheckpointed plan inlines iterations 1..k, so the
+    # final plan shows every per-iteration Exchange that would run
+    top = _strip_cached_subplans(plans[-1])
+    exchanges = [
+        ln.strip() for ln in top.splitlines()
+        if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
+        or ("Exchange" in ln and "REPARTITION" in ln)
+    ]
+    assert len(exchanges) == 3, (exchanges, top)
+    for ex in exchanges:
+        assert "hashpartitioning(node" in ex, (ex, top)
+    # and the persisted projections are scanned, not rebuilt
+    assert "InMemoryTableScan" in top
+
+
+class _no_broadcast:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
 def test_entity_degrees(spark):
     from prose_spark.operators.graph import entity_degrees
 

@@ -407,6 +407,11 @@ def test_incremental_canonical_resume(spark, pages_df, tmp_path):
     s4 = update_canonical_tables(
         spark, out, new_buckets=set(), incremental=True)
     assert s4["path"] == "noop"
+    # the noop reports the EXISTING tables' real counts, not zeros
+    # (zeros read as a failed canonicalization in job logs)
+    assert s4["n_forms"] == len(batch)
+    assert s4["n_canon_triples"] == spark.read.parquet(
+        f"{out}/triples_canonical").count() > 0
 
 
 def test_done_marker_input_fingerprint_lineage(spark, pages_df, tmp_path):

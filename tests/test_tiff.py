@@ -396,3 +396,18 @@ def test_sgi_malformed():
     bad = bytes(blob[:3]) + b"\x02" + bytes(blob[4:])  # bpc=2
     with pytest.raises(NotImplementedError, match="16-bit SGI"):
         decode_image(bad)
+
+
+def test_sgi_truncated_rle_repeat_run():
+    """A repeat opcode whose value byte falls at the recorded run end
+    must follow the malformed-SGI ValueError contract, not IndexError
+    (r6 ADVICE)."""
+    # 1x1 gray RLE image whose single scanline ends right after the
+    # repeat opcode byte — the value byte is past end-of-data
+    hdr = struct.pack(">hBBHHHH", 474, 1, 1, 2, 1, 1, 1)
+    hdr = hdr + bytes(512 - len(hdr))
+    start, length = 520, 1          # table: one scanline, run = [0x01]
+    tables = struct.pack(">II", start, length)
+    blob = hdr + tables + bytes([0x01])  # repeat 1, value byte missing
+    with pytest.raises(ValueError, match="malformed SGI"):
+        decode_image(blob)
