@@ -57,7 +57,27 @@ SCALING_HI = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8"))
 # RETRY_BUDGET_SEC of elapsed wall clock and MAX_RETRIES total)
 STEAL_RETRY = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "0.2"))
 MAX_RETRIES = 2
-RETRY_BUDGET_SEC = 240.0
+# 150, not 240: on a host whose contention outlives the retry window,
+# the extra re-measures only re-observe the same mode (now annotated
+# via contended_mode) while starving the scale-up block of its budget
+RETRY_BUDGET_SEC = 150.0
+# The 2-core leg is the CONTENTION CONTROL: two threads never saturate
+# the socket, so across every quiet run since r5 it reads 8.3-8.4k t/s
+# regardless of tenancy visible in `steal` — when it lands below this
+# band at steal~0, the host is in the documented steal-blind whole-host
+# slowdown mode (BASELINE.md run 4; the r6 official artifact) and the
+# sample is re-measured after a short sleep. Only meaningful at the
+# default lo=2 / 12k-page scaling corpus; any override disables it.
+# Set SPARK_GRAFT_CONTROL_BAND_LOW=0 to disable explicitly.
+CONTROL_BAND_LOW = float(
+    os.environ.get("SPARK_GRAFT_CONTROL_BAND_LOW", "7700"))
+CONTENTION_SLEEP_SEC = 20.0
+# hard self-deadline: the artifact MUST exist — when a contended host
+# pushes the run near the external timeout, optional legs are shed
+# (zipf scale legs first, then query-loop truncation) and the JSON
+# line still prints with everything measured so far
+BENCH_DEADLINE_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "570"))
 
 
 def log(msg: str) -> None:
@@ -303,7 +323,7 @@ def _shuffle_bytes_since(spark, marker: int) -> int:
         return -1
 
 
-def scale_up(cores: int) -> dict:
+def scale_up(cores: int, deadline: float | None = None) -> dict:
     """Scale-up extrapolation evidence (north rule: 'would still work at
     1000x'): the fused KG path at 1x and 10x the bench corpus and the
     native banded-MinHash join at 1x and 4x, in ONE local[cores]
@@ -334,6 +354,13 @@ def scale_up(cores: int) -> dict:
     n10 = N_PAGES * 10
     path10 = f"/tmp/prose_spark_bench_pages_{n10}"
     path10t = f"{path10}_twins"
+    # entry guard: the kg+pagerank part needs ~55s (plus ~100s corpus
+    # generation on a cold /tmp); starting it without that much budget
+    # would lose the stdout line entirely
+    need = 55 if os.path.exists(path10t + "/_SUCCESS") else 155
+    if deadline is not None and time.time() > deadline - need:
+        log("deadline near: skipping scale-up block entirely")
+        return {"cores": cores, "skipped_for_deadline": True}
     spark = get_spark(app_name="bench_scale", cores=cores,
                       shuffle_partitions=max(32, cores * 2))
     try:
@@ -388,6 +415,61 @@ def scale_up(cores: int) -> dict:
             out["kg_10x"]["triples_per_sec"]
             / out["kg_1x"]["triples_per_sec"], 3)
 
+        # graph-analytics leg (r6 verdict #6): join-based PageRank at
+        # 1x/4x edges with Zipf-skewed in-degree (hub entities, the
+        # real KG shape). The persisted projections are pre-partitioned
+        # on their join keys, so each iteration shuffles only the
+        # contribs side — shuffle bytes should grow ~linearly in edges;
+        # wall time carries a fixed per-iteration scheduling floor at
+        # this scale, so sub-4x time growth is expected and the shuffle
+        # ratio is the attributable number.
+        from prose_spark.operators.graph import pagerank
+
+        def pr_edges(n_edges, seed=13):
+            nsrc = max(n_edges // 4, 1)
+            u = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)),
+                        F.lit(1_000_000)) / 1e6)
+            dst_rank = F.floor(F.pow(F.lit(3000.0), u)).cast("int")
+            return spark.range(n_edges).select(
+                F.concat(
+                    F.lit("s"),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)),
+                           F.lit(nsrc)).cast("string")).alias("src"),
+                F.concat(F.lit("d"),
+                         dst_rank.cast("string")).alias("dst"),
+            ).distinct()
+
+        def pr_point(n_edges, tag):
+            edges = pr_edges(n_edges)
+            n_e = edges.count()
+            marker = _exec_marker(spark)
+            t0 = time.time()
+            n_nodes = pagerank(edges, iterations=3).count()
+            dt = time.time() - t0
+            out[f"pagerank_{tag}"] = {
+                "n_edges": n_e, "n_nodes": n_nodes,
+                "seconds": round(dt, 2),
+                "edges_per_sec": round(n_e / dt, 1),
+                "shuffle_bytes": _shuffle_bytes_since(spark, marker),
+            }
+
+        # 8 shuffle partitions: the leg's jobs are iteration-bound, and
+        # 32 partitions x 3 iterations of sub-MB tasks measures the
+        # scheduler, not the operator
+        _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            pr_point(50_000, "1x")
+            pr_point(200_000, "4x")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+        p1, p4 = out["pagerank_1x"], out["pagerank_4x"]
+        out["pagerank_time_growth_4x_vs_1x"] = round(
+            p4["seconds"] / max(p1["seconds"], 1e-9), 2)
+        if p1["shuffle_bytes"] > 0 and p4["shuffle_bytes"] >= 0:
+            out["pagerank_shuffle_growth_4x_vs_1x"] = round(
+                p4["shuffle_bytes"] / p1["shuffle_bytes"], 2)
+
         def band_exchange_bytes(df) -> tuple[int, int]:
             """One-sided band-exchange cost: shuffle the SAME
             (k, band, bkey) rows the pair join exchanges, minus the join
@@ -437,6 +519,10 @@ def scale_up(cores: int) -> dict:
                 point["max_bucket_size"] = max_bucket_size
             out[f"minhash_{tag}"] = point
 
+        if deadline is not None and time.time() > deadline - 110:
+            log("deadline near: skipping minhash/canonicalize legs")
+            out["minhash_canon_skipped_for_deadline"] = True
+            return out
         # pin the band join to its at-scale physical form (shuffle join):
         # under the default threshold AQE broadcasts the banded side at
         # 1x but not 4x, which would compare two different plans
@@ -488,24 +574,26 @@ def scale_up(cores: int) -> dict:
             canonicalize_mentions,
         )
 
-        def canon_point(n_forms, tag):
+        def md5_base(n_forms, prefix):
             # md5-diverse surfaces (shingle sets mostly unique across
             # forms, so band buckets stay small — a real entity
             # vocabulary is diverse; a shared-template vocabulary would
             # make every form a near-dup of every other and measure a
             # pathological quadratic instead of the production shape)
-            base = spark.range(n_forms).select(
+            return spark.range(n_forms).select(
                 F.regexp_replace(
-                    F.md5(F.concat(F.lit("form"),
+                    F.md5(F.concat(F.lit(prefix),
                                    F.col("id").cast("string"))),
                     "(....)", "$1 ").alias("text"))
+
+        def md5_mentions(base):
             variants = base.select(
                 F.concat(F.col("text"), F.lit("s")).alias("text")
             ).union(
                 base.select(
                     F.concat(F.lit("the "), F.col("text")).alias("text"))
             )
-            mentions = (
+            return (
                 base.union(variants)
                 .crossJoin(spark.range(5).select(
                     F.col("id").alias("rep")))
@@ -513,10 +601,19 @@ def scale_up(cores: int) -> dict:
                         "text")
                 .repartition(cores * 2)
             )
+
+        def canon_point(n_forms, tag, keep=False):
+            mentions = md5_mentions(md5_base(n_forms, "form"))
             stats: dict = {}
             marker = _exec_marker(spark)
             t0 = time.time()
-            n_out = canonicalize_mentions(mentions, stats=stats).count()
+            result = canonicalize_mentions(mentions, stats=stats)
+            if keep:
+                # materialize inside the timed region (it IS the
+                # compute) so the fold leg below can reuse the table
+                # without a recompute
+                result = result.localCheckpoint(eager=True)
+            n_out = result.count()
             dt = time.time() - t0
             out[f"canonicalize_{tag}"] = {
                 "n_forms": n_forms * 3, "n_entities": n_out,
@@ -564,7 +661,12 @@ def scale_up(cores: int) -> dict:
                     _last_exec_shuffle_bytes(spark),
                 "band_bucket_pair_terms": int(row["cand"] or 0),
             })
+            return result
 
+        if deadline is not None and time.time() > deadline - 75:
+            log("deadline near: skipping canonicalize/fold/zipf legs")
+            out["canon_skipped_for_deadline"] = True
+            return out
         # pin the at-scale physical plan for BOTH points (same rationale
         # as the minhash leg): under the default threshold AQE
         # broadcasts the small sides at 1x but shuffles them at 4x,
@@ -573,15 +675,50 @@ def scale_up(cores: int) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             canon_point(5000, "1x")
-            canon_point(20000, "4x")
+            existing4 = canon_point(20000, "4x", keep=True)
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # incremental-canonicalization fold leg (r6 verdict #8): fold a
+        # 1/16-size NEW vocabulary into the 4x accumulated canonical
+        # table via merge_canonicalize — the job-layer incremental
+        # path, in its PRODUCTION shape: broadcast_probe=True (the
+        # increment's band keys broadcast) plus the touched-component
+        # restriction, so the accumulated vocabulary is scanned
+        # map-side but never re-shuffled or re-clustered. Runs with the
+        # default broadcast threshold (that IS the production plan for
+        # a small increment); the comparison target is the just-
+        # measured full 4x batch rebuild at the same accumulated scale.
+        from prose_spark.operators.canonicalize import (
+            merge_canonicalize,
+        )
+
+        new_mentions = md5_mentions(md5_base(1250, "newform"))
+        marker = _exec_marker(spark)
+        t0 = time.time()
+        merged = merge_canonicalize(
+            new_mentions, existing4, broadcast_probe=True)
+        n_merged = merged.count()
+        dt = time.time() - t0
+        out["merge_canonicalize_fold_4x"] = {
+            "n_existing_forms": out["canonicalize_4x"]["n_forms"],
+            "n_new_forms": 1250 * 3,
+            "n_merged_forms": n_merged,
+            "seconds": round(dt, 2),
+            "shuffle_bytes": _shuffle_bytes_since(spark, marker),
+        }
         c1x, c4x = out["canonicalize_1x"], out["canonicalize_4x"]
         out["canonicalize_time_growth_4x_vs_1x"] = round(
             c4x["seconds"] / max(c1x["seconds"], 1e-9), 2)
         if c1x["shuffle_bytes"] >= 0 and c4x["shuffle_bytes"] >= 0:
             out["canonicalize_shuffle_growth_4x_vs_1x"] = round(
                 c4x["shuffle_bytes"] / max(c1x["shuffle_bytes"], 1), 2)
+        fold = out["merge_canonicalize_fold_4x"]
+        out["merge_fold_vs_batch_4x_seconds_ratio"] = round(
+            fold["seconds"] / max(c4x["seconds"], 1e-9), 3)
+        if fold["shuffle_bytes"] >= 0 and c4x["shuffle_bytes"] > 0:
+            out["merge_fold_vs_batch_4x_shuffle_ratio"] = round(
+                fold["shuffle_bytes"] / c4x["shuffle_bytes"], 3)
 
         # Zipfian-vocabulary canonicalize leg (r5 verdict item #3): the
         # md5-diverse leg above measures RANDOM band collisions (tiny
@@ -694,6 +831,14 @@ def scale_up(cores: int) -> dict:
             })
             out[f"canonicalize_zipf_{tag}"] = point
 
+        if deadline is not None and time.time() > deadline - 60:
+            # the zipf legs are standing r5/r6 evidence (recorded in
+            # BENCH_DETAIL r5/r6 and BASELINE.md); on a contended run
+            # they are the first thing shed so the new legs and the
+            # query table survive inside the external timeout
+            log("deadline near: skipping zipf canonicalize legs")
+            out["zipf_skipped_for_deadline"] = True
+            return out
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             zipf_point(2500, "1x")
@@ -722,7 +867,8 @@ def scale_up(cores: int) -> dict:
         spark.stop()
 
 
-def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def run_queries(sf_dir: str, cores: int,
+                deadline: float | None = None) -> dict[str, float]:
     """Time a representative subset of __spark_entry__ queries."""
     import __spark_entry__ as entrymod
     from prose_spark.session import get_spark
@@ -748,6 +894,10 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
         # warm python workers once
         qs["nlp_token_counts"](spark, sf_dir).count()
         for name in names:
+            if deadline is not None and time.time() > deadline - 5:
+                log(f"deadline near: query timings truncated at {name}")
+                out["queries_truncated_at_deadline"] = -1.0
+                break
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             out[name] = round(time.time() - t0, 3)
@@ -762,7 +912,9 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
         # replace would silently time the FULL corpus under the
         # "@sf0.01" label whenever sf_dir isn't literally ".../sf0.1"
         sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-        if os.path.isdir(sf001):
+        if (os.path.isdir(sf001)
+                and not (deadline is not None
+                         and time.time() > deadline - 5)):
             t0 = time.time()
             n = qs["dedup_fuzzy_clusters"](spark, sf001).count()
             out["dedup_fuzzy_clusters@sf0.01"] = round(time.time() - t0, 3)
@@ -811,6 +963,8 @@ def main() -> None:
     # silently lose their contended-host re-measurement whenever setup
     # plus the first triplet exceed the budget
     t_retry_anchor = time.time()
+    band_applies = (SCALING_LO == 2 and N_PAGES_SCALING == 12000
+                    and CONTROL_BAND_LOW > 0)
     for rep in range(3):
         log(f"== triplet {rep + 1}/3 ==")
         while True:
@@ -819,13 +973,26 @@ def main() -> None:
             r_hi = kg_throughput(SCALING_HI, pages_path_scaling)
             log(str(r_hi))
             steal = max(r_lo["cpus_steal"], r_hi["cpus_steal"])
-            if (steal <= STEAL_RETRY or retries_left <= 0
+            band_ok = (not band_applies
+                       or r_lo["triples_per_sec"] >= CONTROL_BAND_LOW)
+            if ((steal <= STEAL_RETRY and band_ok) or retries_left <= 0
                     or time.time() - t_retry_anchor > RETRY_BUDGET_SEC):
                 break
             retries_left -= 1
-            log(f"steal {steal} > {STEAL_RETRY} CPUs: contended host "
-                f"window, re-measuring triplet ({retries_left} retries "
-                "left)")
+            if not band_ok and steal <= STEAL_RETRY:
+                # steal-blind whole-host contention: the steal counter
+                # cannot see it, the control leg can. Give the window a
+                # chance to pass before burning the re-measure.
+                log(f"control leg {r_lo['triples_per_sec']} t/s below "
+                    f"its {CONTROL_BAND_LOW} quiet band at steal "
+                    f"{steal}: invisible contention, sleeping "
+                    f"{CONTENTION_SLEEP_SEC}s then re-measuring "
+                    f"({retries_left} retries left)")
+                time.sleep(CONTENTION_SLEEP_SEC)
+            else:
+                log(f"steal {steal} > {STEAL_RETRY} CPUs: contended "
+                    f"host window, re-measuring triplet ({retries_left} "
+                    "retries left)")
         c = hardware_control(pages_path_scaling, SCALING_LO, SCALING_HI)
         log(str(c))
         runs.extend([r_lo, r_hi])
@@ -875,12 +1042,16 @@ def main() -> None:
     pool = fixed_pool_scaling(pages_path_scaling, SCALING_LO, SCALING_HI)
     log(str(pool))
 
-    log("== scale-up block (1x/4x/10x) ==")
-    scale = scale_up(int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "16")))
-    log(str(scale))
-
+    # queries BEFORE the scale-up block: on a contended host the
+    # deadline sheds scale-up extras, never the per-query table
+    deadline = t_start + BENCH_DEADLINE_SEC
     log("== per-query timings ==")
-    queries = run_queries(SF_DIR, CPUS)
+    queries = run_queries(SF_DIR, CPUS, deadline=deadline)
+
+    log("== scale-up block (1x/4x/10x) ==")
+    scale = scale_up(int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "16")),
+                     deadline=deadline)
+    log(str(scale))
 
     wall = round(time.time() - t_start, 1)
     scaling_full = {
@@ -903,6 +1074,12 @@ def main() -> None:
         # same kernel+host: the framework's own scaling behavior
         "framework_efficiency": framework_eff,
         "retries_used": MAX_RETRIES - retries_left,
+        # the 2-core control leg vs its pinned quiet band: when the
+        # final accepted median still sits below the band, every number
+        # in this artifact is a contended-mode reading and must be read
+        # against BASELINE.md's quiet-window table
+        "control_band_low_tps": CONTROL_BAND_LOW if band_applies else None,
+        "contended_mode": bool(band_applies and lo_thr < CONTROL_BAND_LOW),
     }
     detail = {
         "kg": {"lo": lo, "hi": hi},
@@ -941,6 +1118,7 @@ def main() -> None:
             "efficiency": round(efficiency, 3),
             "framework_efficiency": framework_eff,
             "cpus_steal_hi": scaling_full["cpus_steal_hi"],
+            "contended_mode": scaling_full["contended_mode"],
         },
         "detail_file": "BENCH_DETAIL.json",
         "wall_clock_sec": wall,

@@ -78,6 +78,7 @@ def lsh_candidate_pairs(
     bands: int = 10,
     probe: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Distinct normalized forms -> near-duplicate pairs (a, b) with true
     char-3-gram Jaccard distance <= threshold, via the native banded
@@ -104,7 +105,7 @@ def lsh_candidate_pairs(
     )
     return banded_minhash_pairs(
         d, jaccard_max_distance, n_hashes, bands, probe=p,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, broadcast_probe=broadcast_probe,
     ).select("a", "b")
 
 
@@ -409,6 +410,7 @@ def merge_canonicalize(
     jaccard_max_distance: float = 0.3,
     lsh_tables: int = 10,
     max_bucket_size: int | None = None,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """INCREMENTAL canonicalization: fold a new crawl's mentions into an
     existing canonical table without re-pairing the accumulated
@@ -428,12 +430,20 @@ def merge_canonicalize(
       collisions, so the new-touching pair set matches the batch run's);
     - old connectivity re-enters as star edges (member form ->
       canonical form), whose transitive closure IS the old component
-      partition — batch old x old pairs add nothing beyond it;
-    - the labeling/canonical-pick tail is the shared _label_and_pick.
+      partition — batch old x old pairs add nothing beyond it — and
+      ONLY for TOUCHED components (a new-pair endpoint or a
+      count-updated member); untouched components pass through
+      byte-identically, which is safe because their membership and
+      counts are unchanged so batch label/pick would re-emit them;
+    - the labeling/canonical-pick tail is the shared _label_and_pick,
+      run over the touched/new forms only.
 
     At 10^12-document scale this is the difference between paying for
     |new| x |vocabulary| band collisions per crawl and re-verifying the
-    full |vocabulary|^2 candidate explosion; entity ids are
+    full |vocabulary|^2 candidate explosion; the accumulated table is
+    scanned map-side but never shuffled or re-clustered (CC and the
+    canonical re-pick are increment-sized; with ``broadcast_probe``
+    the band join's big side stays map-side too). Entity ids are
     content-addressed (xxhash64 of the canonical surface), so clusters
     whose membership didn't change keep their ids across merges.
 
@@ -460,30 +470,73 @@ def merge_canonicalize(
         .localCheckpoint()
     )
     existing = existing.localCheckpoint()
-    ex = existing.select(
-        "norm", F.col("n_mentions").alias("n_old"), "canonical_text"
+    # every join below keys the accumulated table against an
+    # increment-sized frame — with AQE on, the small side broadcasts
+    # and the accumulated vocabulary is only ever SCANNED map-side in
+    # this function, never shuffled (there is deliberately no full
+    # outer join, which would force both sides through an exchange)
+    matched = (
+        existing.select("norm")
+        .join(new_counts, "norm")
+        .localCheckpoint()  # count-updated existing forms (small)
     )
-    merged = new_counts.join(ex, "norm", "full")
-    form_counts = merged.select(
-        "norm",
-        (F.coalesce(F.col("n_new"), F.lit(0))
-         + F.coalesce(F.col("n_old"), F.lit(0))).alias("n_mentions"),
-    )
-    truly_new = merged.filter(F.col("n_old").isNull()).select("norm")
+    truly_new = new_counts.join(matched, "norm", "left_anti").select("norm")
+    all_norms = existing.select("norm").unionByName(truly_new)
     pairs = lsh_candidate_pairs(
-        form_counts.select("norm"), jaccard_max_distance,
+        all_norms, jaccard_max_distance,
         n_hashes=3 * lsh_tables, bands=lsh_tables, probe=truly_new,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, broadcast_probe=broadcast_probe,
+    ).localCheckpoint()
+
+    # TOUCHED-COMPONENT restriction: only components that the increment
+    # can actually change re-enter CC and the canonical re-pick —
+    # components with a new-pair endpoint (membership may change) or a
+    # count-updated member (the most-frequent-form pick may change).
+    # Every other existing row passes through UNTOUCHED, so the fold's
+    # work tracks the size of the increment, not the accumulated
+    # vocabulary. Exact equivalence holds because an untouched
+    # component has identical membership AND identical counts, so the
+    # batch run's label/pick emits identical rows for it
+    # (content-addressed ids included).
+    touch_forms = (
+        pairs.select(F.col("a").alias("norm"))
+        .union(pairs.select(F.col("b").alias("norm")))
+        .union(matched.select("norm"))
+        .distinct()
     )
+    touched_canon = (
+        existing.join(touch_forms, "norm")
+        .select("canonical_text").distinct().localCheckpoint()
+    )
+    touched_members = existing.join(touched_canon, "canonical_text")
     anchors = (
-        existing.filter(F.col("norm") != F.col("canonical_text"))
+        touched_members.filter(F.col("norm") != F.col("canonical_text"))
         .select(F.col("norm").alias("a"),
                 F.col("canonical_text").alias("b"))
     )
     comp = connected_components(
         pairs.unionByName(anchors), driver_threshold=2_000_000
     )
-    return _label_and_pick(form_counts, comp)
+    # counts for the active (re-picked) forms only: existing members of
+    # touched components carry their old count, truly-new forms start
+    # at zero, and the increment's counts fold in additively
+    active_counts = (
+        touched_members.select(
+            "norm", F.col("n_mentions").alias("n_old"))
+        .unionByName(
+            truly_new.select("norm", F.lit(0).alias("n_old")))
+        .join(new_counts, "norm", "left")
+        .select(
+            "norm",
+            (F.col("n_old")
+             + F.coalesce(F.col("n_new"), F.lit(0))).alias("n_mentions"),
+        )
+    )
+    labeled_active = _label_and_pick(active_counts, comp)
+    untouched = existing.join(
+        touched_canon, "canonical_text", "left_anti"
+    ).select("entity_id", "canonical_text", "norm", "n_mentions")
+    return labeled_active.unionByName(untouched)
 
 
 def mentions_from_annotated(ann: DataFrame, key_col: str = "url") -> DataFrame:

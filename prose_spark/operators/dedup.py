@@ -134,6 +134,7 @@ def banded_minhash_pairs(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     probe: DataFrame | None = None,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Core native banded-MinHash join: d(k, g: array of distinct
     shingles) -> (a, b, jaccard_dist) — no pyspark.ml, no model fit,
@@ -191,6 +192,14 @@ def banded_minhash_pairs(
         )
     if probe is not None:
         banded_probe = _banded_keys(probe, n_hashes, bands, hash_fn)
+        if broadcast_probe:
+            # incremental folds where the probe side is known small
+            # (one crawl increment vs an accumulated vocabulary): a
+            # broadcast hash join leaves the big banded side entirely
+            # map-side — the accumulated vocabulary's band keys are
+            # never shuffled. Caller's choice: a large increment must
+            # keep the shuffle join (band keys bound partition sizes).
+            banded_probe = F.broadcast(banded_probe)
         pair_ids = (
             banded_probe.alias("x")
             .join(banded.alias("y"), ["band", "bkey"])

@@ -484,6 +484,12 @@ def test_merge_canonicalize_equals_batch(spark, pages_df):
     batch = sorted(map(tuple, canonicalize_mentions(m).collect()))
     inc = sorted(map(tuple, merge_canonicalize(new, existing).collect()))
     assert inc == batch
+    # broadcast_probe changes ONLY the physical join strategy (probe
+    # band keys broadcast, accumulated side never shuffled) — the pair
+    # set and therefore the output must be identical
+    inc_bp = sorted(map(tuple, merge_canonicalize(
+        new, existing, broadcast_probe=True).collect()))
+    assert inc_bp == batch
 
     # id stability: every cluster whose canonical surface survived the
     # merge kept its content-addressed entity_id
