@@ -65,6 +65,10 @@ PINNED_QUERIES = (
     "nlp_triples", "kg_pages_triples", "nlp_pages_token_counts",
     "nlp_pages_sentence_counts", "nlp_sentiment",
     "nlp_sentiment_ml",
+    # r7: the multimodal decode stages — feature values depend on the
+    # in-repo decoders, which DuckDB cannot recompute (nlp_triples
+    # pattern: pinned = hard rows+schema+value regression guard)
+    "mm_image_stats", "mm_audio_stats",
 )
 
 
@@ -119,6 +123,88 @@ def _oracle_pages_parquet() -> str:
         ]
         pq.write_table(pa.Table.from_pylist(rows), path)
     return path
+
+
+_MEDIA_N_IMAGES = 60
+_MEDIA_N_AUDIO = 40
+
+
+def _media_path() -> str:
+    """Cache path for the synthetic media corpus (seeded encoders in
+    sources/media.py), keyed by the generator's source hash."""
+    import hashlib
+
+    import prose_spark.sources.media as media_mod
+
+    src_key = hashlib.md5(
+        Path(media_mod.__file__).read_bytes()
+    ).hexdigest()[:10]
+    return (f"/tmp/prose_spark_media_{_MEDIA_N_IMAGES}i{_MEDIA_N_AUDIO}"
+            f"a_s42_{src_key}.parquet")
+
+
+def _media(spark: SparkSession) -> DataFrame:
+    """Deterministic media corpus (seed=42): png/bmp/ppm image blobs +
+    PCM16 WAV blobs, written by pyarrow from the seeded product-side
+    encoders — the REAL decoders (fake=False) consume them."""
+    from prose_spark.sources.media import write_media_parquet
+
+    path = _media_path()
+    if not os.path.exists(path):
+        write_media_parquet(path, _MEDIA_N_IMAGES, _MEDIA_N_AUDIO, seed=42)
+    return spark.read.parquet(path)
+
+
+def q_mm_image_stats(spark, sf_dir):
+    """Multimodal image stage at the driver surface: real decode of the
+    seeded png/bmp/ppm corpus through the map-only mapInPandas feature
+    stage (blobs consumed in-stage, only (url, meta, feature scalars)
+    projected out). Oracle: pinned golden (decode output is
+    model-of-code-dependent, the nlp_triples pattern)."""
+    from prose_spark.operators.multimodal import extract_image_features
+
+    media = _media(spark).filter(F.col("kind") == "image")
+    feats = extract_image_features(
+        media, blob_col="blob", key_cols=("url",), fake=False)
+    return feats.select(
+        "url",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha1").alias("sha1"),
+        F.round(F.col("features")[0].cast("double"), 5).alias("mean_r"),
+        F.round(F.col("features")[1].cast("double"), 5).alias("mean_g"),
+        F.round(F.col("features")[2].cast("double"), 5).alias("mean_b"),
+        F.round(F.col("features")[3].cast("double"), 5).alias("std_r"),
+        F.round(F.col("features")[4].cast("double"), 5).alias("std_g"),
+        F.round(F.col("features")[5].cast("double"), 5).alias("std_b"),
+    ).orderBy("url")
+
+
+def q_mm_audio_stats(spark, sf_dir):
+    """Multimodal audio stage at the driver surface: real WAV decode of
+    the seeded PCM16 corpus through the map-only feature stage. Oracle:
+    pinned golden (same pattern as mm_image_stats)."""
+    from prose_spark.operators.multimodal import extract_audio_features
+
+    media = _media(spark).filter(F.col("kind") == "audio")
+    feats = extract_audio_features(
+        media, blob_col="blob", key_cols=("url",))
+    return feats.select(
+        "url",
+        F.col("audio_meta.mime").alias("mime"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.n_bytes").alias("n_bytes"),
+        F.col("audio_meta.sha1").alias("sha1"),
+        F.round(F.col("features")[0].cast("double"), 5).alias("duration"),
+        F.round(F.col("features")[1].cast("double"), 5).alias("rms"),
+        F.round(F.col("features")[2].cast("double"), 5).alias("zcr"),
+        F.round(F.col("features")[3].cast("double"), 5).alias("centroid"),
+        F.round(F.col("features")[5].cast("double"), 5).alias("rolloff"),
+    ).orderBy("url")
+
 
 STOPWORDS_EN = (
     "the", "a", "an", "and", "or", "but", "is", "are", "was", "were", "in",
@@ -1000,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_setops": q_rel_setops,
         "rel_distinct_priorities": q_rel_distinct_priorities,
+        "mm_image_stats": q_mm_image_stats,
+        "mm_audio_stats": q_mm_audio_stats,
     }
 
 
