@@ -25,6 +25,20 @@ Faithful details:
   timestamps (training.go:373-398); averaged weights below 1e-6 dropped
   (training.go:317-333); tagMap built from words with n>=20 and purity
   >=0.97 (training.go:336-360).
+
+Documented extensions beyond the reference (r6 verdict #2 — OOV/rare-word
+errors fixed at the tagger instead of absorbed downstream as triple-layer
+guards; the reference's own pretrained weights are absent from the
+snapshot, so this repo's model is self-trained and these close part of
+the resulting generalization gap; held-out 0.9576 -> 0.9607):
+- tag-dictionary constraint (build_tag_dict): the decode argmax for an
+  in-vocabulary word is restricted to the tags it was observed with in
+  training (classic HMM-tagger tag dictionary); single-tag words skip
+  featurization entirely.
+- morphological OOV fallback (build_morph): TnT-style (Brants 2000 §2.3)
+  suffix-conditioned tag priors estimated from rare training words,
+  split by capitalization shape, added to the perceptron scores for
+  out-of-vocabulary words only.
 """
 
 from __future__ import annotations
@@ -148,7 +162,10 @@ class AveragedPerceptron:
         self._vec = vec
         self._vec_classes = classes
 
-    def predict(self, feats: list[str]) -> str:
+    def predict(self, feats: list[str], prior: dict | None = None) -> str:
+        """Argmax over summed feature weights, optionally biased by a
+        per-class ``prior`` (the morphological OOV fallback and/or the
+        soft tag-dictionary penalty — see PerceptronTagger._word_prior)."""
         if self._vec is not None:
             import numpy as np
 
@@ -159,8 +176,19 @@ class AveragedPerceptron:
                 if v is None:
                     continue
                 acc = v.copy() if acc is None else acc + v
-            if acc is None:
+            if acc is None and prior is None:
                 return ""
+            if prior is not None:
+                pv = prior.get("_vec")
+                if pv is None:  # lazily align the dict to the class order
+                    pv = np.zeros(len(self._vec_classes))
+                    idx = {c: i for i, c in enumerate(self._vec_classes)}
+                    for c, w in prior.items():
+                        j = idx.get(c)
+                        if j is not None:
+                            pv[j] = w
+                    prior["_vec"] = pv
+                acc = pv.copy() if acc is None else acc + pv
             return self._vec_classes[int(np.argmax(acc))]
         scores: dict[str, float] = {}
         wts = self.weights
@@ -170,6 +198,10 @@ class AveragedPerceptron:
                 continue
             for label, weight in w.items():
                 scores[label] = scores.get(label, 0.0) + weight
+        if prior is not None:
+            for label, weight in prior.items():
+                if label != "_vec":
+                    scores[label] = scores.get(label, 0.0) + weight
         if not scores:
             return ""
         # deterministic: max score, lexicographically-smallest label on ties
@@ -215,10 +247,28 @@ class AveragedPerceptron:
 
 
 class PerceptronTagger:
-    def __init__(self, weights=None, tag_map=None, classes=None, emoticons=None):
+    def __init__(self, weights=None, tag_map=None, classes=None, emoticons=None,
+                 morph=None, tag_dict=None):
         self.model = AveragedPerceptron(weights, classes)
         self.tag_map: dict[str, str] = tag_map or {}
         self._memo: dict = {}
+        # morphological OOV fallback (r6 verdict #2): suffix-conditioned
+        # tag priors estimated from RARE training words (TnT-style,
+        # Brants 2000 §2.3), split by capitalization shape. None = off.
+        self.morph: dict | None = morph
+        if morph is not None and not isinstance(morph.get("vocab"), set):
+            morph["vocab"] = set(morph["vocab"])
+        # tag-dictionary constraint: raw word -> frozenset of tags the
+        # word was EVER seen with in training; unseen tags take a score
+        # PENALTY at decode (built by build_tag_dict). Soft, not a hard
+        # mask: the treebank is small, so a valid tag can be missing
+        # from a word's seen set ("a country walk" with walk only ever
+        # seen VB/VBP) — strong context must stay able to override.
+        self.tag_dict: dict[str, frozenset] | None = None
+        self.tag_dict_penalty: float = 1.0
+        if tag_dict is not None:
+            self.tag_dict = {w: frozenset(ts) for w, ts in tag_dict.items()}
+        self._morph_cache: dict = {}
         if emoticons is None:
             from prose_spark.nlp.tokenizer import EMOTICONS
 
@@ -270,13 +320,138 @@ class PerceptronTagger:
                        ctx[j + 2], p1, p2)
                 tag = memo.get(key)
                 if tag is None:
-                    tag = predict(featurize(i, ctx, word, p1, p2))
+                    tag = predict(featurize(i, ctx, word, p1, p2),
+                                  self._word_prior(word))
                     if len(memo) < self._MEMO_CAP:
                         memo[key] = tag
             tags.append(tag)
             p2 = p1
             p1 = tag
         return tags
+
+    # -- morphological OOV fallback (r6 verdict #2) ---------------------------
+
+    def _word_prior(self, word: str) -> dict | None:
+        """Per-class score prior for a word: the morphological suffix
+        prior for OOV words, or the soft tag-dictionary penalty for
+        in-vocabulary words (a word is never both). None when neither
+        applies. Pure function of the surface form, memoized — shared
+        by every context the word appears in."""
+        out = self._morph_cache.get(word, _FAST_MISS)
+        if out is not _FAST_MISS:
+            return out
+        out = None
+        if self.tag_dict is not None:
+            allowed = self.tag_dict.get(word)
+            if allowed is not None:
+                pen = self.tag_dict_penalty
+                classes = self.model._vec_classes or self.model.classes
+                out = {c: -pen for c in classes if c not in allowed}
+                out = out or None
+        if out is None and self.morph is not None:
+            m = self.morph
+            norm = normalize(word)
+            if norm and not norm.startswith("!") and norm not in m["vocab"]:
+                table = m["upper"] if word[:1].isupper() else m["lower"]
+                # longest-suffix match wins (TnT's successive
+                # abstraction, collapsed to the most specific table row
+                # that survived the min-count prune at train time)
+                for ln in range(min(m["max_len"], len(norm) - 1), 0, -1):
+                    dist = table.get(norm[-ln:])
+                    if dist is not None:
+                        out = dist
+                        break
+        if len(self._morph_cache) < self._MEMO_CAP:
+            self._morph_cache[word] = out
+        return out
+
+    def build_morph(
+        self,
+        sentences: list[tuple[list[str], list[str]]],
+        rare_max: int = 10,
+        max_len: int = 5,
+        min_count: int = 5,
+        alpha: float = 0.4,
+    ) -> None:
+        """Estimate suffix-conditioned tag priors from RARE training
+        words (normalized count <= rare_max — rare words are the best
+        available sample of what future OOV words look like; Brants
+        2000 §2.3). Two tables split by capitalization shape, suffixes
+        strictly shorter than the word, pruned to suffixes seen >=
+        min_count times, scaled by ``alpha`` into perceptron score
+        space. Applied only to words outside the training vocabulary."""
+        counts: dict[str, int] = {}
+        for words, _tags in sentences:
+            for w in words:
+                n = normalize(w)
+                counts[n] = counts.get(n, 0) + 1
+        upper: dict[str, dict[str, float]] = {}
+        lower: dict[str, dict[str, float]] = {}
+        for words, tags in sentences:
+            for w, t in zip(words, tags):
+                n = normalize(w)
+                if not n or n.startswith("!") or counts[n] > rare_max:
+                    continue
+                table = upper if w[:1].isupper() else lower
+                for ln in range(1, min(max_len, len(n) - 1) + 1):
+                    d = table.setdefault(n[-ln:], {})
+                    d[t] = d.get(t, 0.0) + 1.0
+        import math
+
+        for table in (upper, lower):
+            for suf in list(table):
+                d = table[suf]
+                total = sum(d.values())
+                if total < min_count:
+                    del table[suf]
+                    continue
+                # entropy-scaled confidence: a suffix whose tag
+                # distribution is flat (-ed: VBD/VBN/JJ all common)
+                # should barely nudge the contextual perceptron, while
+                # a near-deterministic one (-ly -> RB) pushes with the
+                # full alpha — conf = 1 - H(dist)/log(K)
+                probs = [c / total for c in d.values()]
+                if len(probs) > 1:
+                    h = -sum(p * math.log(p) for p in probs if p > 0)
+                    conf = 1.0 - h / math.log(len(probs))
+                else:
+                    conf = 1.0
+                table[suf] = {t: alpha * conf * c / total
+                              for t, c in d.items()}
+        self.morph = {
+            "vocab": set(counts),
+            "upper": upper,
+            "lower": lower,
+            "max_len": max_len,
+        }
+        self._morph_cache = {}
+        self._memo = {}
+
+    def build_tag_dict(
+        self,
+        sentences: list[tuple[list[str], list[str]]],
+        min_n: int = 1,
+        penalty: float = 2.0,
+    ) -> None:
+        """Tag-dictionary constraint: for each raw word seen >= min_n
+        times in training, tags it was NEVER observed with take a score
+        ``penalty`` at decode (the classic tag-dictionary trick from
+        HMM taggers, softened: the training corpus is small, so a valid
+        tag can be missing from a word's seen set and strong context
+        must stay able to override)."""
+        counts: dict[str, int] = {}
+        tagsets: dict[str, set] = {}
+        for words, tags in sentences:
+            for w, t in zip(words, tags):
+                counts[w] = counts.get(w, 0) + 1
+                tagsets.setdefault(w, set()).add(t)
+        self.tag_dict = {
+            w: frozenset(ts)
+            for w, ts in tagsets.items() if counts[w] >= min_n
+        }
+        self.tag_dict_penalty = penalty
+        self._memo = {}
+        self._morph_cache = {}
 
     # -- training (training.go:80-215) ---------------------------------------
 
@@ -303,6 +478,7 @@ class PerceptronTagger:
         iterations: int = 5,
         seed: int = 42,
         build_tag_map: bool = True,
+        build_morph: bool = True,
     ) -> None:
         if build_tag_map:
             self.make_tag_map(sentences)
@@ -312,6 +488,13 @@ class PerceptronTagger:
             self.train_epoch(data)
             rng.shuffle(data)
         self.model.average_weights()
+        if build_morph:
+            self.build_morph(sentences)
+            self.build_tag_dict(sentences)
+            for w, t in CLOSED_CLASS_OOV.items():
+                self.tag_map.setdefault(w, t)
+                self.tag_map.setdefault(w.capitalize(), t)
+            self._word_fast = {}
 
     def train_epoch(self, data: list[tuple[list[str], list[str]]]) -> None:
         """One perceptron pass over ``data`` (no shuffle, no averaging) —
@@ -386,6 +569,20 @@ class PerceptronTagger:
             "tag_map": self.tag_map,
             "classes": self.model.classes,
         }
+        if self.tag_dict is not None:
+            artifact["tag_dict"] = {w: sorted(ts)
+                                    for w, ts in self.tag_dict.items()}
+            artifact["tag_dict_penalty"] = self.tag_dict_penalty
+        if self.morph is not None:
+            artifact["morph"] = {
+                "vocab": sorted(self.morph["vocab"]),
+                "max_len": self.morph["max_len"],
+                # strip the runtime "_vec" numpy cache entries
+                "upper": {s: {t: w for t, w in d.items() if t != "_vec"}
+                          for s, d in self.morph["upper"].items()},
+                "lower": {s: {t: w for t, w in d.items() if t != "_vec"}
+                          for s, d in self.morph["lower"].items()},
+            }
         with gzip.open(path, "wt", encoding="utf-8") as f:
             json.dump(artifact, f)
 
@@ -399,10 +596,27 @@ class PerceptronTagger:
         raw = read_bytes(name) if Path(path).parent == MODELS_DIR else Path(path).read_bytes()
         with gzip.open(io.BytesIO(raw), "rt", encoding="utf-8") as f:
             a = json.load(f)
-        t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"])
+        t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"],
+                morph=a.get("morph"), tag_dict=a.get("tag_dict"))
+        t.tag_dict_penalty = a.get("tag_dict_penalty", 1.0)
         t.model.finalize()
         return t
 
+
+# closed-class function words absent from the WSJ training sample
+# (archaic/narrative register): unambiguous in modern+Victorian English,
+# so they join the context-free tagMap fast path at train time rather
+# than leaving the perceptron to guess an open-class tag for them
+# ("I have seldom/VBN heard ..."). Curated, deliberately tiny — only
+# genuinely closed-class, single-reading surfaces.
+CLOSED_CLASS_OOV = {
+    "seldom": "RB", "thrice": "RB",
+    "hither": "RB", "thither": "RB", "whither": "RB",
+    "henceforth": "RB", "thereupon": "RB", "whereupon": "RB",
+    "amongst": "IN", "amidst": "IN", "whilst": "IN",
+    "atop": "IN", "unto": "IN",
+    "thou": "PRP", "thee": "PRP", "thy": "PRP$", "thine": "PRP$",
+}
 
 _DEFAULT: PerceptronTagger | None = None
 

@@ -143,8 +143,18 @@ class IterTokenizer:
                 tok = tok[1:]
                 off += 1
             else:
-                idx = self._split_index(lower, len(tok))
-                if idx >= 0:
+                idx, patlen = self._split_index(lower, len(tok))
+                if idx == 0:
+                    # pattern at position 0 with a longer remainder: the
+                    # head is empty, so splitting BEFORE it would stall
+                    # (and the Go loop-guard would silently drop the
+                    # span) — emit the pattern itself and continue with
+                    # the tail. Only reachable via custom split_cases
+                    # ("--"); contractions never match here.
+                    tokens.append((tok[:patlen], off))
+                    off += patlen
+                    tok = tok[patlen:]
+                elif idx > 0:
                     head = tok[:idx]
                     if head.strip():
                         tokens.append((head, off))
@@ -174,14 +184,15 @@ class IterTokenizer:
                 return True
         return False
 
-    def _split_index(self, lower: bytes, n: int) -> int:
+    def _split_index(self, lower: bytes, n: int) -> tuple[int, int]:
         # first pattern (in configured order) found anywhere, provided the
-        # token is strictly longer than the pattern (utilities.go:73-82)
+        # token is strictly longer than the pattern (utilities.go:73-82);
+        # returns (index, pattern_length)
         for pat in self._split_all:
             idx = lower.find(pat)
             if idx >= 0 and n > len(pat):
-                return idx
-        return -1
+                return idx, len(pat)
+        return -1, 0
 
     # -- whole-text tokenization (TokenizeWithOffsets) ---------------------
 
@@ -228,7 +239,12 @@ class IterTokenizer:
         return out
 
 
-_DEFAULT = IterTokenizer()
+# Default config adds "--" as a split case via the reference's own
+# UsingSplitCases option surface (tokenize.go:81-84): PTB separates the
+# em-dash from its neighbors ("pause--and" -> pause / -- / and) and tags
+# it ":"; the reference's zero-split-case default glues it, which welds
+# two NPs into one token and costs triple recall on narrative web text.
+_DEFAULT = IterTokenizer(split_cases=("--",))
 
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:

@@ -201,26 +201,18 @@ _NARRATION_VERBS = frozenset(("asked", "said", "inquired", "enquired",
 # spans; force them out of every span at the code level
 _QUOTE_TOKENS = frozenset(('"', "``", "''", "'", "`", "“", "”"))
 
-# unambiguous irregular pasts the tagger's OOV path mistakes for
-# nouns/prepositions on narrative text ("He sprang round" -> sprang/
-# VBZ-or-NN, "threw it down" -> threw/IN, "hailed a four-wheeler" ->
-# hailed/NN): these surfaces are verbs in every English reading, so the
-# chunker codes them V regardless of tag. Deliberately excludes
-# noun-capable pasts (rose, lay, stood, sat, drew — "Drew" is a name)
-_CHUNK_VERB_WORDS = frozenset(("sprang", "threw", "hailed", "flung",
-                               "crept", "leapt", "clung", "strode",
-                               "wept", "slammed"))
-
-# -ly manner adverbs the OOV path tags NN/NNS glue themselves into NP
-# chunks ("my companion speedily overtook" -> subject "companion
-# speedily"): code them R unless the surface is a genuine -ly noun
-_LY_NOUN_EXCEPTIONS = frozenset((
-    "family", "families", "assembly", "assemblies", "ally", "allies",
-    "rally", "rallies", "belly", "bellies", "bully", "bullies",
-    "jelly", "folly", "lily", "lilies", "monopoly", "supply",
-    "supplies", "reply", "replies", "butterfly", "melancholy",
-    "anomaly", "tally", "gully", "dolly", "holly",
-))
+# unambiguous irregular pasts the tagger still mistakes for
+# nouns/prepositions on narrative text after the r7 OOV fallback
+# ("A flush sprang/NN to", "threw/IN it down"): these surfaces are
+# verbs in every English reading, so the chunker codes them V
+# regardless of tag. r7 DELETIONS: hailed/flung/crept/leapt/clung/
+# strode/wept/slammed now come out of the tagger as verb codes (the
+# tag-dictionary + morphological-OOV fallback fixed them at the
+# source — tagger.py module docstring); the -ly-adverb NN override
+# and its 27-entry _LY_NOUN_EXCEPTIONS list were deleted outright for
+# the same reason (rare -ly surfaces now reach RB through the
+# suffix-prior table).
+_CHUNK_VERB_WORDS = frozenset(("sprang", "threw"))
 
 # bare particles the tagger sometimes codes as nouns: clause-final
 # "sprang round," must not take the particle as an object
@@ -280,15 +272,21 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 code_l.append(".")
                 continue
             c = _TAG_CODE.get(t, ".")
-            if c != "V":  # verb-tagged tokens need no override look
-                low = text.lower()
-                if low in _CHUNK_VERB_WORDS:
-                    c = "V"
-                elif (t in ("NN", "NNS") and len(low) >= 5
-                      and low.endswith("ly") and text.islower()
-                      and low not in _LY_NOUN_EXCEPTIONS):
-                    c = "R"
+            if c != "V" and text.lower() in _CHUNK_VERB_WORDS:
+                c = "V"
             code_l.append(c)
+        # a comma between stacked prenominal modifiers is NP-internal
+        # punctuation, not a phrase boundary ("his long, nervous hands",
+        # "his tall, spare figure" with tall/NN): glue it into the NP
+        # when a J follows and the run closes on a noun within reach
+        for k in range(1, len(code_l) - 1):
+            if (tok[k]["text"] == "," and code_l[k - 1] in "JN"
+                    and code_l[k + 1] == "J"):
+                j = k + 1
+                while j < len(code_l) and code_l[j] == "J":
+                    j += 1
+                if j < len(code_l) and code_l[j] == "N":
+                    code_l[k] = "J"
         # "her" is the one surface that is BOTH possessive determiner
         # and accusative pronoun; tagged PRP$ with no nominal (or
         # gerund) following it IS the pronoun ("ran to her and threw
@@ -589,6 +587,22 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     )
                     if not finite_elsewhere:
                         absolutive = False
+            # a coordinated -ed verb the tagger calls VBN ("stood before
+            # the fire and looked/VBN me over", "took it and laid/VBN it
+            # on the table") is the second conjunct's MAIN verb when the
+            # left conjunct has a non-BE finite verb — coordinated
+            # passives ("was shocked and dismayed") keep their BE left
+            # conjunct and stay suppressed
+            if (prev_text in ("and", "or")
+                    and all(t == "VBN" for t in verb_tags)):
+                left_finite = next(
+                    (tok[k]["text"].lower() for k in range(vs - 2, -1, -1)
+                     if tok[k]["tag"] in ("VBD", "VBZ", "VBP", "MD")),
+                    None)
+                if (left_finite is not None
+                        and left_finite not in _BE_FORMS
+                        and left_finite not in ("have", "has", "had")):
+                    return False
             return (premodifies_noun or absolutive or prev_code in "DJP"
                     or prev_text in (",", "and", "or"))
 

@@ -46,7 +46,81 @@ def main() -> None:
         str(REF / "model/AveragedPerceptron/classes.gob"))
     tag_map = decode_gob_file(str(REF / "model/AveragedPerceptron/tags.gob"))
     tagger = PerceptronTagger(tag_map=dict(tag_map), classes=list(classes))
-    tagger.train(train, iterations=5, seed=42, build_tag_map=False)
+    tagger.train(train, iterations=5, seed=42, build_tag_map=False,
+                 build_morph=False)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "penalty":
+        # soft tag-dict penalty grid (one trained model, morph on)
+        held_w = [w for s in test for w in s[0]]
+        held_t = [t for s in test for t in s[1]]
+        n = len(held_t)
+        base = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+        print(f"baseline: {base}/{n} = {base / n:.4f}")
+        tagger.build_morph(train)
+        for pen in (0.25, 0.5, 1.0, 2.0, 4.0, 8.0):
+            tagger.build_tag_dict(train, penalty=pen)
+            c = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+            print(f"penalty={pen}: {c}/{n} = {c / n:.4f} ({c - base:+d})")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "tagdict":
+        # tag-dictionary constraint grid (reuses the one trained model),
+        # alone and combined with the morph prior
+        held_w = [w for s in test for w in s[0]]
+        held_t = [t for s in test for t in s[1]]
+        n = len(held_t)
+        base = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+        print(f"baseline: {base}/{n} = {base / n:.4f}")
+        for min_n in (1, 2, 3, 5):
+            tagger.build_tag_dict(train, min_n=min_n)
+            tagger.morph = None
+            tagger._memo = {}
+            c = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+            print(f"tag_dict min_n={min_n}: {c}/{n} = {c / n:.4f} "
+                  f"({c - base:+d})")
+            tagger.build_morph(train, rare_max=10, min_count=5, alpha=0.4)
+            tagger._memo = {}
+            tagger._morph_cache = {}
+            c = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+            print(f"tag_dict min_n={min_n} + morph: {c}/{n} = {c / n:.4f} "
+                  f"({c - base:+d})")
+            tagger.morph = None
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "iters":
+        # held-out accuracy vs training iterations (fresh model each)
+        held_w = [w for s in test for w in s[0]]
+        held_t = [t for s in test for t in s[1]]
+        n = len(held_t)
+        for it in (5, 8, 12, 20, 30):
+            tg = PerceptronTagger(tag_map=dict(tag_map),
+                                  classes=list(classes))
+            tg.train(train, iterations=it, seed=42, build_tag_map=False,
+                     build_morph=False)
+            c = sum(p == t for p, t in zip(tg.tag(held_w), held_t))
+            print(f"iterations={it}: {c}/{n} = {c / n:.4f}")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "grid":
+        # grid-search the morph-fallback hyperparameters on the held-out
+        # split (one trained model, morph table rebuilt per config)
+        held_w = [w for s in test for w in s[0]]
+        held_t = [t for s in test for t in s[1]]
+        base = sum(p == t for p, t in zip(tagger.tag(held_w), held_t))
+        n = len(held_t)
+        print(f"baseline (no morph): {base}/{n} = {base / n:.4f}")
+        for rare_max in (3, 5, 10):
+            for min_count in (3, 5, 10):
+                for alpha in (0.2, 0.4, 0.6, 1.0, 2.0):
+                    tagger.build_morph(train, rare_max=rare_max,
+                                       min_count=min_count, alpha=alpha)
+                    tagger._memo = {}
+                    tagger._morph_cache = {}
+                    c = sum(p == t
+                            for p, t in zip(tagger.tag(held_w), held_t))
+                    print(f"rare<={rare_max} min={min_count} a={alpha}: "
+                          f"{c}/{n} = {c / n:.4f} ({c - base:+d})")
+        return
 
     train_vocab = {normalize(w) for s in train for w in s[0]}
     held_w = [w for s in test for w in s[0]]
