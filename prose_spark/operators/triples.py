@@ -166,7 +166,33 @@ _NEVER_VERB_WORDS = frozenset((
 # that day")
 _TEMPORAL_NOUNS = frozenset(("moment", "instant", "time", "day",
                              "morning", "evening", "night", "week",
-                             "year", "hour", "minute"))
+                             "year", "hour", "minute", "second",
+                             "month", "fortnight", "season", "spring",
+                             "summer", "autumn", "winter", "century",
+                             "midnight", "noon", "dawn", "dusk"))
+
+# spelled-out small numbers the tagger can mistag NN inside measure
+# phrases ("for ten/NN minutes"): treated as quantifiers when deciding
+# whether a span is a pure temporal-measure adverbial
+_NUMBER_WORDS = frozenset((
+    "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "twenty", "thirty", "forty",
+    "fifty", "sixty", "seventy", "eighty", "ninety",
+    "hundred", "thousand", "million", "dozen",
+))
+
+# quantifiers that mark a bare temporal NP as a MEASURE adverbial
+# ("met her several times", "waited many years")
+_MEASURE_QUANTIFIERS = frozenset((
+    "several", "many", "few", "some", "countless",
+)) | _NUMBER_WORDS
+
+# prepositions that govern temporal-measure adverbials ("for ten
+# minutes", "in the spring", "at night", "during the winter", "in the
+# course of the spring")
+_TEMPORAL_PREPS = frozenset(("for", "in", "at", "on", "during",
+                             "within", "until", "till", "over",
+                             "through", "of"))
 
 # "at <noun>" adverbial idioms — never objects
 _AT_IDIOM_NOUNS = frozenset(("present", "once", "last", "length",
@@ -239,7 +265,76 @@ _PERCEPTION_VERBS = frozenset(("heard", "hear", "saw", "see", "watched",
                                "noticed"))
 _SMALLCLAUSE_VERBS = frozenset(("turn", "run", "fall", "rise", "move",
                                 "slip", "drop", "break", "ring",
-                                "swing", "roll", "shake", "tremble"))
+                                "swing", "roll", "shake", "tremble",
+                                "pass"))
+
+# eventive passive participles whose agent-active inversion is the
+# KG-normal reading even with a common-noun agent ("the impression of
+# barbaric opulence was suggested by his whole appearance" -> <his
+# whole appearance> suggested <the impression>); stative participles
+# ("blocked", "scored", "attracted") keep the surface orientation
+_EVENTIVE_PASSIVES = frozenset((
+    "suggested", "caused", "founded", "made", "built", "created",
+    "written", "composed", "invented", "discovered", "produced",
+    "designed", "developed", "established",
+))
+
+_VERB_ONLY_CACHE: dict[str, bool] = {}
+
+
+def _verb_only_surface(word: str) -> bool:
+    """True when the tagger's training tag dictionary lists ONLY verb
+    tags for the surface ("join" -> {VB}) — safe evidence that an
+    NN-tagged coordinated conjunct is really a verb."""
+    v = _VERB_ONLY_CACHE.get(word)
+    if v is None:
+        tags = ()
+        try:
+            from prose_spark.nlp.tagger import default_tagger
+
+            td = default_tagger().tag_dict
+            if td:
+                tags = td.get(word, ())
+        except Exception:
+            pass
+        v = bool(tags) and all(t.startswith("VB") for t in tags)
+        if not tags and word.endswith("s") and len(word) > 3:
+            # OOV 3rd-person form whose stem IS known and verb-only
+            # ("prefers" -> "prefer")
+            try:
+                from prose_spark.nlp.tagger import default_tagger
+
+                td = default_tagger().tag_dict or {}
+                stem_tags = td.get(word[:-1], ())
+                v = bool(stem_tags) and all(
+                    t.startswith("VB") for t in stem_tags)
+            except Exception:
+                pass
+        _VERB_ONLY_CACHE[word] = v
+    return v
+
+
+_OOV_CACHE: dict[str, bool] = {}
+
+
+def _oov_surface(word: str) -> bool:
+    """True when the surface is absent from the tagger's training tag
+    dictionary — its tag came from the OOV path and carries less
+    evidence than an in-vocabulary tag."""
+    v = _OOV_CACHE.get(word)
+    if v is None:
+        v = True
+        try:
+            from prose_spark.nlp.tagger import default_tagger
+
+            td = default_tagger().tag_dict
+            if td:
+                v = word not in td
+        except Exception:
+            pass
+        _OOV_CACHE[word] = v
+    return v
+
 
 _MONTH_NOUNS = frozenset(("january", "february", "march", "april",
                           "may", "june", "july", "august", "september",
@@ -293,11 +388,35 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # ...") — code it S so it can argument. Other PRP$ surfaces
         # (its/my/your/their/his) stay determiners.
         for k, c in enumerate(code_l):
-            if (c == "." and tags[k] == "PRP$"
-                    and tok[k]["text"].lower() == "her"
-                    and (k + 1 >= len(code_l)
-                         or code_l[k + 1] not in "NJCGV")):
-                code_l[k] = "S"
+            if c == "." and tags[k] == "PRP$" and tok[k]["text"].lower() == "her":
+                if k + 1 >= len(code_l) or code_l[k + 1] not in "NJCGV":
+                    code_l[k] = "S"
+                    continue
+                nxt = tok[k + 1]["text"].lower()
+                # "her" before a mistagged particle is the accusative
+                # ("brought her over/NN for ..."): pronoun + particle,
+                # and the particle itself stops being a nominal
+                if (nxt in ("over", "round", "back", "up", "down",
+                            "out", "aside", "forth", "along", "away")
+                        and tok[k + 1]["tag"].startswith("NN")
+                        and (k + 2 >= len(code_l)
+                             or code_l[k + 2] not in "NJCG")):
+                    code_l[k] = "S"
+                    code_l[k + 1] = "."
+                    continue
+                # "her" before a quantified measure NP is the
+                # accusative too ("met her several times"): the
+                # measure phrase is an adverbial, not her possession
+                j = k + 1
+                while (j < len(code_l)
+                       and (code_l[j] in "JC"
+                            or tok[j]["text"].lower()
+                            in _MEASURE_QUANTIFIERS)):
+                    j += 1
+                if (j > k + 1 and j < len(code_l)
+                        and tok[j]["text"].lower().rstrip("s")
+                        == "time"):
+                    code_l[k] = "S"
         # a modal licenses a BASE VERB: when the next content token
         # after "MD (, short-parenthetical ,)?" is coded N ("will, of
         # course, stay in London" -> stay/NN), it is that verb
@@ -316,6 +435,59 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (j < len(code_l) and code_l[j] == "N"
                     and tok[j]["text"].islower()):
                 code_l[j] = "V"
+        # a coordinated conjunct the tagger called NN but whose
+        # training tag dictionary is VERB-ONLY is the second verb of a
+        # VP coordination ("can use bathrooms and join/NN school
+        # athletic teams"): recode V when a verb precedes in the same
+        # comma segment and an NP follows
+        for k, c in enumerate(code_l):
+            if (c == "N" and k > 0 and k + 1 < len(code_l)
+                    and tok[k - 1]["text"].lower() in ("and", "or")
+                    and tok[k]["text"].islower()
+                    and code_l[k + 1] in "DJNSV"
+                    and _verb_only_surface(tok[k]["text"].lower())):
+                j = k - 2
+                while j >= 0 and tok[j]["text"] not in (",", ";", ":"):
+                    if code_l[j] == "V":
+                        code_l[k] = "V"
+                        break
+                    j -= 1
+        for k, c in enumerate(code_l):
+            # a VERB-ONLY surface right after a relative pronoun
+            # (optionally with adverbs/adjectival "first" between) is
+            # the relative clause's verb despite an NN/NNS tag ("the
+            # man who first finds/NNS himself", "a gentleman who
+            # desires/NNS to consult you")
+            if (c == "N" and tok[k]["text"].islower()
+                    and _verb_only_surface(tok[k]["text"].lower())):
+                j = k - 1
+                while j >= 0 and (code_l[j] in "RJ"
+                                  or tok[j]["tag"] in ("JJ", "RB")):
+                    j -= 1
+                if (j >= 0 and (tok[j]["tag"] in ("WP", "WDT")
+                                or tok[j]["text"].lower()
+                                == "whichever")):
+                    code_l[k] = "V"
+            # an OOV -ly surface the tagger called NN is a manner
+            # adverb ("my companion speedily/NN overtook"): only
+            # out-of-vocabulary words recode — in-vocabulary -ly nouns
+            # ("family", "assembly") carry their training tags
+            elif (c == "N" and tok[k]["text"].islower()
+                    and len(tok[k]["text"]) >= 5
+                    and tok[k]["text"].lower().endswith("ly")
+                    and _oov_surface(tok[k]["text"].lower())):
+                code_l[k] = "R"
+            # an -ed surface the tagger called JJ right after a verb
+            # group's adverb run is the group's participle ("has very
+            # carelessly scraped/JJ round the edges")
+            elif (c == "J" and tok[k]["text"].islower()
+                    and tok[k]["text"].lower().endswith("ed")
+                    and _verb_only_surface(tok[k]["text"].lower())):
+                j = k - 1
+                while j >= 0 and code_l[j] == "R":
+                    j -= 1
+                if j >= 0 and j < k - 1 and code_l[j] == "V":
+                    code_l[k] = "V"
         code = "".join(code_l)
         nps = [
             (m.start(), m.end())
@@ -587,6 +759,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     )
                     if not finite_elsewhere:
                         absolutive = False
+                # a VBN directly after a subject NP that OPENS a
+                # coordinated main clause is that clause's main verb
+                # ("I rose to go, but Holmes caught/VBN me by the
+                # wrist"): the left conjunct carries a finite non-BE
+                # verb. True absolutives hang off BE-clauses ("He was
+                # pacing ... with his head sunk ... and his hands
+                # clasped") and stay suppressed.
+                if (absolutive and np_b is not None and np_b[0] > 0
+                        and tok[np_b[0] - 1]["text"].lower()
+                        in ("but", "and", "or", "yet")):
+                    left_finite = next(
+                        (tok[k]["text"].lower()
+                         for k in range(np_b[0] - 2, -1, -1)
+                         if tok[k]["tag"] in ("VBD", "VBZ", "VBP",
+                                              "MD")),
+                        None)
+                    if (left_finite is not None
+                            and left_finite not in _BE_FORMS):
+                        absolutive = False
             # a coordinated -ed verb the tagger calls VBN ("stood before
             # the fire and looked/VBN me over", "took it and laid/VBN it
             # on the table") is the second conjunct's MAIN verb when the
@@ -625,6 +816,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # what might grow to be an immense scandal and seriously
         # compromise ...") and are equally out of assertion scope
         wh_kill: int | None = None
+        neg_kill: int | None = None
         for vpi, (vs, ve) in enumerate(vp_spans):
             next_vs = len(code)
             coord_ends: list[int] = []
@@ -699,6 +891,78 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and head_verb["text"].lower() in _NEVER_VERB_WORDS):
                 prev_vp = None
                 continue
+            # a NOUN-governed to-infinitive is that noun's complement,
+            # not an asserted relation ("a keen desire to see Holmes
+            # again", "the honour to ask my hand", "must wait until
+            # July to see the addition"): purpose/complement content
+            # stays unasserted. Verb-governed infinitives keep their
+            # control/aspect handling downstream.
+            if (vs > 1 and tok[vs - 1]["tag"] == "TO"
+                    and code[vs - 2] == "N"):
+                # exception 1: a bare-pronoun object marks the
+                # causative/light-verb reading the gold keeps ("drop
+                # you a line to let you know")
+                _iv = vs
+                while _iv < len(code) and code[_iv] in "VR":
+                    _iv += 1
+                _keeps = _iv < len(code) and code[_iv] == "S"
+                # exception 2: the governing noun is a CONTROL verb's
+                # object ("was urging his son to marry my daughter")
+                # — the infinitive is the controlled complement
+                if not _keeps:
+                    _gn = next((sp for sp in nps
+                                if sp[1] == vs - 1), None)
+                    if _gn is not None:
+                        _cv = next(
+                            (tok[k]["text"].lower()
+                             for k in range(_gn[0] - 1, -1, -1)
+                             if code[k] == "V"
+                             or tok[k]["text"] in (",", ";", ":")),
+                            None)
+                        if (_cv is not None
+                                and _is_object_control(_cv)):
+                            _keeps = True
+                        # exception 3: "for NP to VB" — the NP is the
+                        # infinitive's SUBJECT, not a governing noun
+                        # ("for the trained reasoner to admit such
+                        # intrusions")
+                        if (_gn[0] > 0
+                                and tok[_gn[0] - 1]["text"].lower()
+                                == "for"):
+                            _keeps = True
+                if not _keeps:
+                    prev_vp = None
+                    continue
+            # a DEGREE-modified copular adjective predicates a
+            # property, not a relation — the trailing PP belongs to
+            # the adjective ("had long been notorious in the county",
+            # "is too deep for words"); unmodified copular adjectives
+            # keep theirs ("were abhorrent to his mind")
+            _dj = ve
+            while _dj < len(code) and code[_dj] == "R":
+                _dj += 1
+            if (_dj < len(code) and code[_dj] == "J"
+                    and any(t.lower() in ("too", "long", "very", "far")
+                            for t in vtexts)
+                    and any(t.lower() in _BE_FORMS for t in vtexts)):
+                prev_vp = None
+                continue
+            # SENTENCE-INITIAL "when"-clause content is a habitual/
+            # temporal frame, not an assertion ("When I hear you give
+            # your reasons, I remarked ..."); a mid-sentence when-
+            # clause narrates a specific event and keeps its content
+            # ("my sister was quite alone when she met her end")
+            if (vs > 0 and tok[vs - 1]["tag"] == "PRP" and vs > 1
+                    and tok[vs - 2]["text"].lower()
+                    in ("when", "whenever")
+                    and all(tok[k]["text"] in _QUOTE_TOKENS
+                            for k in range(0, vs - 2))
+                    # habitual PRESENT tense only — "When he reached
+                    # my sister's side" narrates an event and keeps
+                    and any(t["tag"] in ("VBP", "VBZ")
+                            for t in tok[vs:ve])):
+                prev_vp = None
+                continue
             # inside a narrated quoted question — asserted by nobody
             if any(q1 < vs < q2 for q1, q2 in question_quotes):
                 prev_vp = None
@@ -715,9 +979,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                              and tok[vs - 1]["tag"].startswith("W"))):
                 prev_vp = None
                 continue
-            if (any(t.lower() in _NEG_TOKENS for t in vtexts)
-                    and not any(t.lower() in ("ca", "can")
-                                for t in vtexts)):
+            _neg_here = ((any(t.lower() in _NEG_TOKENS for t in vtexts)
+                          and not any(t.lower() in ("ca", "can")
+                                      for t in vtexts))
+                         # "no longer" negates like "not": "can no
+                         # longer possess"
+                         or any(vtexts[k].lower() == "no"
+                                and k + 1 < len(vtexts)
+                                and vtexts[k + 1].lower() == "longer"
+                                for k in range(len(vtexts))))
+            # a negated head's serial conjuncts are negated too ("can
+            # no longer possess, sell or distribute shark fins"): the
+            # gap back to the killed group holds only coordination,
+            # adverbs, and sibling verbs
+            if (not _neg_here and neg_kill is not None and vs > neg_kill
+                    and all(tok[k]["text"].lower() in (",", "and", "or")
+                            or code[k] in "RV"
+                            for k in range(neg_kill, vs))):
+                _neg_here = True
+            if _neg_here:
+                neg_kill = ve
                 prev_vp = None
                 continue
             cands = [sp for sp in nps if sp[1] <= vs]
@@ -755,7 +1036,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                              and tok[vs]["text"].lower()
                              != "save"
                              and n_commas(prev_vp[2], nearest[0]) % 2
-                             == 0))):
+                             == 0
+                             # a relative clause's subject never
+                             # rides a bare comma into the matrix
+                             # ("interests which rise up around the
+                             # man who ... establishment, were ...")
+                             and (prev_vp[0][0] == 0
+                                  or tok[prev_vp[0][0] - 1]["tag"]
+                                  not in ("WP", "WDT"))))):
                 # coordinated predicates share the subject: the nearest
                 # NP before this verb is the PREVIOUS verb's object
                 subj_span = prev_vp[0]
@@ -785,16 +1073,43 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 and all(code[k2] in "JR" for k2 in
                                         range(prev_vp[2], k)))
                             for k in range(prev_vp[2], vs))
-                    and any(tok[k]["text"].lower() in ("and", "or")
-                            for k in range(prev_vp[2], vs))):
+                    and (any(tok[k]["text"].lower() in ("and", "or")
+                             for k in range(prev_vp[2], vs))
+                         # serial predicate list, MIDDLE conjunct on a
+                         # bare comma ("she rose hurriedly, muttered
+                         # some words of apology, and left the room"):
+                         # a later and/or+V closes the list, and the
+                         # previous clause is not a subordinator-
+                         # introduced parenthetical ("Your Majesty, as
+                         # I understand, became" stays blocked)
+                         or (sum(1 for k in range(prev_vp[2], vs)
+                                 if tok[k]["text"] == ",") == 1
+                             and not (prev_vp[0][0] > 0
+                                      and (tok[prev_vp[0][0] - 1]
+                                           ["text"].lower()
+                                           in _SUBORD_CONJ
+                                           | {"as", "when", "while",
+                                              "since", "after",
+                                              "before"}
+                                           or tok[prev_vp[0][0] - 1]
+                                           ["tag"] in ("WP", "WDT")))
+                             and any(tok[k]["text"].lower()
+                                     in ("and", "or")
+                                     and k + 1 < len(code)
+                                     and (code[k + 1] == "V"
+                                          or (code[k + 1] == "R"
+                                              and k + 2 < len(code)
+                                              and code[k + 2] == "V"))
+                                     for k in range(vs + 1, len(code)))))):
                 # VP coordination with nothing between the predicates
                 # but coordination tokens — INCLUDING an explicit
                 # and/or — since the PREVIOUS verb group ended ("I did
                 # so, and saw ..."): the shared subject is the
                 # candidate itself, comma parity notwithstanding. A
-                # bare comma is NOT enough here: "Your Majesty, as I
-                # understand, became ..." must not share "I" across
-                # the parenthetical's closing comma.
+                # bare comma is enough only for a serial list's middle
+                # conjunct (above); "Your Majesty, as I understand,
+                # became ..." must not share "I" across the
+                # parenthetical's closing comma.
                 subj_span = nearest
                 shared = True
             else:
@@ -896,6 +1211,30 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and subj_span[0] >= 2
                         and tok[subj_span[0] - 2]["text"].lower()
                         == "it"):
+                    prev_vp = None
+                    continue
+            # coordinated conjunct of a "with"-absolutive: in "with
+            # his head sunk upon his chest and his hands clasped
+            # behind him", the second conjunct's NP+participle is
+            # still inside the with-phrase — nothing is asserted.
+            # Signature: subject directly preceded by "and", and the
+            # leftward scan reaches "with"/"without" before any
+            # comma/sentence boundary.
+            _abs_l = subj_span[0] - 1
+            while (_abs_l >= 0
+                   and tok[_abs_l]["tag"] in ("PRP$", "DT", "PDT")):
+                _abs_l -= 1
+            if (not rebound and not shared and _abs_l >= 0
+                    and tok[_abs_l]["text"].lower() in ("and", "or")):
+                j = _abs_l - 1
+                while j >= 0 and tok[j]["text"] not in (",", ";", ":"):
+                    if (tok[j]["text"].lower() in ("with", "without")
+                            and tok[j]["tag"] == "IN"):
+                        break
+                    j -= 1
+                if (j >= 0
+                        and tok[j]["text"].lower()
+                        in ("with", "without")):
                     prev_vp = None
                     continue
             # "as"-relativizer clause ("such complete information as
@@ -1130,6 +1469,20 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 between = [tok[k] for k in range(ve, s)]
                 if any(t["tag"] == ":" for t in between):
                     return False
+                # an ACTIVE predicate in a LATER comma segment claims
+                # every NP after it ("even as I looked up, I saw his
+                # ... figure" must not fetch a far NP for "looked
+                # up"); same-segment verbs are object-sharing
+                # coordinations ("eclipses and predominates the whole
+                # of her sex") and don't block
+                # (attribution interruptions are transparent: '"Then I
+                # must begin," said he, "by binding you both"' keeps
+                # its object across the said-he parenthetical)
+                if any(k in vp_starts and n_commas(ve, k) > 0
+                       and tok[k]["text"].lower()
+                       not in _NARRATION_VERBS
+                       for k in range(ve, s)):
+                    return False
                 if is_be_head and any(
                     t["text"].lower() in _BE_CROSS_BLOCKERS
                     or t["tag"] == "WRB"
@@ -1154,9 +1507,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     return False
                 # a reflexive INTENSIFIER directly followed by another
                 # nominal is not the object ("She is herself the very
-                # soul of delicacy"); a clause-final reflexive is a
-                # real object ("I have just called myself")
-                if (e - s == 1
+                # soul of delicacy") — a COPULA pattern only: non-BE
+                # small-clause reflexives are real objects ("who first
+                # finds himself master of his own establishment")
+                if (is_be_head and e - s == 1
                         and tok[s]["text"].lower() in _REFLEXIVES
                         and e < len(code) and code[e] in "DNSJC"):
                     return False
@@ -1167,6 +1521,82 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and any(tok[k]["text"].lower() == "very"
                                 for k in range(max(s - 1, 0), e - 1))):
                     return False
+                # a PURE temporal-measure NP is an adverbial frame,
+                # never an object: PP-governed ("known for many
+                # years", "sat down for ten minutes"), universally
+                # quantified ("secured every night"), or a quantified
+                # bare measure ("met her several times"). Referential
+                # temporal NPs keep the object reading when a
+                # relative follows ("send it on the day when ..."),
+                # and plain verb governors keep theirs ("we have
+                # three days").
+                head = tok[e - 1]["text"].lower().rstrip("s")
+                if head in _TEMPORAL_NOUNS:
+                    gov = tok[s - 1]["text"].lower() if s > 0 else ""
+                    nxt = tok[e]["text"].lower() if e < len(tok) else ""
+                    pure = all(
+                        tok[k]["tag"] in ("DT", "PDT", "JJ", "JJR",
+                                          "JJS", "CD", "RB")
+                        or tok[k]["text"].lower() in _NUMBER_WORDS
+                        for k in range(s, e - 1))
+                    if (pure and nxt not in ("when", "that")
+                            and (gov in _TEMPORAL_PREPS
+                                 or tok[s]["text"].lower()
+                                 in ("every", "each")
+                                 or (head == "time"
+                                     and any(tok[k]["text"].lower()
+                                             in _MEASURE_QUANTIFIERS
+                                             for k in range(s, e - 1))))):
+                        return False
+                # "in the course of ..." is an adverbial idiom even
+                # though "course" itself is not a time noun
+                if (head == "course" and s > 0
+                        and tok[s - 1]["text"].lower() == "in"):
+                    return False
+                # a pronoun after a trailing TEMPORAL CONJUNCTION the
+                # VP-regex mistook for an object-attaching preposition
+                # is the subordinate clause's subject ("put on seven
+                # and a half pounds since/IN I saw you")
+                if (e - s == 1 and code[s] == "S"
+                        and tok[ve - 1]["text"].lower()
+                        in ("since", "until", "till", "while",
+                            "after", "before")
+                        and e in vp_starts):
+                    return False
+                # a quote-bracketed NP whose closing quote is followed
+                # by another nominal is a quoted PREMODIFIER, not an
+                # object ("aims through its \"air angels\" effort")
+                if (s > 0 and tok[s - 1]["text"] in _QUOTE_TOKENS
+                        and e < len(tok) - 1
+                        and tok[e]["text"] in _QUOTE_TOKENS
+                        and code[e + 1] in "NJ"):
+                    return False
+                # inside an OBJECT relative ("the mission which he had
+                # accomplished so delicately for the reigning family"),
+                # the verb's object is the fronted antecedent GAP — a
+                # PP-attached NP inside the clause is adverbial, never
+                # the object ("signs ... which I merely shared with
+                # all the readers"). Direct (P-less) NPs stay: "the
+                # title by which I have just called myself" keeps
+                # "myself" (pied-piped relatives are not object gaps).
+                if (not rebound and not shared and subj_span is not None
+                        and subj_span[0] > 0
+                        and tok[subj_span[0] - 1]["tag"] in ("WDT", "WP")
+                        and tok[subj_span[0] - 1]["text"].lower()
+                        != "who"
+                        and not (subj_span[0] > 1
+                                 and code[subj_span[0] - 2] == "P")):
+                    # governor scan walks back over premodifiers the
+                    # span regex could not absorb (VBG/quantifier:
+                    # "for the reigning/VBG family")
+                    j = s - 1
+                    while j > ve and (
+                            code[j] in "DJC"
+                            or (code[j] == "V"
+                                and tok[j]["tag"] == "VBG")):
+                        j -= 1
+                    if j >= ve and code[j] == "P":
+                        return False
                 # a bare pronoun abutting a following verb group after
                 # a COPULA is that verb's subject, not a complement
                 # ("of such weight it may have an influence"); non-BE
@@ -1313,9 +1743,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and subj_span[1] - subj_span[0] == 1
                     and tok[subj_span[0]]["text"].lower() == "it"
                     and code[ve - 1] == "P"
-                    and tok[obj_span[1] - 1]["text"].lower().rstrip("s")
-                    in _TEMPORAL_NOUNS
-                    | {m.rstrip("s") for m in _MONTH_NOUNS}):
+                    and (tok[obj_span[1] - 1]["text"].lower().rstrip("s")
+                         in _TEMPORAL_NOUNS
+                         | {m.rstrip("s") for m in _MONTH_NOUNS}
+                         # ordinal date: "it was on the twentieth of
+                         # March"
+                         or (obj_span[1] < len(tok) - 1
+                             and tok[obj_span[1]]["text"].lower() == "of"
+                             and tok[obj_span[1] + 1]["text"].lower()
+                             in _MONTH_NOUNS))):
                 prev_vp = None
                 continue
             # INFINITIVAL copular adjectival complement: in "to be ADJ
@@ -1430,25 +1866,36 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # object NP; split it out, keep the perception triple on
             # the bare object, and assert the embedded relation too
             small_clause = None
+            # an adverbial-noun tail may ride after the embedded verb
+            # ("saw his tall, spare figure pass twice"): peel it
+            # before looking for the small-clause verb, and emit no
+            # embedded relation in that case (the adverb consumed the
+            # slot a P-governed object would fill)
+            _sc_end = obj_span[1]
+            if (_sc_end - obj_span[0] >= 3
+                    and tok[_sc_end - 1]["text"].lower()
+                    in ("twice", "once", "again")):
+                _sc_end -= 1
             if (head_verb is not None
                     and head_verb["text"].lower() in _PERCEPTION_VERBS
-                    and obj_span[1] - obj_span[0] >= 2
-                    and tok[obj_span[1] - 1]["text"].lower()
+                    and _sc_end - obj_span[0] >= 2
+                    and tok[_sc_end - 1]["text"].lower()
                     in _SMALLCLAUSE_VERBS
                     # an ORDINARY deverbal noun object stays whole:
                     # "saw the break in the clouds" must not split —
                     # a determiner/adjective-article directly before
                     # the candidate verb marks it as the NP head
-                    and tok[obj_span[1] - 2]["tag"] not in ("DT", "PDT",
-                                                            "PRP$")):
-                sc_verb = tok[obj_span[1] - 1]
+                    and tok[_sc_end - 2]["tag"] not in ("DT", "PDT",
+                                                        "PRP$")):
+                sc_verb = tok[_sc_end - 1]
                 sc_pair = None
-                if obj_span[1] < len(code) and code[obj_span[1]] == "P":
+                if (_sc_end == obj_span[1] and obj_span[1] < len(code)
+                        and code[obj_span[1]] == "P"):
                     sc_obj = next((sp for sp in nps
                                    if sp[0] == obj_span[1] + 1), None)
                     if sc_obj is not None:
                         sc_pair = (tok[obj_span[1]], sc_obj)
-                obj_span = (obj_span[0], obj_span[1] - 1)
+                obj_span = (obj_span[0], _sc_end - 1)
                 if sc_pair is not None:
                     small_clause = (sc_verb, sc_pair[0], sc_pair[1])
             s_toks = (list(tok[k] for k in range(*subj_span))
@@ -1518,11 +1965,35 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 and any(t["text"].lower() in be_forms for t in v_toks)
             )
             if passive:
-                s_toks, o_toks = o_toks, s_toks
-                # only the LAST participle is the content predicate:
-                # "has been founded by X" -> pred "founded", not "been founded"
-                # ("been" is itself tagged VBN)
-                v_toks = [t for t in v_toks if t["tag"] == "VBN"][-1:]
+                # invert to agent-active orientation only when the
+                # agent is a NAMED entity or person pronoun ("was
+                # founded by Alice Johnson" -> <Alice Johnson> founded
+                # <Acme Corp> — the KG-normal form); a common-noun
+                # agent keeps the SURFACE orientation ("the windows
+                # were blocked by old-fashioned shutters", "the
+                # leather is scored by six almost parallel cuts"),
+                # where the stative reading dominates
+                if (any(t["tag"].startswith("NNP")
+                        or t["text"].lower() in ("him", "her", "me",
+                                                 "us", "them",
+                                                 "someone", "somebody",
+                                                 "anyone", "everybody",
+                                                 "everyone")
+                        for t in o_toks)
+                        # eventive participles invert even with a
+                        # common-noun agent ("the impression was
+                        # suggested by his whole appearance")
+                        or any(t["tag"] == "VBN"
+                               and t["text"].lower()
+                               in _EVENTIVE_PASSIVES
+                               for t in v_toks)):
+                    s_toks, o_toks = o_toks, s_toks
+                    # only the LAST participle is the content
+                    # predicate: "has been founded by X" -> pred
+                    # "founded" ("been" is itself tagged VBN)
+                    v_toks = [t for t in v_toks if t["tag"] == "VBN"][-1:]
+                else:
+                    passive = False
             # displaced agent passive: "<subj> BE (RB) VBN <particle/
             # complement> by <agent>" — the particle/complement keeps
             # "by" outside the verb group, so the VP-final-by inversion

@@ -62,7 +62,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 157
+    assert len(data) == 168
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -98,52 +98,61 @@ def test_open_text_triple_precision_recall():
 
 
 def test_open_text_triple_heldout():
-    """GENERALIZATION floor: 69 never-tuned sherlock sentences labeled
+    """GENERALIZATION floor, r7 pool: 91 never-tuned sentences labeled
     blind AFTER the corresponding guard grammar froze
-    (tests/goldens/open_text_triples_heldout.json): 57 survivors of
-    the earlier tranches plus a 12-sentence fifth tranche
-    (noble-bachelor narrative, ~430kB offset, labeled blind from the
-    raw text before the extractor ever ran on it) added after the
-    THIRD r6 guard batch; the 6 sentences whose failures drove that
-    batch migrated to the tuned set per the migration rule. Measured
-    r6.3 on this pool (first run): P = 0.8105 (77/95), R = 0.8953
-    (77/86) — below the tuned-set 0.878/0.878, which is the point:
-    the tuned figure overstates open-text quality exactly as
-    train==test tagger accuracy does, and THIS number is the honest
-    one. Floors a few points under the measurement (second-batch
-    floors were 0.77/0.80 at measured 0.8046/0.8434; first-batch
-    0.72/0.76 at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728).
-    Remaining error mass (r7 worklist): plain-passive orientation
-    when gold keeps surface-by ("were blocked by"), whom-relative
-    content, em-dash appositive run-ons, intransitive+adverb FPs
-    ("was howling outside"), are-to-be futures. Tune on the TUNED
-    set; if a change is driven by a held-out failure, the affected
-    sentences must migrate into the tuned set."""
+    (tests/goldens/open_text_triples_heldout.json): 58 survivors of
+    tranches 1-5 (the 11 sentences whose failures drove the r7 guard
+    batch migrated to the tuned set per the migration rule), plus an
+    18-sentence sixth sherlock tranche (~500kB offset, never before
+    sampled) AND a 15-sentence reddit_product web-text tranche — the
+    first OUT-OF-DISTRIBUTION register in the pool (r6 ADVICE #3),
+    both hand-labeled blind from the raw text before the extractor
+    ever ran on them. Measured r7 first-run on this pool: overall
+    P = 0.7872 (111/141), R = 0.8740 (111/127); by register:
+    sherlock P = 0.8818 / R = 0.8981 (vs r6.3's 0.8105/0.8953 —
+    the r7 tagger-OOV + guard batch moved the in-register number),
+    reddit OOD P = 0.4516 / R = 0.7368 — the honest modern-web
+    number, and the r8 worklist: cognition-frame subjects across
+    contractions ("it's"), lowercase-"i" subjects, question-sentence
+    suppression, like-clause frames, same-segment object sharing
+    over intransitives ("had stood and talked with a man").
+    History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
+    second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
+    at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
+    TUNED set; if a change is driven by a held-out failure, the
+    affected sentences must migrate into the tuned set."""
     heldout = Path(__file__).parent / "goldens" / \
         "open_text_triples_heldout.json"
     from prose_spark.operators.annotate import annotate_document
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 69
-    n_pred = n_pred_match = n_gold = n_gold_match = 0
+    assert len(data) == 91
+    stats = {}  # register -> [pred, pred_match, gold, gold_match]
     for e in data:
+        reg = ("reddit" if e.get("src", "").startswith("reddit")
+               else "sherlock")
+        st = stats.setdefault(reg, [0, 0, 0, 0])
         _, toks, _ = annotate_document(e["sent"])
         pred = [(t["subj"], t["pred"], t["obj"])
                 for t in extract_triples_doc(toks)]
         gold = [tuple(x) for x in e["gold"]]
-        n_pred += len(pred)
-        n_gold += len(gold)
-        n_pred_match += sum(
+        st[0] += len(pred)
+        st[2] += len(gold)
+        st[1] += sum(
             any(_tri_match(p, g) for g in gold) for p in pred)
-        n_gold_match += sum(
+        st[3] += sum(
             any(_tri_match(p, g) for p in pred) for g in gold)
-    precision = n_pred_match / n_pred
-    recall = n_gold_match / n_gold
-    assert precision >= 0.78, (
-        f"held-out precision {precision:.4f} ({n_pred_match}/{n_pred})")
-    assert recall >= 0.86, (
-        f"held-out recall {recall:.4f} ({n_gold_match}/{n_gold})")
+    # per-register floors a few points under the r7 first-run
+    # measurement (sherlock 0.8818/0.8981, reddit OOD 0.4516/0.7368)
+    floors = {"sherlock": (0.84, 0.86), "reddit": (0.40, 0.65)}
+    for reg, (pf, rf) in floors.items():
+        np_, nm, ng, ngm = stats[reg]
+        precision, recall = nm / np_, ngm / ng
+        assert precision >= pf, (
+            f"held-out {reg} precision {precision:.4f} ({nm}/{np_})")
+        assert recall >= rf, (
+            f"held-out {reg} recall {recall:.4f} ({ngm}/{ng})")
 
 
 def test_smallclause_split_spares_deverbal_nouns():
