@@ -599,6 +599,12 @@ class PerceptronTagger:
         t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"],
                 morph=a.get("morph"), tag_dict=a.get("tag_dict"))
         t.tag_dict_penalty = a.get("tag_dict_penalty", 1.0)
+        # overlay any closed-class entries added AFTER the artifact was
+        # trained (idempotent for entries already baked in at train
+        # time — setdefault never overrides a trained mapping)
+        for w, tg in CLOSED_CLASS_OOV.items():
+            t.tag_map.setdefault(w, tg)
+            t.tag_map.setdefault(w.capitalize(), tg)
         t.model.finalize()
         return t
 
@@ -616,6 +622,11 @@ CLOSED_CLASS_OOV = {
     "amongst": "IN", "amidst": "IN", "whilst": "IN",
     "atop": "IN", "unto": "IN",
     "thou": "PRP", "thee": "PRP", "thy": "PRP$", "thine": "PRP$",
+    # informal web register (r7): uncapitalized first-person pronoun
+    # ("the snus i have been using") — WSJ training text never
+    # lowercases it, so it is OOV and the suffix prior cannot help a
+    # one-letter word
+    "i": "PRP",
 }
 
 _DEFAULT: PerceptronTagger | None = None

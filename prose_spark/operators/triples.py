@@ -249,7 +249,7 @@ _PARTICLE_OBJECTS = frozenset(("round", "aside", "forth"))
 # onto the object); "round"/"about" are particle variants of the same
 # glue ("wrapped a shawl round me" -> object "shawl round")
 _TRAILING_ADV_NOUNS = frozenset(("before", "after", "since", "ago",
-                                 "too", "also", "then", "now",
+                                 "too", "also", "then", "now", "such",
                                  # mistagged-NN accusative pronouns
                                  # glued onto an NP tail ("my arms
                                  # round her" -> her/NN): a pronoun
@@ -311,6 +311,27 @@ def _verb_only_surface(word: str) -> bool:
             except Exception:
                 pass
         _VERB_ONLY_CACHE[word] = v
+    return v
+
+
+_ADJ_CAPABLE_CACHE: dict[str, bool] = {}
+
+
+def _adj_capable_surface(word: str) -> bool:
+    """True when the tagger's training tag dictionary lists JJ among
+    the surface's observed tags ("advanced" -> {VBD, JJ, VBN})."""
+    v = _ADJ_CAPABLE_CACHE.get(word)
+    if v is None:
+        v = False
+        try:
+            from prose_spark.nlp.tagger import default_tagger
+
+            td = default_tagger().tag_dict
+            if td:
+                v = "JJ" in td.get(word, ())
+        except Exception:
+            pass
+        _ADJ_CAPABLE_CACHE[word] = v
     return v
 
 
@@ -444,7 +465,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (c == "N" and k > 0 and k + 1 < len(code_l)
                     and tok[k - 1]["text"].lower() in ("and", "or")
                     and tok[k]["text"].islower()
-                    and code_l[k + 1] in "DJNSV"
+                    and code_l[k + 1] in "DJNSVP"
                     and _verb_only_surface(tok[k]["text"].lower())):
                 j = k - 2
                 while j >= 0 and tok[j]["text"] not in (",", ";", ":"):
@@ -468,6 +489,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 or tok[j]["text"].lower()
                                 == "whichever")):
                     code_l[k] = "V"
+            # an adjective-capable participle directly between a
+            # finite verb and a nominal is a PREMODIFIER the tagger
+            # ran into the verb group ("learn advanced/VBD care
+            # techniques"): recode J so the NP keeps its full span
+            elif (c == "V" and tok[k]["tag"] in ("VBD", "VBN")
+                    and k > 0 and k + 1 < len(code_l)
+                    and tok[k - 1]["tag"] in ("VB", "VBP", "VBZ")
+                    and code_l[k + 1] in "NJ"
+                    and _adj_capable_surface(tok[k]["text"].lower())):
+                code_l[k] = "J"
             # an OOV -ly surface the tagger called NN is a manner
             # adverb ("my companion speedily/NN overtook"): only
             # out-of-vocabulary words recode — in-vocabulary -ly nouns
@@ -479,10 +510,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 code_l[k] = "R"
             # an -ed surface the tagger called JJ right after a verb
             # group's adverb run is the group's participle ("has very
-            # carelessly scraped/JJ round the edges")
+            # carelessly scraped/JJ round the edges"); OOV -ed
+            # surfaces qualify too — the JJ came from the suffix
+            # prior, not from evidence
             elif (c == "J" and tok[k]["text"].islower()
                     and tok[k]["text"].lower().endswith("ed")
-                    and _verb_only_surface(tok[k]["text"].lower())):
+                    and (_verb_only_surface(tok[k]["text"].lower())
+                         or _oov_surface(tok[k]["text"].lower()))):
                 j = k - 1
                 while j >= 0 and code_l[j] == "R":
                     j -= 1
@@ -707,6 +741,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if (np_b is not None and np_b[0] > 0
                         and tok[np_b[0] - 1]["text"].lower() == "of"):
                     return True
+            # a "without/of/by + VBG" gerund group is nonfinite even
+            # when an inner -ed form was tagged VBD ("died without
+            # having recovered/VBD her consciousness")
+            if (vs > 0 and tok[vs]["tag"] == "VBG"
+                    and tok[vs - 1]["text"].lower()
+                    in ("without", "of", "by")
+                    and "MD" not in vtags):
+                return True
             if ("MD" in vtags
                     or any(t in ("VB", "VBD", "VBP", "VBZ") for t in vtags)
                     or not verb_tags
@@ -947,6 +989,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and any(t.lower() in _BE_FORMS for t in vtexts)):
                 prev_vp = None
                 continue
+            # a MODAL bare copula with a plain NP complement is
+            # speculation, not an asserted identity ("this might be
+            # the maid and her sweetheart"); modal passives keep
+            # ("may safely be trusted", "could hardly have been less
+            # than" — a VBN in the group marks them)
+            _mb = ve
+            while _mb < len(code) and code[_mb] == "R":
+                _mb += 1
+            if ("MD" in [tok[k]["tag"] for k in range(vs, ve)]
+                    and any(t.lower() in ("be", "been")
+                            for t in vtexts)
+                    and not any(tok[k]["tag"] == "VBN"
+                                for k in range(vs, ve))
+                    and any(t.lower() in ("might", "may", "could")
+                            for t in vtexts)
+                    # adjectival complements are asserted dispositions
+                    # and keep ("may be interested in this")
+                    and not (_mb < len(code) and code[_mb] == "J")):
+                prev_vp = None
+                continue
             # SENTENCE-INITIAL "when"-clause content is a habitual/
             # temporal frame, not an assertion ("When I hear you give
             # your reasons, I remarked ..."); a mid-sentence when-
@@ -1018,6 +1080,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                             # extended ..., and which were trimmed ...")
                             # — wh-tokens ride along in the gap
                             or tok[k]["tag"].startswith("W")
+                            # trailing manner adverbs ride too
+                            # ("closed the window rapidly and told")
+                            or code[k] == "R"
                             for k in range(nearest[1], vs))
                     and (any(tok[k]["text"].lower()
                              in ("and", "or")
@@ -1213,6 +1278,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         == "it"):
                     prev_vp = None
                     continue
+            # "like"-clause content is a simile/impression frame, not
+            # an assertion ("it felt like my heart was going to
+            # explode"); the scan walks over possessive determiners
+            _lk = subj_span[0] - 1
+            while _lk >= 0 and tok[_lk]["tag"] in ("PRP$", "DT", "PDT"):
+                _lk -= 1
+            if (not rebound and not shared and _lk >= 0
+                    and tok[_lk]["text"].lower() == "like"
+                    and tok[_lk]["tag"] == "IN"):
+                prev_vp = None
+                continue
             # coordinated conjunct of a "with"-absolutive: in "with
             # his head sunk upon his chest and his hands clasped
             # behind him", the second conjunct's NP+participle is
@@ -1298,7 +1374,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     j = _start - 1
                     while j > 0 and code[j] in "JV":
                         j -= 1
-                    if tok[j]["text"].lower() != "of":
+                    # "of" chains, plus NP-internal locative "in"/"on"
+                    # ("the gentleman in the pew handed it up",
+                    # "impressions on one side showed that ...")
+                    if tok[j]["text"].lower() not in ("of", "in", "on"):
                         break
                     _prev_np = next((sp for sp in nps
                                      if sp[1] == j), None)
@@ -1477,12 +1556,20 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # of her sex") and don't block
                 # (attribution interruptions are transparent: '"Then I
                 # must begin," said he, "by binding you both"' keeps
-                # its object across the said-he parenthetical)
-                if any(k in vp_starts and n_commas(ve, k) > 0
-                       and tok[k]["text"].lower()
-                       not in _NARRATION_VERBS
-                       for k in range(ve, s)):
-                    return False
+                # its object across the said-he parenthetical). A
+                # same-segment verb DOES claim the NP when a
+                # preposition binds them ("had stood and talked with a
+                # man": "with" attaches the NP to "talked", so "stood"
+                # stays objectless)
+                for k in range(ve, s):
+                    if (k not in vp_starts
+                            or tok[k]["text"].lower()
+                            in _NARRATION_VERBS):
+                        continue
+                    if n_commas(ve, k) > 0:
+                        return False
+                    if any(code[k2] == "P" for k2 in range(k, s)):
+                        return False
                 if is_be_head and any(
                     t["text"].lower() in _BE_CROSS_BLOCKERS
                     or t["tag"] == "WRB"
@@ -1531,7 +1618,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # and plain verb governors keep theirs ("we have
                 # three days").
                 head = tok[e - 1]["text"].lower().rstrip("s")
-                if head in _TEMPORAL_NOUNS:
+                if head in _TEMPORAL_NOUNS or head == "way":
                     gov = tok[s - 1]["text"].lower() if s > 0 else ""
                     nxt = tok[e]["text"].lower() if e < len(tok) else ""
                     pure = all(
@@ -1540,9 +1627,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         or tok[k]["text"].lower() in _NUMBER_WORDS
                         for k in range(s, e - 1))
                     if (pure and nxt not in ("when", "that")
-                            and (gov in _TEMPORAL_PREPS
+                            and ((gov in _TEMPORAL_PREPS
+                                  and head != "way")
                                  or tok[s]["text"].lower()
-                                 in ("every", "each")
+                                 in ("every", "each", "both")
                                  or (head == "time"
                                      and any(tok[k]["text"].lower()
                                              in _MEASURE_QUANTIFIERS
@@ -1553,6 +1641,61 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if (head == "course" and s > 0
                         and tok[s - 1]["text"].lower() == "in"):
                     return False
+                # a deictic-adverb-anchored temporal span is a frame
+                # ("were here this past summer"): walk determiners/
+                # adjectives back to the governor
+                if head in _TEMPORAL_NOUNS:
+                    _gv = s - 1
+                    while (_gv >= 0 and tok[_gv]["tag"]
+                           in ("DT", "PDT", "JJ")):
+                        _gv -= 1
+                    if (_gv >= 0
+                            and tok[_gv]["text"].lower()
+                            in ("here", "there")):
+                        return False
+                # "a lot" is a measure adverbial, not an object
+                # ("I sweated a lot")
+                if (e - s <= 2 and tok[e - 1]["text"].lower() == "lot"
+                        and (tok[s]["text"].lower() == "a"
+                             or (s > 0 and tok[s - 1]["text"].lower()
+                                 == "a"))):
+                    return False
+                # a sensory/become copula with a single adjective-
+                # capable complement the tagger called NN predicates a
+                # state, not a relation ("felt sick", "get too
+                # Byzantine" — degree "too" marks the adjectival
+                # reading even for OOV complements)
+                if (e - s == 1 and head_verb is not None
+                        and head_verb["text"].lower()
+                        in ("feel", "feels", "felt", "get", "gets",
+                            "got", "grew", "grow", "grows", "look",
+                            "looks", "looked", "seem", "seems",
+                            "seemed", "sound", "sounds", "sounded")
+                        and (_adj_capable_surface(
+                                tok[s]["text"].lower())
+                             or tok[ve - 1]["text"].lower() == "too")):
+                    return False
+                # a copular ADJECTIVE followed by a LOCATIVE PP
+                # predicates a situated property, not a relation ("I
+                # was safe in my backwoods area"); argument PPs keep
+                # ("were abhorrent to his mind")
+                if is_be_head:
+                    _ja = ve
+                    while _ja < len(code) and code[_ja] == "R":
+                        _ja += 1
+                    if (_ja < s and code[_ja] == "J"
+                            and s > 0 and tok[s - 1]["tag"] == "IN"
+                            and tok[s - 1]["text"].lower()
+                            in ("in", "at", "on", "near", "inside",
+                                "outside")
+                            # in-ARGUMENT adjectives keep their PP
+                            # ("are interested in these problems")
+                            and tok[_ja]["text"].lower()
+                            not in ("interested", "involved",
+                                    "engaged", "rich", "absorbed",
+                                    "immersed", "versed", "wrapped",
+                                    "confident", "fluent")):
+                        return False
                 # a pronoun after a trailing TEMPORAL CONJUNCTION the
                 # VP-regex mistook for an object-attaching preposition
                 # is the subordinate clause's subject ("put on seven
@@ -1576,16 +1719,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # the verb's object is the fronted antecedent GAP — a
                 # PP-attached NP inside the clause is adverbial, never
                 # the object ("signs ... which I merely shared with
-                # all the readers"). Direct (P-less) NPs stay: "the
+                # all the readers"). Direct (P-less) NPs stay — "the
                 # title by which I have just called myself" keeps
-                # "myself" (pied-piped relatives are not object gaps).
+                # "myself" whether or not the relative is pied-piped,
+                # because only P-governed candidates are rejected
+                # ("of whom you had already spoken to me" drops "me").
                 if (not rebound and not shared and subj_span is not None
                         and subj_span[0] > 0
                         and tok[subj_span[0] - 1]["tag"] in ("WDT", "WP")
                         and tok[subj_span[0] - 1]["text"].lower()
-                        != "who"
-                        and not (subj_span[0] > 1
-                                 and code[subj_span[0] - 2] == "P")):
+                        != "who"):
                     # governor scan walks back over premodifiers the
                     # span regex could not absorb (VBG/quantifier:
                     # "for the reigning/VBG family")
@@ -1671,8 +1814,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         k -= 1
                         steps += 1
                 elif wtok["text"].lower() == "that":
-                    # complementizer-ambiguous: antecedent must abut
+                    # complementizer-ambiguous: antecedent must abut;
+                    # a TEMPORAL antecedent is an adverbial frame, not
+                    # an object gap ("the instant that she was gone")
                     k = wpos - 1
+                    if (k >= 0 and tok[k]["text"].lower().rstrip("s")
+                            in _TEMPORAL_NOUNS):
+                        k = None
                 else:
                     k = None
                 if k is not None:
@@ -1774,8 +1922,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # asserts no pairing ("may confess at once that the title
             # ... is not exactly my own"): keep only affirmative
             # embedded clauses ("has said that she would send it")
-            if any(tok[k]["text"].lower() == "that"
-                   for k in range(ve, obj_span[0])):
+            if (any(tok[k]["text"].lower() == "that"
+                    for k in range(ve, obj_span[0]))
+                    # ELIDED-that complements too: a bare-pronoun
+                    # object abutting the embedded verb ("decides it
+                    # does n't care ...")
+                    or (obj_span[1] - obj_span[0] == 1
+                        and code[obj_span[0]] == "S"
+                        and obj_span[1] in vp_starts)):
                 # the embedded clause asserts nothing if its predicate
                 # is negated; the complement's own verb may sit past an
                 # intervening relative ("that the title by which I have
@@ -1812,6 +1966,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # walk above; rebound/shared subjects legitimately cross
             # their own chain-closing comma / ", and")
             v_toks = [tok[k] for k in range(vs, ve)]
+            # a mistagged particle MEDIATING a following NP folds into
+            # the predicate and yields the NP as object ("scraped
+            # round/NN the edges of the sole")
+            if (obj_span[1] - obj_span[0] == 1
+                    and tok[obj_span[0]]["text"].lower()
+                    in ("round", "about")
+                    and tok[obj_span[0]]["tag"].startswith("NN")
+                    and obj_span[1] < len(code)):
+                _med = next((sp for sp in nps
+                             if sp[0] == obj_span[1]), None)
+                if _med is not None:
+                    v_toks = v_toks + [tok[obj_span[0]]]
+                    obj_span = _med
             # light-verb + particle: "<subj> made it through <NP>" — a
             # bare "it" object immediately followed by a preposition and
             # an NP is an idiom chunk, not the argument; fold "it <prep>"
@@ -1889,12 +2056,27 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                                         "PRP$")):
                 sc_verb = tok[_sc_end - 1]
                 sc_pair = None
-                if (_sc_end == obj_span[1] and obj_span[1] < len(code)
-                        and code[obj_span[1]] == "P"):
-                    sc_obj = next((sp for sp in nps
-                                   if sp[0] == obj_span[1] + 1), None)
-                    if sc_obj is not None:
-                        sc_pair = (tok[obj_span[1]], sc_obj)
+                if _sc_end == obj_span[1] and obj_span[1] < len(code):
+                    if code[obj_span[1]] == "P":
+                        sc_obj = next((sp for sp in nps
+                                       if sp[0] == obj_span[1] + 1),
+                                      None)
+                        if sc_obj is not None:
+                            sc_pair = (tok[obj_span[1]], sc_obj)
+                    else:
+                        # DIRECT small-clause object ("heard a soft
+                        # tread pass his door") — a possessive may
+                        # lead the NP span
+                        sc_obj = next(
+                            (sp for sp in nps
+                             if sp[0] in (obj_span[1],
+                                          obj_span[1] + 1)
+                             and (sp[0] == obj_span[1]
+                                  or tok[obj_span[1]]["tag"]
+                                  == "PRP$")),
+                            None)
+                        if sc_obj is not None:
+                            sc_pair = (None, sc_obj)
                 obj_span = (obj_span[0], _sc_end - 1)
                 if sc_pair is not None:
                     small_clause = (sc_verb, sc_pair[0], sc_pair[1])
@@ -2070,14 +2252,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 _scv, _scp, _sco = small_clause
                 f_toks = phrase(_sco)
                 if f_toks:
+                    _scp_txt = (f" {_scp['text']}"
+                                if _scp is not None else "")
                     out.append(
                         {
                             "sent_idx": si,
                             "subj": " ".join(t["text"] for t in o_toks),
-                            "pred": f"{_scv['text']} {_scp['text']}",
+                            "pred": f"{_scv['text']}{_scp_txt}",
                             "obj": " ".join(t["text"] for t in f_toks),
-                            "pred_norm": (f"{_scv['text'].lower()} "
-                                          f"{_scp['text'].lower()}"),
+                            "pred_norm": (_scv["text"].lower()
+                                          + _scp_txt.lower()),
                             "subj_label": ent_label(o_toks),
                             "obj_label": ent_label(f_toks),
                             "confidence": min(conf(o_toks),

@@ -62,7 +62,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 168
+    assert len(data) == 189
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -81,16 +81,17 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors a few points under the measured r6 values
-    # (P = 0.8819 = 224/254, R = 0.8784 = 224/255 on the 157-sentence
-    # set after the third guard batch, migration rule applied
-    # throughout)
-    assert precision >= 0.86, (
+    # regression floors a few points under the measured r7.2 values
+    # (P = 0.8671 = 274/316, R = 0.8754 = 274/313 on the 189-sentence
+    # set — larger and HARDER than r6's 157: it now holds every
+    # migrated OOD web-register sentence; r6 was P 0.8819/R 0.8784
+    # on 157)
+    assert precision >= 0.84, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.86")
-    assert recall >= 0.86, (
+        f"{n_pred}) regressed below 0.84")
+    assert recall >= 0.84, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
-        f"{n_gold}) regressed below 0.86")
+        f"{n_gold}) regressed below 0.84")
     # the relation-free probes (TOC headers, negated-only sentences)
     # must stay near-silent: spurious triples there are pure noise
     assert header_preds <= 8, (
@@ -98,24 +99,29 @@ def test_open_text_triple_precision_recall():
 
 
 def test_open_text_triple_heldout():
-    """GENERALIZATION floor, r7 pool: 91 never-tuned sentences labeled
-    blind AFTER the corresponding guard grammar froze
-    (tests/goldens/open_text_triples_heldout.json): 58 survivors of
-    tranches 1-5 (the 11 sentences whose failures drove the r7 guard
-    batch migrated to the tuned set per the migration rule), plus an
-    18-sentence sixth sherlock tranche (~500kB offset, never before
-    sampled) AND a 15-sentence reddit_product web-text tranche — the
-    first OUT-OF-DISTRIBUTION register in the pool (r6 ADVICE #3),
-    both hand-labeled blind from the raw text before the extractor
-    ever ran on them. Measured r7 first-run on this pool: overall
-    P = 0.7872 (111/141), R = 0.8740 (111/127); by register:
-    sherlock P = 0.8818 / R = 0.8981 (vs r6.3's 0.8105/0.8953 —
-    the r7 tagger-OOV + guard batch moved the in-register number),
-    reddit OOD P = 0.4516 / R = 0.7368 — the honest modern-web
-    number, and the r8 worklist: cognition-frame subjects across
-    contractions ("it's"), lowercase-"i" subjects, question-sentence
-    suppression, like-clause frames, same-segment object sharing
-    over intransitives ("had stood and talked with a man").
+    """GENERALIZATION floor, r7.2 pool: 91 never-tuned sentences
+    labeled blind AFTER the corresponding guard grammar froze
+    (tests/goldens/open_text_triples_heldout.json): 70 survivors of
+    tranches 1-6 plus a 21-sentence seventh tranche (10 sherlock
+    @~545kB + 11 reddit), each tranche hand-labeled blind from the
+    raw text before the extractor ever ran on it.
+
+    r7 ran the protocol TWICE. Tranche 6 (18 sherlock @500kB + 15
+    reddit_product — the first OUT-OF-DISTRIBUTION register, r6
+    ADVICE #3) measured first-run sherlock P 0.8818 / R 0.8981 (vs
+    r6.3's 0.8105/0.8953) and reddit OOD P 0.4516 / R 0.7368 — the
+    honest modern-web number that motivated the second guard batch
+    (web contractions, lowercase-i, elided-that negation, modal-
+    copula speculation, like-frames, P-attached object blocking).
+    Its failing sentences migrated to the tuned set; tranche 7 then
+    measured first-run sherlock-fresh P 0.6667 / R 0.9091 and
+    reddit-fresh P 0.6250 / R 0.8333 (after a 2-relation
+    convention-consistency label pass) — OOD precision roughly
+    doubled tranche-over-tranche. Pool-level register scores:
+    sherlock 0.9495/0.9895, reddit 0.7273/0.8889. r8 worklist:
+    negated-cognition-frame complements ("don't think that the
+    Taliban are ..."), NP-abutting-later-verb objects ("strolled up
+    ... Mr. Rucastle came"), ditransitive gave-me objects.
     History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
     second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
     at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
@@ -143,9 +149,9 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for g in gold) for p in pred)
         st[3] += sum(
             any(_tri_match(p, g) for p in pred) for g in gold)
-    # per-register floors a few points under the r7 first-run
-    # measurement (sherlock 0.8818/0.8981, reddit OOD 0.4516/0.7368)
-    floors = {"sherlock": (0.84, 0.86), "reddit": (0.40, 0.65)}
+    # per-register floors a few points under the r7.2 pool-level
+    # measurement (sherlock 0.9495/0.9895, reddit OOD 0.7273/0.8889)
+    floors = {"sherlock": (0.90, 0.94), "reddit": (0.65, 0.80)}
     for reg, (pf, rf) in floors.items():
         np_, nm, ng, ngm = stats[reg]
         precision, recall = nm / np_, ngm / ng
