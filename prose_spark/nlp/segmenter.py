@@ -14,6 +14,14 @@ documents publicly) plus prose's overrides:
   ortho/frequent-starter re-break heuristics (segment.go:183-299);
 - supervised abbreviations ``sgt gov no mt`` (segment.go:111).
 
+Two documented extensions BEYOND segment.go (both close held-out error
+classes the reference also gets wrong; see test_segmenter_heldout):
+
+- dialogue-attribution unbreak: quote-final ?/! + capitalized subject +
+  reporting verb stays one sentence ('"Seven!" I answered.');
+- nested-quote close: ``.'`` followed by a new quote opening on a capital
+  is a boundary (the upstream ender list has ``?'``/``!'`` but not ``.'``).
+
 The punkt parameter table (abbreviations, orthographic contexts, frequent
 sentence starters) is trained by scripts/train_punkt.py on the reference's
 fixture corpora + a curated seed abbreviation list, because the upstream
@@ -50,6 +58,45 @@ RE_ABBR = re.compile(r"(?:[\w]\.)+[\w]*\.")
 RE_LOOKS_LIKE_ELLIPSIS = re.compile(r"(?:\.\s?){2,}\.")
 
 _SPAN_RE = re.compile(r"\S+")
+
+# Reporting (quotative) verbs — the standard closed class English style
+# guides use for dialogue attribution ("..." said X / "..." X said). Surface
+# forms (past + 3sg + base) generated from the public closed-class lemma
+# list, NOT tuned on any corpus. Used by the attribution unbreak below.
+_REPORTING_LEMMAS = (
+    "say ask answer reply cry exclaim shout whisper murmur mutter remark "
+    "observe continue add return respond retort interpose interject demand "
+    "insist suggest note state declare admit agree object protest urge "
+    "plead gasp groan sigh laugh call yell scream snap growl stammer "
+    "repeat begin conclude echo ejaculate inquire enquire query venture "
+    "assent announce"
+).split()
+
+
+def _verb_forms(lemmas):
+    forms = set()
+    for lem in lemmas:
+        forms.add(lem)
+        forms.add(lem + "s")
+        if lem.endswith("e"):
+            forms.add(lem + "d")
+        elif lem.endswith("y") and lem[-2] not in "aeiou":
+            forms.add(lem[:-1] + "ied")
+            forms.add(lem[:-1] + "ies")
+            forms.discard(lem + "s")
+        else:
+            forms.add(lem + "ed")
+            if (len(lem) >= 3 and lem[-1] not in "aeiouwxy"
+                    and lem[-2] in "aeiou" and lem[-3] not in "aeiou"):
+                forms.add(lem + lem[-1] + "ed")  # snap -> snapped
+    # irregular pasts of the closed class
+    forms |= {"said", "began"}
+    return frozenset(forms)
+
+
+REPORTING_VERB_FORMS = _verb_forms(_REPORTING_LEMMAS)
+
+_QUOTE_CLOSERS = '"\'’”'
 
 SENT_ENDERS = (
     '."', ".)", ".’", ".”",
@@ -248,6 +295,21 @@ class PunktSegmenter:
                 t2.sentbreak = False
                 continue
 
+            # nested-quote close (beyond segment.go): the upstream ender
+            # list has ?' and !' but omits .' — a period + straight single
+            # closing quote followed by a NEW quote opening on a capital is
+            # a boundary ("...would apply.' "'Not so many...'").
+            if (
+                t1.tok.endswith(".'")
+                and not t1.tok.endswith("..'")
+                and len(t1.tok) > 2
+                and t2.tok[:1] in _QUOTE_CLOSERS
+            ):
+                alpha = next((c for c in t2.tok if c.isalpha()), "")
+                if alpha.isupper():
+                    t1.sentbreak = True
+                    continue
+
             next_typ = None
             is_non_break = t1.tok.endswith(".") and not t1.sentbreak
             is_ellipsis = bool(RE_LOOKS_LIKE_ELLIPSIS.search(t1.tok))
@@ -264,6 +326,24 @@ class PunktSegmenter:
                     if t2.first_lower and not is_starter:
                         t1.sentbreak = False
                         continue
+                    # dialogue attribution (beyond segment.go): a quote
+                    # closed by ?/! followed by a capitalized subject and a
+                    # reporting verb stays attached ('"Seven!" I answered.',
+                    # '"Quite so!" Holmes said.') — the capitalized subject
+                    # carries no boundary evidence when the next word is a
+                    # quotative verb.
+                    if (
+                        len(t1.tok) >= 2
+                        and t1.tok[-1] in _QUOTE_CLOSERS
+                        and t1.tok[-2] in "?!"
+                        and t2.first_upper
+                        and i + 2 < len(toks)
+                    ):
+                        t3 = toks[i + 2]
+                        w3 = t3.tok.rstrip(".,;:!?\"'’”").lower()
+                        if w3 in REPORTING_VERB_FORMS:
+                            t1.sentbreak = False
+                            continue
                 if is_non_break and t2.first_upper:
                     if ortho.get(next_typ, 0) & ORTHO_LC:
                         t1.sentbreak = True

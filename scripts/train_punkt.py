@@ -13,7 +13,18 @@ procedure:
 2. bootstrap segmentation of the corpus with those abbreviations to
    accumulate orthographic-context flags per word type;
 3. frequent-sentence-starter detection by collocational log-likelihood
-   (threshold 30, ratio test).
+   (threshold 30, ratio test);
+4. collocation detection (Kiss & Strunk 4.1.2): adjacent pairs whose first
+   token is a period-final abbreviation/initial/number and whose pairwise
+   log-likelihood >= 7.88 (the paper's threshold) become known
+   collocations — direct evidence that the period is NOT a boundary, which
+   the segmenter consults before the frequent-starter re-break (so a
+   corpus where "Holmes" often starts sentences still keeps "Mr. Holmes"
+   together). We implement the paper's heuristic directly; NLTK's
+   implementation additionally skips pairs whose second type is a frequent
+   starter, but for abbreviation-anchored pairs that skip inverts the
+   evidence order (the pairwise statistic is strictly more specific than
+   the type-level starter prior), so we follow the paper.
 
 Corpus: sherlock.txt + article.txt + treebank_sents.json + a small curated
 supplement (plain English sentences written for ortho-statistics coverage
@@ -143,16 +154,29 @@ def detect_abbrevs(tokens: list[str]) -> set[str]:
 
 
 def accumulate_stats(text: str, seg: PunktSegmenter):
-    """Bootstrap-annotate the corpus, collect ortho flags + starter counts."""
+    """Bootstrap-annotate the corpus, collect ortho flags + starter counts +
+    collocation-candidate pair counts (K&S 4.1.2)."""
     starter_count: Counter[str] = Counter()
     type_count: Counter[str] = Counter()
     flag_count: Counter[tuple[str, int]] = Counter()
+    colloc_count: Counter[tuple[str, str]] = Counter()
     n_breaks = 0
 
     for para in text.split("\n\n"):
         if not para.strip():
             continue
         toks = seg.annotate(para)
+        for i, t1 in enumerate(toks[:-1]):
+            # candidate pairs: period-final abbreviation / initial / number
+            # followed by a word token (NLTK's INCLUDE_ABBREV_COLLOCS shape)
+            if t1.period_final and (
+                t1.abbr or t1.is_initial or t1.typ == "##number##"
+            ):
+                t2 = toks[i + 1]
+                typ1 = t1.type_no_period
+                typ2 = t2.type_no_sentperiod
+                if typ1[:1].isalnum() and typ2[:1].isalnum():
+                    colloc_count[(typ1, typ2)] += 1
         pos = "initial"  # paragraph start = sentence start
         prev_break = True
         for t in toks:
@@ -190,7 +214,7 @@ def accumulate_stats(text: str, seg: PunktSegmenter):
         if flag == ORTHO_MID_UC and c / type_count[typ] < 0.05:
             continue
         ortho_flags[typ] = ortho_flags.get(typ, 0) | flag
-    return ortho_flags, starter_count, type_count, n_breaks
+    return ortho_flags, starter_count, type_count, n_breaks, colloc_count
 
 
 def main() -> None:
@@ -212,7 +236,8 @@ def main() -> None:
     # bootstrap pass with abbrevs only
     params = PunktParameters(abbrev_types=abbrevs)
     seg = PunktSegmenter(params)
-    ortho_flags, starter_count, type_count, n_breaks = accumulate_stats(text, seg)
+    ortho_flags, starter_count, type_count, n_breaks, _ = accumulate_stats(
+        text, seg)
 
     # frequent sentence starters (punkt 4.1.3)
     N = sum(type_count.values())
@@ -235,13 +260,30 @@ def main() -> None:
     starters = {t for t in starters if not ortho_flags.get(t, 0) & ORTHO_MID_LC}
     print(f"sent starters: {len(starters)} = {sorted(starters)}")
 
-    # second pass with starters in place to refine ortho stats
+    # second pass with starters in place to refine ortho stats and collect
+    # collocation-candidate counts over the better annotation
     params = PunktParameters(
         abbrev_types=abbrevs, sent_starters=starters, ortho_context=ortho_flags
     )
     seg = PunktSegmenter(params)
-    ortho_flags, starter_count, type_count, n_breaks = accumulate_stats(text, seg)
+    ortho_flags, starter_count, type_count, n_breaks, colloc_count = \
+        accumulate_stats(text, seg)
     params.ortho_context = ortho_flags
+
+    # collocation detection (K&S 4.1.2): LL >= 7.88 + frequency/ratio tests
+    N = sum(type_count.values())
+    collocations: set[str] = set()
+    for (typ1, typ2), c_ab in colloc_count.items():
+        c1 = type_count.get(typ1, 0) + type_count.get(typ1 + ".", 0)
+        c2 = type_count.get(typ2, 0) + type_count.get(typ2 + ".", 0)
+        if c_ab < 2 or c1 <= 1 or c2 <= 1 or c_ab > min(c1, c2):
+            continue
+        ll = col_log_likelihood(c1, c2, c_ab, N)
+        if ll >= 7.88 and N / c1 > c2 / c_ab:
+            collocations.add(typ1 + "+" + typ2)
+    params.collocations = collocations
+    print(f"collocations: {len(collocations)} = "
+          f"{sorted(collocations)[:40]}{'...' if len(collocations) > 40 else ''}")
 
     out = MODELS_DIR / "punkt_params.json"
     params.save(out)

@@ -189,26 +189,25 @@ def test_empty_and_whitespace():
 
 
 def test_segmenter_heldout():
-    """GENERALIZATION floor (r6, symmetry with the tagger/triples
-    held-out protocol): 45 hand-labeled sentence boundaries over six
-    verbatim sherlock.txt passages (tests/goldens/segmenter_heldout.json)
-    chosen for boundary hazards — attribution after quote-final ?/!,
-    '--interjection!' runs, nested single quotes, Mr./Dr. + proper
-    names, semicolon lists. Labels were written BLIND (before running
-    the segmenter) and never drove a rule or training decision; punkt's
-    unsupervised training saw this raw TEXT (train_punkt.py), which is
-    the standard Kiss-Strunk protocol — the held-out property is about
-    the boundary LABELS. Measured at freeze (r6): sentence-exact
-    P = 0.8511 (40/47), R = 0.8889 (40/45), F1 = 0.870 — recorded in
-    BASELINE.md next to the golden-rule number, which this corrects for
-    exactly as train==test tagger accuracy is corrected by its held-out
-    split. Floors a few points under the measurement. Remaining error
-    mass (r7 worklist): frequent-sentence-starter override of known
-    abbreviations ('Mr. Sherlock', 'Mr. Holmes' — a training-corpus
-    artifact: both words start many sherlock sentences), attribution
-    after exclamation-quote ('"Seven!" I answered.'), nested-quote
-    boundary (".' \"'"). Any fix driven by these passages must migrate
-    them out of this set per the held-out protocol."""
+    """GENERALIZATION floor (r6 protocol, r7 pool v2): 53 hand-labeled
+    sentence boundaries over eight passages — two r6 survivors
+    (dossier_interjections, von_kramm: they drove no fix), four fresh
+    sherlock passages from previously-unused regions (offsets
+    123k/150k/215k — attribution after !-quote, interrupted em-dash
+    quotes, 'K. K. K.' initials, nested-single-quote inquest dialogue,
+    Mr. + name) and two reddit web-register OOD passages (ellipsis
+    run-ons, 'U.S. populace', 'etc...)' parentheticals). Labels were
+    written BLIND (before running the segmenter on these passages) and
+    never drove a rule or training decision; punkt's unsupervised
+    training saw sherlock raw TEXT (train_punkt.py), which is the
+    standard Kiss-Strunk protocol — the held-out property is about the
+    boundary LABELS. History: r6 pool measured P 0.8511 / R 0.8889; the
+    r7 fixes (Kiss-Strunk 4.1.2 collocation learning in the trainer,
+    dialogue-attribution unbreak, nested-quote close) took the r6 pool
+    to 45/45, its four driving passages migrated to
+    segmenter_migrated.json per the protocol, and this fresh pool
+    measured FIRST-RUN P = 1.000 / R = 1.000 (53/53). Floors set a few
+    points under the measurement."""
     import json
     import re
     from collections import Counter
@@ -219,7 +218,7 @@ def test_segmenter_heldout():
     gold_path = Path(__file__).parent / "goldens" / \
         "segmenter_heldout.json"
     doc = json.loads(gold_path.read_text())
-    assert len(doc["passages"]) == 6
+    assert len(doc["passages"]) == 8
 
     def norm(s):
         return re.sub(r"\s+", " ", s).strip()
@@ -232,10 +231,79 @@ def test_segmenter_heldout():
         tp += sum((pred & gold).values())
         n_pred += sum(pred.values())
         n_gold += sum(gold.values())
-    assert n_gold == 45
+    assert n_gold == 53
     precision = tp / n_pred
     recall = tp / n_gold
-    assert precision >= 0.82, (
+    assert precision >= 0.92, (
         f"segmenter held-out precision {precision:.4f} ({tp}/{n_pred})")
-    assert recall >= 0.85, (
+    assert recall >= 0.92, (
         f"segmenter held-out recall {recall:.4f} ({tp}/{n_gold})")
+
+
+def test_segmenter_migrated_passages():
+    """The four r6 held-out passages that DROVE the r7 fixes, pinned as
+    exact-segmentation regression goldens after migration out of the
+    held-out pool (held-out protocol: a passage that motivates a fix
+    stops being held out). Covers: Mr. Sherlock / Mr. Holmes collocation
+    unbreak (Kiss-Strunk 4.1.2, learned by train_punkt.py), the
+    dialogue-attribution unbreak ('"Seven!" I answered.'), and the
+    nested-quote close (".' followed by a new quote on a capital)."""
+    import json
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    from prose_spark.nlp.segmenter import segment_with_offsets
+
+    doc = json.loads((Path(__file__).parent / "goldens" /
+                      "segmenter_migrated.json").read_text())
+    assert len(doc["passages"]) == 4
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s).strip()
+
+    for p in doc["passages"]:
+        pred = Counter(norm(s) for s, _, _ in
+                       segment_with_offsets(p["text"]))
+        gold = Counter(norm(g) for g in p["gold"])
+        assert pred == gold, (p["id"], pred - gold, gold - pred)
+
+
+def test_collocation_unbreak():
+    """Mr./Dr. + proper name stays attached even when the name is a
+    frequent sentence starter in the training corpus (the learned
+    4.1.2 collocation wins over the 4.1.3 starter re-break)."""
+    check(
+        "I had called upon Mr. Sherlock Holmes one day. He was waiting.",
+        ["I had called upon Mr. Sherlock Holmes one day.",
+         "He was waiting."],
+    )
+    check(
+        "It was kind of you, Mr. Holmes. The case is urgent.",
+        ["It was kind of you, Mr. Holmes.", "The case is urgent."],
+    )
+
+
+def test_attribution_unbreak():
+    """Quote-final ?/! + capitalized subject + reporting verb stays one
+    sentence; a non-reporting continuation still breaks."""
+    check('"Seven!" I answered. "Indeed, more."',
+          ['"Seven!" I answered.', '"Indeed, more."'])
+    check('"Good God!" I cried. "What can it mean?"',
+          ['"Good God!" I cried.', '"What can it mean?"'])
+    # non-reporting verb after the quote: boundary stands
+    check('"Stop!" He ran away.', ['"Stop!"', "He ran away."])
+
+
+def test_nested_quote_close():
+    """.' followed by a new quote opening on a capital is a boundary;
+    .' followed by a lowercase continuation is not (golden rule 24)."""
+    # .' followed by a lowercase continuation: no boundary
+    check("He said 'wait.' and then left the room.",
+          ["He said 'wait.' and then left the room."])
+    check(
+        "\"'But,' said I, 'there would be millions who would apply.'\n\n"
+        "\"'Not so many as you might think,' he answered.",
+        ["\"'But,' said I, 'there would be millions who would apply.'",
+         "\"'Not so many as you might think,' he answered."],
+    )
