@@ -144,7 +144,7 @@ def _media_path() -> str:
 
 
 def _media(spark: SparkSession) -> DataFrame:
-    """Deterministic media corpus (seed=42): png/bmp/ppm image blobs +
+    """Deterministic media corpus (seed=42): png/bmp/ppm/webp image blobs +
     PCM16 WAV blobs, written by pyarrow from the seeded product-side
     encoders — the REAL decoders (fake=False) consume them."""
     from prose_spark.sources.media import write_media_parquet
@@ -157,7 +157,7 @@ def _media(spark: SparkSession) -> DataFrame:
 
 def q_mm_image_stats(spark, sf_dir):
     """Multimodal image stage at the driver surface: real decode of the
-    seeded png/bmp/ppm corpus through the map-only mapInPandas feature
+    seeded png/bmp/ppm/webp corpus through the map-only mapInPandas feature
     stage (blobs consumed in-stage, only (url, meta, feature scalars)
     projected out). Oracle: pinned golden (decode output is
     model-of-code-dependent, the nlp_triples pattern)."""

@@ -69,11 +69,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_MAX_DECODED_BYTES = 64 << 20
 
 
-def _decode_png(data: bytes) -> np.ndarray:
+def _decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
     """Dependency-free PNG decoder (stdlib zlib + numpy): 8-bit
     grayscale / gray+alpha / RGB / RGBA / palette, non-interlaced, all
     five scanline filters (None/Sub/Up/Average/Paeth). Returns HxWx3
-    uint8 (alpha dropped, gray/palette expanded).
+    uint8 (alpha dropped, gray/palette expanded); ``keep_alpha`` keeps
+    the RGBA plane for cross-format alpha checks (WebP ALPH tests).
 
     The Up filter defilters as one vectorized numpy add; Sub/Average/
     Paeth are sequential per scanline byte (the spec's recurrence) —
@@ -165,6 +166,8 @@ def _decode_png(data: bytes) -> np.ndarray:
     if color == 2:
         return px
     if color == 6:
+        if keep_alpha:
+            return px.copy()
         return px[:, :, :3].copy()
     if color == 0:
         return np.repeat(px, 3, axis=2)
@@ -1391,6 +1394,502 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
     return np.repeat(px.reshape(h, w)[:, :, None], 3, axis=2)
 
 
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — implemented from the public WebP Lossless
+# Bitstream Specification (RFC 9649). Covers the VP8L chunk (full
+# lossless images: all four transforms, color cache, meta-prefix
+# images, LZ77 backward references) and VP8L-compressed ALPH chunks
+# (the headerless variant the container spec defines for lossless
+# alpha planes). Lossy VP8 luma/chroma stays an honest stub — it needs
+# a full VP8 intra-frame codec.
+# ---------------------------------------------------------------------------
+
+# prefix-code-length code symbol order (RFC 9649 5.2.2)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                  11, 12, 13, 14, 15)
+
+
+def _vp8l_distance_map():
+    """The 120-entry short-distance neighborhood map (RFC 9649 4.2.2):
+    all (dx, dy) offsets with dy==0, dx 1..8 or dy 1..7, dx -7..8,
+    ordered by squared euclidean distance, ties by descending dy with
+    positive dx before negative."""
+    cands = [(dx, 0) for dx in range(1, 9)] + \
+        [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
+                              0 if p[0] > 0 else 1))
+    return cands
+
+
+_VP8L_DIST_MAP = _vp8l_distance_map()
+
+
+class _VP8LBits:
+    """LSB-first bit reader (RFC 9649 5.1)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, pos = self.d, self.pos
+        if (pos + n - 1) >> 3 >= len(d):
+            raise ValueError("malformed WebP: truncated VP8L stream")
+        for i in range(n):
+            v |= ((d[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        self.pos = pos
+        return v
+
+
+class _VP8LCode:
+    """Canonical prefix code built from per-symbol code lengths
+    (RFC 9649 5.2: same canonical assignment as DEFLATE, codes read
+    MSB-first from the LSB-first bit stream)."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, code_lengths):
+        nz = [(l, s) for s, l in enumerate(code_lengths) if l > 0]
+        if not nz:
+            raise ValueError("malformed WebP: empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            return
+        self.single = None
+        if sum(2.0 ** -l for l, _ in nz) != 1.0:
+            raise ValueError("malformed WebP: incomplete prefix code")
+        max_len = max(l for l, _ in nz)
+        bl_count = [0] * (max_len + 1)
+        for l, _ in nz:
+            bl_count[l] += 1
+        next_code = [0] * (max_len + 1)
+        code = 0
+        for l in range(1, max_len + 1):
+            code = (code + bl_count[l - 1]) << 1
+            next_code[l] = code
+        table = {}
+        for s, l in enumerate(code_lengths):
+            if l > 0:
+                table[(l, next_code[l])] = s
+                next_code[l] += 1
+        self.table = table
+
+    def read_symbol(self, br: _VP8LBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = length = 0
+        table = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            length += 1
+            s = table.get((length, code))
+            if s is not None:
+                return s
+            if length > 15:
+                raise ValueError("malformed WebP: bad prefix code stream")
+
+
+def _vp8l_read_code(br: _VP8LBits, alphabet_size: int) -> _VP8LCode:
+    """One prefix code: simple (1-2 symbols) or normal (code-length
+    coded) form (RFC 9649 5.2.1/5.2.2)."""
+    if br.read(1):  # simple
+        lengths = [0] * alphabet_size
+        num_symbols = br.read(1) + 1
+        s0 = br.read(8 if br.read(1) else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("malformed WebP: symbol out of range")
+        if num_symbols == 1:
+            lengths[s0] = 1
+            code = _VP8LCode.__new__(_VP8LCode)
+            code.single, code.table = s0, None
+            return code
+        s1 = br.read(8)
+        if s1 >= alphabet_size or s1 == s0:
+            raise ValueError("malformed WebP: symbol out of range")
+        lengths[s0] = lengths[s1] = 1
+        return _VP8LCode(lengths)
+    cl_lengths = [0] * 19
+    for i in range(br.read(4) + 4):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_code = _VP8LCode(cl_lengths)
+    if br.read(1):  # limited number of coded symbols
+        max_symbol = 2 + br.read(2 + 2 * br.read(3))
+        if max_symbol > alphabet_size:
+            raise ValueError("malformed WebP: max_symbol out of range")
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_code.read_symbol(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            slot = code_len - 16
+            repeat = br.read((2, 3, 7)[slot]) + (3, 3, 11)[slot]
+            if symbol + repeat > alphabet_size:
+                raise ValueError("malformed WebP: code length overflow")
+            fill = prev_len if code_len == 16 else 0
+            lengths[symbol:symbol + repeat] = [fill] * repeat
+            symbol += repeat
+    return _VP8LCode(lengths)
+
+
+def _vp8l_prefix_value(code: int, br: _VP8LBits) -> int:
+    """LZ77 length/distance prefix decode (RFC 9649 4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_decode_image(br: _VP8LBits, w: int, h: int,
+                       level0: bool) -> np.ndarray:
+    """DecodeImageStream (RFC 9649 6): returns a flat uint32 ARGB
+    array of length w*h (w as adjusted by a color-indexing transform)
+    plus, at level 0, applies the inverse transforms."""
+    transforms = []
+    seen_types = set()
+    cur_w = w
+    if level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen_types:
+                raise ValueError("malformed WebP: duplicate transform")
+            seen_types.add(ttype)
+            if ttype in (0, 1):  # predictor / color transform
+                size_bits = br.read(3) + 2
+                bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub = _vp8l_decode_image(br, bw, bh, False)
+                transforms.append((ttype, cur_w, size_bits, sub))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, cur_w, 0, None))
+            else:  # color indexing
+                n_colors = br.read(8) + 1
+                pal = _vp8l_decode_image(br, n_colors, 1, False)
+                # palette entries are component-wise deltas
+                pal = np.cumsum(
+                    pal.view(np.uint8).reshape(-1, 4).astype(np.uint32),
+                    axis=0, dtype=np.uint32).astype(np.uint8) \
+                    .reshape(-1).view(np.uint32)
+                xbits = (0 if n_colors > 16 else 1 if n_colors > 4
+                         else 2 if n_colors > 2 else 3)
+                full_w = cur_w
+                cur_w = (cur_w + (1 << xbits) - 1) >> xbits
+                transforms.append((3, full_w, xbits, pal))
+
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("malformed WebP: color cache too large")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.read(1):  # meta prefix-code image
+        meta_bits = br.read(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _vp8l_decode_image(br, mw, mh, False)
+        meta = ((mimg >> 8) & 0xFFFF).astype(np.int64)  # (r<<8)|g
+        n_groups = int(meta.max()) + 1
+        meta = meta.reshape(mh, mw)
+    groups = []
+    for _ in range(n_groups):
+        g = _vp8l_read_code(br, 256 + 24 + cache_size)
+        r = _vp8l_read_code(br, 256)
+        b = _vp8l_read_code(br, 256)
+        a = _vp8l_read_code(br, 256)
+        d = _vp8l_read_code(br, 40)
+        groups.append((g, r, b, a, d))
+
+    n = cur_w * h
+    px = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    gcode = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % cur_w, pos // cur_w
+            gcode = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        s = gcode[0].read_symbol(br)
+        if s < 256:
+            red = gcode[1].read_symbol(br)
+            blue = gcode[2].read_symbol(br)
+            alpha = gcode[3].read_symbol(br)
+            pix = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[pos] = pix
+            if cache_size:
+                cache[(0x1E35A7BD * pix & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = pix
+            pos += 1
+        elif s < 280:
+            length = _vp8l_prefix_value(s - 256, br)
+            dist_code = _vp8l_prefix_value(gcode[4].read_symbol(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(dy * cur_w + dx, 1)
+            if dist > pos or pos + length > n:
+                raise ValueError("malformed WebP: bad backward reference")
+            for _ in range(length):
+                pix = int(px[pos - dist])
+                px[pos] = pix
+                if cache_size:
+                    cache[(0x1E35A7BD * pix & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = pix
+                pos += 1
+        else:
+            if s - 280 >= cache_size:
+                raise ValueError("malformed WebP: bad color cache index")
+            px[pos] = cache[s - 280]
+            pos += 1
+
+    for ttype, tw, bits, data in reversed(transforms):
+        if ttype == 3:
+            px = _vp8l_inv_color_index(px, tw, h, bits, data)
+            cur_w = tw
+        elif ttype == 2:
+            v = px.view(np.uint8).reshape(-1, 4)  # little-endian: b g r a
+            g = v[:, 1]
+            v[:, 0] += g
+            v[:, 2] += g
+        elif ttype == 1:
+            px = _vp8l_inv_color_transform(px, tw, h, bits, data)
+        else:
+            px = _vp8l_inv_predictor(px, tw, h, bits, data)
+    return px
+
+
+def _vp8l_inv_color_index(px, w, h, xbits, palette):
+    """Inverse color-indexing (RFC 9649 4.2.4): unpack sub-byte
+    indices, map through the palette (out-of-range -> 0x00000000)."""
+    idx = ((px >> 8) & 0xFF).astype(np.int64)
+    if xbits:
+        packed_w = (w + (1 << xbits) - 1) >> xbits
+        per = 1 << xbits
+        bpp = 8 >> xbits
+        mask = (1 << bpp) - 1
+        rows = idx.reshape(h, packed_w)
+        shifts = (np.arange(per) * bpp)[None, None, :]
+        idx = ((rows[:, :, None] >> shifts) & mask).reshape(h, -1)[:, :w]
+        idx = idx.reshape(-1)
+    lut = np.zeros(256, dtype=np.uint32)
+    lut[: len(palette)] = palette
+    return lut[np.minimum(idx, 255)] * (idx < len(palette))
+
+
+def _vp8l_inv_color_transform(px, w, h, size_bits, sub):
+    """Inverse cross-color transform (RFC 9649 4.2.3): per-block
+    multipliers, deltas are (int8(t) * int8(c)) >> 5."""
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    out = px.copy()
+    for y in range(h):
+        row = out[y * w:(y + 1) * w]
+        for x in range(w):
+            elem = int(sub[(y >> size_bits) * bw + (x >> size_bits)])
+            g2r = np.int8(elem & 0xFF)
+            g2b = np.int8((elem >> 8) & 0xFF)
+            r2b = np.int8((elem >> 16) & 0xFF)
+            pix = int(row[x])
+            green = np.int8((pix >> 8) & 0xFF)
+            red = ((pix >> 16) & 0xFF)
+            red = (red + ((int(g2r) * int(green)) >> 5)) & 0xFF
+            blue = (pix & 0xFF)
+            blue = (blue + ((int(g2b) * int(green)) >> 5)) & 0xFF
+            blue = (blue + ((int(r2b) * int(np.int8(red))) >> 5)) & 0xFF
+            row[x] = (pix & 0xFF00FF00) | (red << 16) | blue
+    return out
+
+
+def _vp8l_avg2(a, b):
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_inv_predictor(px, w, h, size_bits, sub):
+    """Inverse spatial-prediction transform (RFC 9649 4.2.1). The
+    top-right neighbor is read from the contiguous buffer, so at the
+    right edge it is the current row's first pixel — the spec's
+    wrap-around semantics fall out of the flat layout."""
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    add = _vp8l_pixel_add
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(px[pos - 1])           # L
+        elif x == 0:
+            pred = int(px[pos - w])           # T
+        else:
+            mode = (int(sub[(y >> size_bits) * bw + (x >> size_bits)])
+                    >> 8) & 0xFF
+            L = int(px[pos - 1])
+            T = int(px[pos - w])
+            TL = int(px[pos - w - 1])
+            TR = int(px[pos - w + 1])
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = _vp8l_avg2(_vp8l_avg2(L, TR), T)
+            elif mode == 6:
+                pred = _vp8l_avg2(L, TL)
+            elif mode == 7:
+                pred = _vp8l_avg2(L, T)
+            elif mode == 8:
+                pred = _vp8l_avg2(TL, T)
+            elif mode == 9:
+                pred = _vp8l_avg2(T, TR)
+            elif mode == 10:
+                pred = _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+            elif mode == 11:
+                diff = sum(
+                    abs(((L >> sh) & 0xFF) - ((TL >> sh) & 0xFF))
+                    - abs(((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF))
+                    for sh in (24, 16, 8, 0))
+                pred = T if diff <= 0 else L
+            elif mode == 12:
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    c = min(255, max(0, ((L >> sh) & 0xFF)
+                                     + ((T >> sh) & 0xFF)
+                                     - ((TL >> sh) & 0xFF)))
+                    pred |= c << sh
+            elif mode == 13:
+                ave = _vp8l_avg2(L, T)
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    a = (ave >> sh) & 0xFF
+                    delta = a - ((TL >> sh) & 0xFF)
+                    # C-style truncation toward zero
+                    c = min(255, max(0, a + (abs(delta) // 2)
+                                     * (1 if delta >= 0 else -1)))
+                    pred |= c << sh
+            else:
+                raise ValueError("malformed WebP: bad predictor mode")
+        px[pos] = add(int(px[pos]), pred)
+    return px
+
+
+def _vp8l_pixel_add(a: int, b: int) -> int:
+    """Per-channel modulo-256 addition of two packed ARGB pixels."""
+    return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+            | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+
+def _decode_vp8l_stream(data: bytes) -> np.ndarray:
+    """A complete VP8L chunk payload (with the one-byte signature and
+    14-bit dimensions header) -> HxWx4 uint8 ARGB-channel array."""
+    br = _VP8LBits(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("malformed WebP: bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("malformed WebP: unknown VP8L version")
+    if w * h * 4 > _PNG_MAX_DECODED_BYTES:
+        raise NotImplementedError(
+            f"WebP {w}x{h} exceeds the "
+            f"{_PNG_MAX_DECODED_BYTES >> 20}MB decode cap")
+    px = _vp8l_decode_image(br, w, h, True)
+    v = px.view(np.uint8).reshape(h, w, 4)  # little-endian b, g, r, a
+    return v[:, :, [3, 2, 1, 0]]  # -> a, r, g, b
+
+
+def _decode_webp_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload -> HxW uint8 alpha plane (container spec:
+    method 1 = headerless VP8L stream, alpha in the green channel)."""
+    if not alph:
+        raise ValueError("malformed WebP: empty ALPH chunk")
+    method = alph[0] & 3
+    filt = (alph[0] >> 2) & 3
+    if method == 0:
+        body = np.frombuffer(alph, np.uint8, offset=1)
+        if body.size < w * h:
+            raise ValueError("malformed WebP: short raw alpha")
+        plane = body[: w * h].reshape(h, w).copy()
+    elif method == 1:
+        br = _VP8LBits(alph[1:])
+        px = _vp8l_decode_image(br, w, h, True)
+        plane = ((px >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise ValueError("malformed WebP: bad alpha compression method")
+    if filt:  # 1 horizontal, 2 vertical, 3 gradient predictors
+        plane = plane.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = plane[y, x - 1] if x else plane[y - 1, x]
+                elif filt == 2:
+                    pred = plane[y - 1, x] if y else plane[y, x - 1]
+                else:
+                    if y == 0:
+                        pred = plane[y, x - 1]
+                    elif x == 0:
+                        pred = plane[y - 1, x]
+                    else:
+                        pred = min(255, max(0, int(plane[y, x - 1])
+                                            + int(plane[y - 1, x])
+                                            - int(plane[y - 1, x - 1])))
+                plane[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = plane.astype(np.uint8)
+    return plane
+
+
+def _decode_webp(data: bytes) -> np.ndarray:
+    """WebP container: VP8L (lossless) decodes natively; lossy VP8
+    raises (needs a full VP8 intra codec — honest stub). Returns
+    HxWx3 uint8 (alpha dropped, repo-wide decode_image contract)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("malformed WebP: bad RIFF header")
+    i = 12
+    has_lossy = False
+    while i + 8 <= len(data):
+        tag = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        payload = data[i + 8:i + 8 + size]
+        if len(payload) < size:
+            raise ValueError("malformed WebP: truncated chunk")
+        if tag == b"VP8L":
+            argb = _decode_vp8l_stream(payload)
+            return argb[:, :, 1:].copy()
+        if tag == b"VP8 ":
+            has_lossy = True
+        i += 8 + size + (size & 1)
+    if has_lossy:
+        raise NotImplementedError(
+            "lossy WebP (VP8) needs a full VP8 intra-frame codec; only "
+            "lossless (VP8L) decodes natively — pass fake=True for the "
+            "deterministic test stub")
+    raise ValueError("malformed WebP: no image chunk")
+
+
 def _sniff_image(b: bytes):
     """One authoritative signature table -> (decoder, mime); both
     decode_image's dispatch and the feature stage's mime column read
@@ -1413,6 +1912,8 @@ def _sniff_image(b: bytes):
         return _decode_ras, "image/x-sun-raster"
     if head[:2] == b"\x01\xda":
         return _decode_sgi, "image/x-sgi"
+    if head[:4] == b"RIFF" and bytes(b[8:12]) == b"WEBP":
+        return _decode_webp, "image/webp"
     return None, "image/unknown"
 
 
@@ -1428,10 +1929,12 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     decode FOR REAL via the dependency-free ``_decode_png`` /
     ``_decode_jpeg`` / ``_decode_jpeg_progressive`` / ``_decode_gif``
     / ``_decode_bmp`` / ``_decode_tiff`` (stdlib + numpy) — no
-    ``fake`` needed. Remaining formats (WebP, arithmetic-coded JPEG)
-    need an image library absent from this environment; ``fake=True``
-    derives a deterministic 8x8x3 array from the content hash (stable
-    across runs/machines) for plumbing tests.
+    ``fake`` needed, and lossless WebP (VP8L: all four transforms,
+    color cache, meta prefix codes, LZ77) via ``_decode_webp``.
+    Remaining formats (lossy-VP8 WebP, arithmetic-coded JPEG) need an
+    image library absent from this environment; ``fake=True`` derives
+    a deterministic 8x8x3 array from the content hash (stable across
+    runs/machines) for plumbing tests.
     """
     decoder = _sniff_image(blob)[0] if blob else None
     if decoder is not None:
@@ -1446,10 +1949,10 @@ def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     if not fake:
         raise NotImplementedError(
             "image format not natively decodable (PNG, baseline + "
-            "progressive JPEG, GIF, BMP, and baseline TIFF decode "
-            "without external libraries; WebP/arithmetic-JPEG need "
-            "PIL/opencv, absent here) — pass fake=True for the "
-            "deterministic test stub"
+            "progressive JPEG, GIF, BMP, baseline TIFF, netpbm, RAS, "
+            "SGI, and lossless WebP decode without external libraries; "
+            "lossy-VP8 WebP/arithmetic-JPEG need PIL/opencv, absent "
+            "here) — pass fake=True for the deterministic test stub"
         )
     digest = hashlib.sha256(blob or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))

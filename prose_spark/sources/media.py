@@ -4,7 +4,7 @@ The sf documents tables are text-only, so the multimodal operators
 (`prose_spark.operators.multimodal`) had no driver-facing input until
 this module: it generates seeded image and audio blobs with tiny
 dependency-free ENCODERS (PNG via stdlib zlib, BMP BI_RGB, netpbm P6,
-RIFF/WAV PCM16) whose output the REAL decoders consume (``fake=False``)
+lossless WebP/VP8L, RIFF/WAV PCM16) whose output the REAL decoders consume (``fake=False``)
 — the same discipline as sources/pages.py (seeded, reproducible on any
 machine, no external data).
 
@@ -30,6 +30,7 @@ __all__ = [
     "encode_png",
     "encode_bmp",
     "encode_ppm",
+    "encode_webp_lossless",
     "encode_wav_pcm16",
     "generate_image_rows",
     "generate_audio_rows",
@@ -86,6 +87,76 @@ def encode_ppm(img: np.ndarray) -> bytes:
             + img.astype(np.uint8).tobytes())
 
 
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """Minimal lossless WebP (VP8L) writer: literal ARGB pixels under
+    fixed-shape prefix codes — every 8-bit channel symbol gets code
+    length 8, so the canonical code is the identity and each pixel is
+    written as its four raw bytes MSB-first. Complete-by-construction
+    (256 * 2^-8 == 1), no transforms, no LZ77, no color cache: the
+    single-variant discipline of this module; real compression paths
+    are exercised by tests/test_webp.py's torture encoder."""
+    h, w, _ = img.shape
+    bits = bytearray()
+
+    def put(v: int, n: int) -> None:
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def put_code8(alphabet_extra: int) -> None:
+        """One normal-form prefix code: symbols 0..255 at length 8,
+        `alphabet_extra` trailing symbols at length 0."""
+        put(0, 1)                      # normal (not simple) code
+        # code-length code: symbol 8 -> 1 bit (and symbol 0 -> 1 bit
+        # when zero-length tails must be written); order index of
+        # symbol 8 is 11, so 12 3-bit slots cover it
+        put(12 - 4, 4)
+        order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8)
+        for sym in order:
+            if sym == 8 or (sym == 0 and alphabet_extra):
+                put(1, 3)
+            else:
+                put(0, 3)
+        put(0, 1)                      # no max_symbol cap
+        if alphabet_extra:
+            # cl canonical: the smaller symbol (0) takes code 0, so
+            # length-8 entries are bit 1 and length-0 tails bit 0
+            for _ in range(256):
+                put(1, 1)
+            for _ in range(alphabet_extra):
+                put(0, 1)
+        # single-cl-symbol case: zero bits per symbol, nothing to write
+
+    put(0x2F, 8)
+    put(w - 1, 14)
+    put(h - 1, 14)
+    put(0, 1)                          # alpha hint
+    put(0, 3)                          # version
+    put(0, 1)                          # no transforms
+    put(0, 1)                          # no color cache
+    put(0, 1)                          # no meta prefix image
+    put_code8(24)                      # green (+24 unused length syms)
+    for _ in range(3):                 # red, blue, alpha
+        put_code8(0)
+    put(1, 1)                          # distance: simple code
+    put(0, 1)                          # one symbol
+    put(0, 1)                          # 1-bit symbol form
+    put(0, 1)                          # symbol 0 (never used)
+    px = img.astype(np.uint8)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+            for byte in (g, r, b, 255):    # G, R, B, A channel order
+                for i in range(7, -1, -1):  # canonical code MSB-first
+                    bits.append((byte >> i) & 1)
+    payload = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        payload[i >> 3] |= bit << (i & 7)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + bytes(payload)
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def encode_wav_pcm16(x: np.ndarray, sr: int) -> bytes:
     """RIFF/WAV writer: mono 16-bit PCM. ``x`` is float in [-1, 1]."""
     pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
@@ -118,12 +189,13 @@ _IMAGE_ENCODERS = (
     ("png", encode_png),
     ("bmp", encode_bmp),
     ("ppm", encode_ppm),
+    ("webp", encode_webp_lossless),
 )
 
 
 def generate_image_rows(n: int, seed: int = 42):
-    """Yield (url, format_name, blob) — formats cycle png/bmp/ppm so one
-    query exercises three real decoders."""
+    """Yield (url, format_name, blob) — formats cycle png/bmp/ppm/webp
+    so one query exercises four real decoders."""
     for i in range(n):
         name, enc = _IMAGE_ENCODERS[i % len(_IMAGE_ENCODERS)]
         yield (f"media://img/{i:04d}.{name}", name,

@@ -60,7 +60,8 @@ def test_mm_driver_queries(spark):
     img = entry.q_mm_image_stats(spark, "unused").collect()
     assert len(img) == entry._MEDIA_N_IMAGES
     mimes = {r.mime for r in img}
-    assert mimes == {"image/png", "image/bmp", "image/x-portable-anymap"}
+    assert mimes == {"image/png", "image/bmp", "image/x-portable-anymap",
+                     "image/webp"}
     r0 = next(r for r in img if r.url == "media://img/0000.png")
     assert (r0.width, r0.height) == (16, 12)
     # gradient construction: means sit near mid-gray, stds are wide
