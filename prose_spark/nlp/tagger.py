@@ -30,7 +30,9 @@ Documented extensions beyond the reference (r6 verdict #2 — OOV/rare-word
 errors fixed at the tagger instead of absorbed downstream as triple-layer
 guards; the reference's own pretrained weights are absent from the
 snapshot, so this repo's model is self-trained and these close part of
-the resulting generalization gap; held-out 0.9576 -> 0.9607):
+the resulting generalization gap; held-out 0.9576 -> 0.9652 across the
+r7 batches — morph prior + soft dict 0.9610, dict penalty 8 +
+identical-form closure 0.9642, suffix-support penalty 0.9652):
 - tag-dictionary constraint (build_tag_dict): the decode argmax for an
   in-vocabulary word is restricted to the tags it was observed with in
   training (classic HMM-tagger tag dictionary); single-tag words skip
@@ -118,6 +120,49 @@ def featurize(i: int, ctx: list[str], w: str, p1: str, p2: str) -> list[str]:
         "i+1 suffix " + cp1[len(cp1) - ip :],
         "i+2 word " + ctx[j + 2],
     ]
+
+
+# Tag pairs whose surface forms are morphologically IDENTICAL in
+# English, so a small training corpus observing a word under only one
+# member is not evidence against the other: regular past/past-participle
+# ("impressed" appears only as VBN in the treebank split but is a fine
+# VBD) and base/non-3sg-present (always the same form). The tag
+# dictionary is closed over these pairs before it constrains the
+# decode; the r7 held-out grid reads 0.9642 with the closure vs 0.9636
+# without (and count-gating the dict instead HURTS — singleton entries
+# carry real signal: 0.9614 at count>=2).
+_AMBIGUITY_PAIRS = (("VBD", "VBN"), ("VB", "VBP"))
+
+# Words that are closed-class function words (preposition/particle/
+# adverb readings) in the standing English lexicon but also common
+# open-class nouns/adjectives, so a small corpus can observe only the
+# open-class reading and the tag dictionary would then FORBID the
+# function-word one ("lounged round the stalls" with round seen only
+# as NN). Lexical knowledge, not corpus statistics — curated, tiny.
+_FUNCTION_WORD_TAGS = {
+    "round": ("IN", "RP", "RB"),
+    "past": ("IN", "RB"),
+    "near": ("IN",),
+    "aboard": ("IN",),
+    "opposite": ("IN",),
+    "outside": ("IN", "RB"),
+    "inside": ("IN", "RB"),
+    "underneath": ("IN", "RB"),
+    # standard-dictionary noun readings a small corpus can miss: "leave"
+    # the noun (family/sick/paid leave) appears in WSJ text only as a
+    # verb, so the dictionary would forbid "family leave and shark fins"
+    "leave": ("NN",),
+}
+
+
+def _ambiguity_closure(tags, word: str = "") -> frozenset:
+    ts = set(tags)
+    for a, b in _AMBIGUITY_PAIRS:
+        if a in ts or b in ts:
+            ts.add(a)
+            ts.add(b)
+    ts.update(_FUNCTION_WORD_TAGS.get(word.lower(), ()))
+    return frozenset(ts)
 
 
 def read_tagged(text: str, sep: str = "|") -> list[tuple[list[str], list[str]]]:
@@ -266,8 +311,12 @@ class PerceptronTagger:
         # seen VB/VBP) — strong context must stay able to override.
         self.tag_dict: dict[str, frozenset] | None = None
         self.tag_dict_penalty: float = 1.0
+        # penalty for tags OUTSIDE an OOV word's longest-matching
+        # suffix-table support (0 disables; see _word_prior)
+        self.suffix_support_penalty: float = 4.0
         if tag_dict is not None:
-            self.tag_dict = {w: frozenset(ts) for w, ts in tag_dict.items()}
+            self.tag_dict = {w: _ambiguity_closure(ts, w)
+                             for w, ts in tag_dict.items()}
         self._morph_cache: dict = {}
         if emoticons is None:
             from prose_spark.nlp.tokenizer import EMOTICONS
@@ -359,7 +408,33 @@ class PerceptronTagger:
                 for ln in range(min(m["max_len"], len(norm) - 1), 0, -1):
                     dist = table.get(norm[-ln:])
                     if dist is not None:
-                        out = dist
+                        # the table row's SUPPORT is evidence too: rare
+                        # training words with this suffix were never
+                        # observed under the other tags, so those take
+                        # a soft penalty (r7 grid, on top of the
+                        # pen8+closure 0.9642 treebank held-out:
+                        # support penalty 1/2/4/8 ->
+                        # 0.9644/0.9647/0.9652/0.9652). Two safety
+                        # valves, measured on narrative OOV verbs the
+                        # treebank split can't see: single-letter
+                        # suffix rows carry no real exclusion evidence
+                        # ("-o" lacking RB would break "come
+                        # incognito"), and the support gets the same
+                        # VBD/VBN + VB/VBP identical-form closure as
+                        # the tag dictionary ("shone" matches a row
+                        # with VBN but no VBD). Copy per word — the
+                        # row dict is shared across words and must not
+                        # be mutated.
+                        pen = self.suffix_support_penalty
+                        if pen and ln >= 2:
+                            classes = (self.model._vec_classes
+                                       or self.model.classes)
+                            support = _ambiguity_closure(
+                                k for k in dist if k != "_vec")
+                            out = {c: dist.get(c, 0.0) if c in support
+                                   else -pen for c in classes}
+                        else:
+                            out = dist
                         break
         if len(self._morph_cache) < self._MEMO_CAP:
             self._morph_cache[word] = out
@@ -431,14 +506,19 @@ class PerceptronTagger:
         self,
         sentences: list[tuple[list[str], list[str]]],
         min_n: int = 1,
-        penalty: float = 2.0,
+        penalty: float = 8.0,
     ) -> None:
         """Tag-dictionary constraint: for each raw word seen >= min_n
         times in training, tags it was NEVER observed with take a score
         ``penalty`` at decode (the classic tag-dictionary trick from
         HMM taggers, softened: the training corpus is small, so a valid
         tag can be missing from a word's seen set and strong context
-        must stay able to override)."""
+        must stay able to override). The default comes from the r7
+        held-out grid (scripts/tagger_oov_experiment.py penalty):
+        0.25/0.5/1/2/4/8 -> 0.9582/0.9586/0.9598/0.9610/0.9625/0.9636,
+        saturating at 8.0 (12/16/32/1e6 all read 0.9636) — the dict is
+        near-reliable, but 8.0 keeps an escape hatch for extreme
+        contexts instead of an infinite hard constraint."""
         counts: dict[str, int] = {}
         tagsets: dict[str, set] = {}
         for words, tags in sentences:
@@ -446,7 +526,7 @@ class PerceptronTagger:
                 counts[w] = counts.get(w, 0) + 1
                 tagsets.setdefault(w, set()).add(t)
         self.tag_dict = {
-            w: frozenset(ts)
+            w: _ambiguity_closure(ts, w)
             for w, ts in tagsets.items() if counts[w] >= min_n
         }
         self.tag_dict_penalty = penalty
@@ -574,6 +654,7 @@ class PerceptronTagger:
                                     for w, ts in self.tag_dict.items()}
             artifact["tag_dict_penalty"] = self.tag_dict_penalty
         if self.morph is not None:
+            artifact["suffix_support_penalty"] = self.suffix_support_penalty
             artifact["morph"] = {
                 "vocab": sorted(self.morph["vocab"]),
                 "max_len": self.morph["max_len"],
@@ -599,6 +680,7 @@ class PerceptronTagger:
         t = cls(weights=a["weights"], tag_map=a["tag_map"], classes=a["classes"],
                 morph=a.get("morph"), tag_dict=a.get("tag_dict"))
         t.tag_dict_penalty = a.get("tag_dict_penalty", 1.0)
+        t.suffix_support_penalty = a.get("suffix_support_penalty", 4.0)
         # overlay any closed-class entries added AFTER the artifact was
         # trained (idempotent for entries already baked in at train
         # time — setdefault never overrides a trained mapping)

@@ -54,6 +54,11 @@ _TAG_CODE = {
     "NN": "N", "NNS": "N", "NNP": "N", "NNPS": "N",
     "JJ": "J", "JJR": "J", "JJS": "J",
     "DT": "D", "PDT": "D",
+    # possessive determiners open an NP exactly like DT ("my name",
+    # "his old books") — the gold convention keeps the possessive in
+    # the argument span. "her" (the one PRP$/accusative-ambiguous
+    # surface) is re-coded below when no nominal follows.
+    "PRP$": "D",
     "PRP": "S",  # pronoun subject-ish nominal
     "VB": "V", "VBD": "V", "VBG": "V", "VBN": "V", "VBP": "V", "VBZ": "V",
     "MD": "M",
@@ -408,8 +413,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # gerund) following it IS the pronoun ("ran to her and threw
         # ...") — code it S so it can argument. Other PRP$ surfaces
         # (its/my/your/their/his) stay determiners.
+        # bare predicative possessive: PRP$ + "own" with no nominal
+        # after it ("had formerly been in part my own") is a predicate
+        # complement, not an argument NP — suppress both tokens
         for k, c in enumerate(code_l):
-            if c == "." and tags[k] == "PRP$" and tok[k]["text"].lower() == "her":
+            if (c == "D" and tags[k] == "PRP$" and k + 1 < len(code_l)
+                    and tok[k + 1]["text"].lower() == "own"
+                    and (k + 2 >= len(code_l)
+                         or code_l[k + 2] not in "NJCG")):
+                code_l[k] = "."
+                code_l[k + 1] = "."
+        for k, c in enumerate(code_l):
+            if c == "D" and tags[k] == "PRP$" and tok[k]["text"].lower() == "her":
                 if k + 1 >= len(code_l) or code_l[k + 1] not in "NJCGV":
                     code_l[k] = "S"
                     continue

@@ -77,8 +77,10 @@ def test_tag_heldout_generalization():
     0.9574 floor — and this repo's 0.9935 — are in-corpus numbers. This
     test trains a fresh tagger on 80% of the treebank pseudo-sentences
     (interleaved split: every 5th sentence held out) and tags the unseen
-    20%: accuracy must hold >= 0.95 (measured 0.9576 at 5 iterations,
-    seed 42 — deterministic). Recorded next to the in-corpus floor in
+    20%: accuracy must hold >= 0.962 (r4 perceptron alone 0.9576; r7
+    morph prior + pen2 tag dict 0.9610; r7 final pen8 + identical-form
+    closure + suffix-support penalty 0.9652 — at 5 iterations, seed 42,
+    deterministic). Recorded next to the in-corpus floor in
     BASELINE.md."""
     from prose_spark.nlp.tagger import PerceptronTagger
 
@@ -107,4 +109,4 @@ def test_tag_heldout_generalization():
     held_t = [t for s in test for t in s[1]]
     pred = tagger.tag(held_w)
     acc = sum(p == e for p, e in zip(pred, held_t)) / len(held_t)
-    assert acc >= 0.95, f"held-out accuracy {acc:.4f} below 0.95"
+    assert acc >= 0.962, f"held-out accuracy {acc:.4f} below 0.962"
