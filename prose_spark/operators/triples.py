@@ -143,6 +143,14 @@ _OBJ_CONTROL_STEMS = ("requir", "prohibit", "allow", "ask", "tell",
                       "told", "forc", "caus", "order", "expect", "want",
                       "permit", "enabl", "encourag", "urg", "instruct")
 
+# clause-taking attitude/report verbs whose NEGATION un-asserts the
+# complement even without an explicit "that" ("I don't think they are
+# ..."); stem-matched like _OBJ_CONTROL_STEMS
+_ATTITUDE_STEMS = ("think", "thought", "believ", "know", "knew", "say",
+                   "said", "suppos", "imagin", "feel", "felt", "claim",
+                   "mean", "reckon", "guess", "expect", "suggest",
+                   "argu", "hope", "doubt", "pretend")
+
 
 def _is_object_control(word: str) -> bool:
     w = word.lower()
@@ -413,6 +421,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # gerund) following it IS the pronoun ("ran to her and threw
         # ...") — code it S so it can argument. Other PRP$ surfaces
         # (its/my/your/their/his) stay determiners.
+        # a VBN sandwiched between a determiner/adjective and a nominal
+        # is ATTRIBUTIVE ("the half-lit broken knees dance", "the
+        # scattered knots"), not a predicate: code it J so the NP stays
+        # whole. Post-nominal VBNs (reduced relatives, passives) keep V.
+        for k in range(1, len(code_l) - 1):
+            if (code_l[k] == "V" and tags[k] == "VBN"
+                    and code_l[k - 1] in "DJ"
+                    and code_l[k + 1] in "NJ"):
+                code_l[k] = "J"
         # bare predicative possessive: PRP$ + "own" with no nominal
         # after it ("had formerly been in part my own") is a predicate
         # complement, not an argument NP — suppress both tokens
@@ -600,6 +617,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         comma_positions = [k for k in range(len(tok))
                            if tok[k]["text"] == ","]
         rc_commas: set[int] = set()
+        rc_spans: list[tuple[int, int]] = []
         for c in comma_positions:
             j = c + 1
             if j < len(tok) and tok[j]["text"].lower() in ("and", "or"):
@@ -614,6 +632,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                            None)
                 if nxt is not None:
                     rc_commas.add(nxt)
+                    rc_spans.append((c, nxt))
 
         def n_commas_subj(a: int, b: int) -> int:
             n = n_commas(a, b)
@@ -874,6 +893,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # compromise ...") and are equally out of assertion scope
         wh_kill: int | None = None
         neg_kill: int | None = None
+        neg_litotes = False
+        # subject + group-end of the last EMITTED pairing, surviving
+        # prev_vp resets by intervening suppressed groups (controlled
+        # infinitives): ", and so would need to ..." resumes the last
+        # asserted subject
+        last_pair: tuple[tuple[int, int], int] | None = None
+        attitude_scope: tuple[int, int] | None = None
         for vpi, (vs, ve) in enumerate(vp_spans):
             next_vs = len(code)
             coord_ends: list[int] = []
@@ -1024,6 +1050,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and not (_mb < len(code) and code[_mb] == "J")):
                 prev_vp = None
                 continue
+            # a MODAL appearance verb + "like" is a hypothetical
+            # comparison, not an asserted property ("would look like a
+            # dick with bangs"); unmodalized appearance stays ("looks
+            # like a winner" keeps its surface convention)
+            if ("MD" in [tok[k]["tag"] for k in range(vs, ve)]
+                    and any(t.lower() in ("look", "seem", "sound",
+                                          "feel", "appear")
+                            for t in vtexts)
+                    and ve - 1 >= vs
+                    and tok[ve - 1]["text"].lower() == "like"):
+                prev_vp = None
+                continue
             # SENTENCE-INITIAL "when"-clause content is a habitual/
             # temporal frame, not an assertion ("When I hear you give
             # your reasons, I remarked ..."); a mid-sentence when-
@@ -1056,26 +1094,72 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                              and tok[vs - 1]["tag"].startswith("W"))):
                 prev_vp = None
                 continue
-            _neg_here = ((any(t.lower() in _NEG_TOKENS for t in vtexts)
-                          and not any(t.lower() in ("ca", "can")
-                                      for t in vtexts))
-                         # "no longer" negates like "not": "can no
-                         # longer possess"
-                         or any(vtexts[k].lower() == "no"
-                                and k + 1 < len(vtexts)
-                                and vtexts[k + 1].lower() == "longer"
-                                for k in range(len(vtexts))))
+            # inside a negated clause-taking verb's complement — the
+            # embedded clause is unasserted (set where _neg_here kills
+            # the matrix group below)
+            if (attitude_scope is not None
+                    and attitude_scope[0] <= vs < attitude_scope[1]):
+                prev_vp = None
+                continue
+            _own_neg = ((any(t.lower() in _NEG_TOKENS for t in vtexts)
+                         and not any(t.lower() in ("ca", "can")
+                                     for t in vtexts))
+                        # "no longer" negates like "not": "can no
+                        # longer possess"
+                        or any(vtexts[k].lower() == "no"
+                               and k + 1 < len(vtexts)
+                               and vtexts[k + 1].lower() == "longer"
+                               for k in range(len(vtexts))))
+            _neg_here = _own_neg
             # a negated head's serial conjuncts are negated too ("can
             # no longer possess, sell or distribute shark fins"): the
             # gap back to the killed group holds only coordination,
             # adverbs, and sibling verbs
-            if (not _neg_here and neg_kill is not None and vs > neg_kill
+            # vs == neg_kill covers a controlled infinitive split off
+            # the negated group by its TO ("I was not to | know")
+            if (not _neg_here and neg_kill is not None and vs >= neg_kill
                     and all(tok[k]["text"].lower() in (",", "and", "or")
                             or code[k] in "RV"
                             for k in range(neg_kill, vs))):
                 _neg_here = True
             if _neg_here:
                 neg_kill = ve
+                # litotes: the negation scopes over a DEGREE word, not
+                # the verb — "it is not too much to say that S"
+                # ASSERTS S, so no complement scope opens; the flag
+                # propagates to the group's split-off continuation
+                # ("... to | say that")
+                if _own_neg:
+                    neg_litotes = any(t.lower() == "too" for t in vtexts)
+                # a NEGATED clause-taking verb puts its whole
+                # complement out of assertion scope ("I don't think
+                # that the Taliban are ..." asserts nothing about the
+                # Taliban — including comparative continuations "than
+                # Zionists are ..."). Scope opens at an explicit
+                # "that" after the killed group (any verb) or at the
+                # group's end for an attitude verb with an elided
+                # complementizer, and closes at the next clause
+                # boundary (';' or ', CC'), where a new matrix clause
+                # resumes asserting.
+                if neg_litotes:
+                    prev_vp = None
+                    continue
+                _att = ve < len(code) and tok[ve]["text"].lower() == "that"
+                if not _att and head_verb is not None:
+                    _hw = head_verb["text"].lower()
+                    _att = (any(_hw.startswith(st)
+                                for st in _ATTITUDE_STEMS)
+                            and ve < len(code) and code[ve] in "SDNJC")
+                if _att:
+                    _scope_end = len(code)
+                    for k in range(ve, len(code)):
+                        if tok[k]["text"] == ";" or (
+                                tok[k]["text"] == ","
+                                and k + 1 < len(code)
+                                and tok[k + 1]["tag"] == "CC"):
+                            _scope_end = k
+                            break
+                    attitude_scope = (ve, _scope_end)
                 prev_vp = None
                 continue
             cands = [sp for sp in nps if sp[1] <= vs]
@@ -1235,6 +1319,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         for k in range(sp[1], vs)
                     ):
                         continue
+                    # a candidate INSIDE a closed relative clause
+                    # cannot govern a verb outside it ("My sister,
+                    # whom I met in June, has called" must not subject
+                    # "June" — the RC commas are parity-TRANSPARENT,
+                    # which makes the RC-internal NP read as even)
+                    if any(c_open < sp[0] and sp[1] <= c_close < vs
+                           for c_open, c_close in rc_spans):
+                        continue
                     if n_commas_subj(sp[1], vs) % 2 == 0:
                         subj_span = sp
                         break
@@ -1247,8 +1339,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         subj_span = sp
                         break
             if subj_span is None:
-                prev_vp = None
-                continue
+                # resumptive coordination: ", and so/thus/then would
+                # need ..." resumes the LAST asserted subject even when
+                # an intervening suppressed group (a controlled
+                # infinitive) cleared prev_vp and the comma parity
+                # walls every candidate off ("the Steam backup feature
+                # requires Steam to restore, and so would need to
+                # connect ...")
+                if (last_pair is not None and vs > last_pair[1]
+                        and any(tok[k]["text"].lower() in ("and", "or")
+                                for k in range(last_pair[1], vs))
+                        and all(tok[k]["text"].lower()
+                                in (",", "and", "or", "so", "thus",
+                                    "then", "therefore")
+                                or code[k] in "RVPM"
+                                for k in range(last_pair[1], vs))):
+                    subj_span = last_pair[0]
+                    shared = True
+                else:
+                    prev_vp = None
+                    continue
             # interrogative gap directly before the verb with no
             # antecedent NP ("discover what is wanted by ...") — the
             # walked-to subject belongs to the matrix clause, not here.
@@ -1417,6 +1527,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         in ("not", "n't"))):
                 prev_vp = None
                 continue
+            # a "that"-complement under an EM-DASH appositive noun is
+            # reformulation content, not an assertion ("It was more a
+            # feeling of duty--a feeling that some good might come
+            # ..."); noun-that content elsewhere keeps its gold
+            # convention ("my double deduction that you had been out",
+            # "no doubt that she loved you")
+            if (not rebound and not shared and before_tok is not None
+                    and before_tok["text"].lower() == "that"
+                    and subj_span[0] >= 2
+                    # the governing nominal may be a gerund form the
+                    # tagger marks VBG ("a feeling/VBG that ...")
+                    and (code[subj_span[0] - 2] == "N"
+                         or tok[subj_span[0] - 2]["tag"] == "VBG")):
+                _gn_start = subj_span[0] - 2
+                while _gn_start > 0 and code[_gn_start - 1] in "DJNCG":
+                    _gn_start -= 1
+                if (_gn_start > 0
+                        and tok[_gn_start - 1]["text"] in ("--", "—")):
+                    prev_vp = None
+                    continue
             # a conditional/concessive subordinator or wh-adverb
             # directly before the subject puts the whole clause out of
             # assertion scope ("even if it's different than ...", "how
@@ -1590,7 +1720,21 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     or t["tag"] == "WRB"
                     for t in between
                 ):
-                    return False
+                    # copular "X is that S" with the complementizer
+                    # DIRECTLY after the copula keeps the embedded
+                    # subject as object, the same convention as
+                    # verb-governed "think that you ..." ("My point is
+                    # that we should ..." -> <My point> is that <we>);
+                    # fetching ACROSS material to a later "that" stays
+                    # blocked ("It is true that I had a country walk")
+                    # the embedded subject must actually govern a VP
+                    # ("is that we SHOULD ..."): a bare interrogative
+                    # "Is that you?" has no clause after the pronoun
+                    if not (len(between) == 1
+                            and between[0]["text"].lower() == "that"
+                            and s == ve + 1
+                            and e < len(code) and code[e] in "MV"):
+                        return False
                 if (is_be_head and e in vp_starts
                         and n_commas(ve, s) > 0):
                     return False
@@ -1606,6 +1750,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and tok[s - 1]["text"].lower() == "at"
                         and tok[s]["text"].lower()
                         in _AT_IDIOM_NOUNS):
+                    return False
+                # "on fire/edge" predicative idioms likewise ("I was
+                # all on fire to go over them")
+                if (e - s == 1 and s > 0
+                        and tok[s - 1]["text"].lower() == "on"
+                        and tok[s]["text"].lower()
+                        in ("fire", "edge")):
                     return False
                 # a reflexive INTENSIFIER directly followed by another
                 # nominal is not the object ("She is herself the very
@@ -1977,6 +2128,32 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if tok[obj_span[0]]["text"].lower() in ("any", "no"):
                 prev_vp = None
                 continue
+            # an object candidate that abuts the NEXT clause's finite
+            # verb across an intervening comma is that clause's
+            # SUBJECT, not this verb's object ("As I strolled up and
+            # down, glancing at them occasionally, Mr. Rucastle came
+            # out ..." must not object Mr. Rucastle)
+            if (obj_span[1] < len(code)
+                    and tok[obj_span[1]]["tag"] in ("VBD", "VBZ", "VBP")
+                    and code[obj_span[1]] == "V"
+                    and n_commas(ve, obj_span[0]) >= 1
+                    # a "that"-complement's embedded subject is the
+                    # conventional object and KEEPS ("I think, Watson,
+                    # that you have put on ...")
+                    and not (obj_span[0] > 0
+                             and tok[obj_span[0] - 1]["text"].lower()
+                             == "that")):
+                prev_vp = None
+                continue
+            # such-correlative degree complement: "is of such weight
+            # (that) it may have ..." — the of-PP heads a degree-result
+            # construction, not an asserted property (plain "are of an
+            # importance" keeps)
+            if (is_be_head and code[ve - 1] == "P"
+                    and tok[ve - 1]["text"].lower() == "of"
+                    and tok[obj_span[0]]["text"].lower() == "such"):
+                prev_vp = None
+                continue
             # (subject comma parity is enforced by the even-distance
             # walk above; rebound/shared subjects legitimately cross
             # their own chain-closing comma / ", and")
@@ -2123,6 +2300,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 prev_vp = None
                 continue
             prev_vp = (subj_span, obj_span, ve, content_verb)
+            last_pair = (subj_span, max(ve, obj_span[1]))
 
             # resultative passive: "<subj> BE VBN as <complement> by
             # <agent>" keeps the SURFACE orientation ("those mysteries

@@ -62,7 +62,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 189
+    assert len(data) == 197
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -81,11 +81,11 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors a few points under the measured r7.2 values
-    # (P = 0.8671 = 274/316, R = 0.8754 = 274/313 on the 189-sentence
+    # regression floors a few points under the measured r7.3 values
+    # (P = 0.8712 = 284/326, R = 0.8847 = 284/321 on the 197-sentence
     # set — larger and HARDER than r6's 157: it now holds every
-    # migrated OOD web-register sentence; r6 was P 0.8819/R 0.8784
-    # on 157)
+    # migrated OOD web-register sentence; r7.2 was P 0.8671/R 0.8754
+    # on 189, r6 P 0.8819/R 0.8784 on 157)
     assert precision >= 0.84, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
         f"{n_pred}) regressed below 0.84")
@@ -117,11 +117,24 @@ def test_open_text_triple_heldout():
     measured first-run sherlock-fresh P 0.6667 / R 0.9091 and
     reddit-fresh P 0.6250 / R 0.8333 (after a 2-relation
     convention-consistency label pass) — OOD precision roughly
-    doubled tranche-over-tranche. Pool-level register scores:
-    sherlock 0.9495/0.9895, reddit 0.7273/0.8889. r8 worklist:
-    negated-cognition-frame complements ("don't think that the
-    Taliban are ..."), NP-abutting-later-verb objects ("strolled up
-    ... Mr. Rucastle came"), ditransitive gave-me objects.
+    doubled tranche-over-tranche.
+
+    r7 third protocol round: the tranche-7 failures drove a third
+    guard batch (RC-internal subject walls, negated-infinitive
+    continuation, negated-attitude complement scope + litotes
+    exception, em-dash appositive noun-that, copular is-that,
+    resumptive ", and so" coordination, cross-clause object steal,
+    prenominal-VBN recode, modal-appearance speculation) plus the
+    tagger batch 2 lexical constraints; its 8 driving sentences
+    migrated and TRANCHE 8 (12 fresh sherlock @181.5k/381.5k + 10
+    fresh reddit, labeled blind) measured FIRST-RUN sherlock-t8
+    P 0.5909 / R 0.8125 and reddit-t8 P 0.6875 / R 0.7333 —
+    pool-level sherlock 0.9204/0.9720, reddit 0.8333/0.8621
+    (the 83 pre-t8 survivors measure 105/105 = 1.0/1.0). r8
+    worklist from the t8 failures: serial-coordination object
+    leakage ("parted from my old pals and determined to settle"),
+    contraction subjects ("I've"), adverbial-NP objects ("pool
+    midway"), coordinated of-PP subjects, all-caps headline tagging.
     History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
     second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
     at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
@@ -133,7 +146,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 91
+    assert len(data) == 105
     stats = {}  # register -> [pred, pred_match, gold, gold_match]
     for e in data:
         reg = ("reddit" if e.get("src", "").startswith("reddit")
@@ -149,9 +162,9 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for g in gold) for p in pred)
         st[3] += sum(
             any(_tri_match(p, g) for p in pred) for g in gold)
-    # per-register floors a few points under the r7.2 pool-level
-    # measurement (sherlock 0.9495/0.9895, reddit OOD 0.7273/0.8889)
-    floors = {"sherlock": (0.90, 0.94), "reddit": (0.65, 0.80)}
+    # per-register floors a few points under the r7.3 pool-level
+    # measurement (sherlock 0.9204/0.9720, reddit OOD 0.8333/0.8621)
+    floors = {"sherlock": (0.89, 0.94), "reddit": (0.78, 0.82)}
     for reg, (pf, rf) in floors.items():
         np_, nm, ng, ngm = stats[reg]
         precision, recall = nm / np_, ngm / ng
