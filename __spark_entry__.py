@@ -145,7 +145,7 @@ def _media_path() -> str:
 
 def _media(spark: SparkSession) -> DataFrame:
     """Deterministic media corpus (seed=42): png/bmp/ppm/webp image blobs +
-    PCM16 WAV blobs, written by pyarrow from the seeded product-side
+    PCM16 and IMA-ADPCM WAV blobs, written by pyarrow from the seeded product-side
     encoders — the REAL decoders (fake=False) consume them."""
     from prose_spark.sources.media import write_media_parquet
 

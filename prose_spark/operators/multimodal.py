@@ -2080,6 +2080,183 @@ def _g711_tables():
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM quantizer tables (public spec: IMA Digital Audio Focus
+# and Technical Working Groups, "Recommended Practices for Enhancing
+# Digital Audio Compatibility", rev 3.00 — the same constants the
+# stdlib audioop Intel/DVI codec uses, which the tests cross-validate
+# against bit-exactly)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767], dtype=np.int32)
+
+# MS ADPCM predictor coefficient pairs and step adaptation (public
+# spec: Microsoft WAVE ADPCM, MSADPCM.txt / RIFF NewMedia I/O)
+_MS_ADPCM_COEFS = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+     (392, -232)], dtype=np.int64)
+_MS_ADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64)
+
+
+def _ima_adpcm_core(nibbles: np.ndarray, predictor: np.ndarray,
+                    index: np.ndarray) -> np.ndarray:
+    """IMA ADPCM nibble decode, vectorized ACROSS independent streams
+    (WAV blocks x channels): ``nibbles`` is (n_streams, n_samples),
+    ``predictor``/``index`` are the per-stream initial states. The
+    per-sample recurrence is inherently sequential, so the loop runs
+    over the (bounded) sample axis while numpy does every stream at
+    once — the shape that stays fast when a 30 s cap admits thousands
+    of blocks. Returns int16-valued int32 samples (n_streams,
+    n_samples)."""
+    n_streams, n_samples = nibbles.shape
+    pred = predictor.astype(np.int32).copy()
+    idx = np.clip(index.astype(np.int32), 0, 88)
+    out = np.empty((n_streams, n_samples), dtype=np.int32)
+    for t in range(n_samples):
+        n = nibbles[:, t]
+        step = _IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.where(n & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[n & 7], 0, 88)
+        out[:, t] = pred
+    return out
+
+
+def _ms_adpcm_core(codes: np.ndarray, coef1: np.ndarray,
+                   coef2: np.ndarray, delta: np.ndarray,
+                   s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """MS ADPCM 4-bit code decode, vectorized across streams the same
+    way: ``codes`` is (n_streams, n_samples) of UNSIGNED 4-bit codes;
+    per-stream coefficient pair, initial delta, and the two seed
+    samples (s1 = newer). Returns the PREDICTED samples only (the two
+    seeds are emitted by the container walk)."""
+    n_streams, n_samples = codes.shape
+    c1 = coef1.astype(np.int64)
+    c2 = coef2.astype(np.int64)
+    d = delta.astype(np.int64).copy()
+    p1 = s1.astype(np.int64).copy()  # sample[n-1]
+    p2 = s2.astype(np.int64).copy()  # sample[n-2]
+    out = np.empty((n_streams, n_samples), dtype=np.int32)
+    for t in range(n_samples):
+        code = codes[:, t].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = (p1 * c1 + p2 * c2) >> 8
+        samp = np.clip(pred + signed * d, -32768, 32767)
+        out[:, t] = samp
+        p2, p1 = p1, samp
+        d = np.maximum((_MS_ADPCM_ADAPT[code] * d) >> 8, 16)
+    return out
+
+
+def _decode_wav_ima_adpcm(raw: bytes, ch: int, block_align: int,
+                          n_read: int) -> np.ndarray:
+    """IMA ADPCM WAV container walk (format tag 0x0011): per block and
+    channel a 4-byte header (int16 first sample, uint8 step index,
+    reserved) followed by channel-interleaved 4-byte nibble groups,
+    LOW nibble first. Returns float64 mono-mixable samples in
+    [-1, 1] shaped (frames, ch)."""
+    ba = block_align
+    if ba < 4 * ch + 4 or ba % 4:
+        raise ValueError("malformed WAV: bad IMA ADPCM block align")
+    n_blocks = len(raw) // ba
+    if n_blocks == 0:
+        return np.zeros((0, ch), dtype=np.float64)
+    blocks = np.frombuffer(
+        raw[:n_blocks * ba], dtype=np.uint8).reshape(n_blocks, ba)
+    # per-channel 4-byte headers
+    heads = blocks[:, :4 * ch].reshape(n_blocks, ch, 4)
+    first = (heads[:, :, 0].astype(np.int32)
+             | (heads[:, :, 1].astype(np.int32) << 8))
+    first = np.where(first >= 32768, first - 65536, first)
+    index = np.clip(heads[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * ch:]
+    # channel-interleaved 4-byte groups -> (blocks, ch, bytes_per_ch)
+    groups = body.reshape(n_blocks, -1, ch, 4)
+    per_ch = groups.transpose(0, 2, 1, 3).reshape(n_blocks, ch, -1)
+    lo = per_ch & 0x0F
+    hi = per_ch >> 4
+    nibbles = np.stack([lo, hi], axis=-1).reshape(n_blocks, ch, -1)
+    n_streams = n_blocks * ch
+    decoded = _ima_adpcm_core(
+        nibbles.reshape(n_streams, -1).astype(np.int32),
+        first.reshape(n_streams), index.reshape(n_streams))
+    spb = decoded.shape[1] + 1  # header sample + decoded nibbles
+    out = np.empty((n_blocks, ch, spb), dtype=np.float64)
+    out[:, :, 0] = first / 32768.0
+    out[:, :, 1:] = decoded.reshape(n_blocks, ch, -1) / 32768.0
+    frames = out.transpose(0, 2, 1).reshape(-1, ch)
+    return frames[:n_read]
+
+
+def _decode_wav_ms_adpcm(raw: bytes, ch: int, block_align: int,
+                         n_read: int) -> np.ndarray:
+    """MS ADPCM WAV container walk (format tag 0x0002): per block and
+    channel a 7-byte header (uint8 predictor index, int16 delta, int16
+    sample1, int16 sample2), then 4-bit codes HIGH nibble first,
+    channels interleaved per nibble. Returns (frames, ch) float64."""
+    import struct
+
+    ba = block_align
+    if ba < 7 * ch + 1:
+        raise ValueError("malformed WAV: bad MS ADPCM block align")
+    n_blocks = len(raw) // ba
+    if n_blocks == 0:
+        return np.zeros((0, ch), dtype=np.float64)
+    pred_i = np.empty((n_blocks, ch), dtype=np.int64)
+    delta = np.empty((n_blocks, ch), dtype=np.int64)
+    samp1 = np.empty((n_blocks, ch), dtype=np.int64)
+    samp2 = np.empty((n_blocks, ch), dtype=np.int64)
+    for bi in range(n_blocks):
+        base = bi * ba
+        for c in range(ch):
+            pred_i[bi, c] = raw[base + c]
+        off = base + ch
+        for c in range(ch):
+            (delta[bi, c],) = struct.unpack_from("<h", raw, off)
+            off += 2
+        for c in range(ch):
+            (samp1[bi, c],) = struct.unpack_from("<h", raw, off)
+            off += 2
+        for c in range(ch):
+            (samp2[bi, c],) = struct.unpack_from("<h", raw, off)
+            off += 2
+    if (pred_i > 6).any():
+        raise ValueError("malformed WAV: MS ADPCM predictor out of range")
+    body = np.frombuffer(
+        raw[:n_blocks * ba], dtype=np.uint8
+    ).reshape(n_blocks, ba)[:, 7 * ch:]
+    hi = body >> 4
+    lo = body & 0x0F
+    codes = np.stack([hi, lo], axis=-1).reshape(n_blocks, -1)
+    # nibbles alternate channels: reshape to (blocks, samples, ch)
+    codes = codes[:, : (codes.shape[1] // ch) * ch]
+    codes = codes.reshape(n_blocks, -1, ch).transpose(0, 2, 1)
+    n_streams = n_blocks * ch
+    coefs = _MS_ADPCM_COEFS[pred_i.reshape(n_streams)]
+    decoded = _ms_adpcm_core(
+        codes.reshape(n_streams, -1).astype(np.int32),
+        coefs[:, 0], coefs[:, 1], delta.reshape(n_streams),
+        samp1.reshape(n_streams), samp2.reshape(n_streams))
+    spb = decoded.shape[1] + 2
+    out = np.empty((n_blocks, ch, spb), dtype=np.float64)
+    out[:, :, 0] = samp2 / 32768.0  # the OLDER seed plays first
+    out[:, :, 1] = samp1 / 32768.0
+    out[:, :, 2:] = decoded.reshape(n_blocks, ch, -1) / 32768.0
+    frames = out.transpose(0, 2, 1).reshape(-1, ch)
+    return frames[:n_read]
+
 
 def _parse_wav_chunks(b: bytes):
     """RIFF chunk walk -> (fmt_chunk_bytes, data_offset, data_size)."""
@@ -2088,6 +2265,7 @@ def _parse_wav_chunks(b: bytes):
     pos = 12
     fmt = None
     data = None
+    fact = None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
@@ -2095,23 +2273,29 @@ def _parse_wav_chunks(b: bytes):
             fmt = b[pos + 8:pos + 8 + size]
         elif cid == b"data":
             data = (pos + 8, min(size, len(b) - pos - 8))
+        elif cid == b"fact" and size >= 4:
+            (fact,) = struct.unpack("<I", b[pos + 8:pos + 12])
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
-    return fmt, data[0], data[1]
+    return fmt, data[0], data[1], fact
 
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
     """Decode a RIFF/WAV blob FOR REAL (stdlib + numpy — no external
     dependency): integer PCM (8/16/32-bit), IEEE float32/float64
-    (format 3), A-law / mu-law (G.711, formats 6/7), and
-    WAVE_FORMAT_EXTENSIBLE wrappers of any of those; any channel
-    count (downmixed to mono). Returns (float64 samples in [-1, 1],
-    sample_rate, true_duration_seconds). The ``_AUDIO_MAX_SECONDS``
-    work cap is applied AT DECODE TIME (only the capped byte range is
-    ever converted) so a multi-GB WAV never materializes its full
-    float64 expansion in executor memory; the returned duration is
-    still the blob's TRUE length from the header. Compressed formats
+    (format 3), A-law / mu-law (G.711, formats 6/7), IMA/DVI ADPCM
+    (format 17) and MS ADPCM (format 2) block codecs (r7 — the IMA
+    nibble core is cross-validated bit-exactly against the stdlib
+    audioop Intel/DVI codec), and WAVE_FORMAT_EXTENSIBLE wrappers of
+    any of those; any channel count (downmixed to mono). Returns
+    (float64 samples in [-1, 1], sample_rate, true_duration_seconds).
+    The ``_AUDIO_MAX_SECONDS`` work cap is applied AT DECODE TIME
+    (only the capped byte/block range is ever converted) so a
+    multi-GB WAV never materializes its full float64 expansion in
+    executor memory; the returned duration is still the blob's TRUE
+    length from the header (ADPCM: the ``fact`` frame count when
+    present, else blocks x samples-per-block). Entropy-coded formats
     (mp3/ogg/flac) need codec libraries absent from this environment
     and raise NotImplementedError."""
     import struct
@@ -2123,7 +2307,7 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
             "available in this environment — WAV (PCM/float/G.711) "
             "decodes natively"
         )
-    fmt, doff, dsize = _parse_wav_chunks(b)
+    fmt, doff, dsize, fact = _parse_wav_chunks(b)
     if len(fmt) < 16:
         raise ValueError("malformed WAV: short fmt chunk")
     tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
@@ -2133,10 +2317,34 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int, float]:
         (tag,) = struct.unpack("<H", fmt[24:26])
     if ch < 1 or sr < 1:
         raise ValueError("malformed WAV: bad channel count/rate")
+    if tag in (2, 17):  # MS ADPCM / IMA ADPCM: block codecs
+        if _ba < 1:
+            raise ValueError("malformed WAV: bad ADPCM block align")
+        if tag == 17:
+            spb = (_ba - 4 * ch) * 2 // ch + 1
+        else:
+            spb = (_ba - 7 * ch) * 2 // ch + 2
+        if spb < 1:
+            raise ValueError("malformed WAV: bad ADPCM block align")
+        n_blocks_total = dsize // _ba
+        n_total = (fact if fact is not None
+                   else n_blocks_total * spb)
+        cap_frames = sr * _AUDIO_MAX_SECONDS
+        n_blocks = min(n_blocks_total,
+                       -(-min(n_total, cap_frames) // spb))
+        raw = b[doff:doff + n_blocks * _ba]
+        if tag == 17:
+            frames = _decode_wav_ima_adpcm(raw, ch, _ba,
+                                           min(n_total, cap_frames))
+        else:
+            frames = _decode_wav_ms_adpcm(raw, ch, _ba,
+                                          min(n_total, cap_frames))
+        x = frames.mean(axis=1) if ch > 1 else frames[:, 0]
+        return x, sr, n_total / sr
     if tag not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"WAV format tag {tag} (compressed) unsupported — "
-            "PCM/float/G.711 decode natively"
+            "PCM/float/G.711/IMA-ADPCM/MS-ADPCM decode natively"
         )
     # container width comes from blockAlign when coherent (a 12-bit
     # sample ships in a 16-bit container, the layout the stdlib wave

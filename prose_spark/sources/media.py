@@ -4,7 +4,8 @@ The sf documents tables are text-only, so the multimodal operators
 (`prose_spark.operators.multimodal`) had no driver-facing input until
 this module: it generates seeded image and audio blobs with tiny
 dependency-free ENCODERS (PNG via stdlib zlib, BMP BI_RGB, netpbm P6,
-lossless WebP/VP8L, RIFF/WAV PCM16) whose output the REAL decoders consume (``fake=False``)
+lossless WebP/VP8L, RIFF/WAV PCM16 and IMA ADPCM) whose output the
+REAL decoders consume (``fake=False``)
 — the same discipline as sources/pages.py (seeded, reproducible on any
 machine, no external data).
 
@@ -32,6 +33,7 @@ __all__ = [
     "encode_ppm",
     "encode_webp_lossless",
     "encode_wav_pcm16",
+    "encode_wav_ima_adpcm",
     "generate_image_rows",
     "generate_audio_rows",
     "write_media_parquet",
@@ -170,6 +172,66 @@ def encode_wav_pcm16(x: np.ndarray, sr: int) -> bytes:
     )
 
 
+def encode_wav_ima_adpcm(x: np.ndarray, sr: int,
+                         block_align: int = 256) -> bytes:
+    """RIFF/WAV writer: mono IMA/DVI ADPCM (format tag 17), blocks per
+    the IMA rev 3.00 layout — 4-byte header (int16 first sample, uint8
+    step index) + LOW-nibble-first 4-bit codes. The per-block step
+    index seeds near the block's mean slope (what real encoders do).
+    ``x`` is float in [-1, 1]. Independent of the decoder under test —
+    this is the corpus PRODUCT side, mirrored from the spec."""
+    from prose_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE, _IMA_STEP_TABLE)
+
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1
+    n = (len(pcm) // spb) * spb
+    pcm = pcm[:n]
+    out = bytearray()
+    for b0 in range(0, n, spb):
+        block = pcm[b0:b0 + spb]
+        slope = float(np.mean(np.abs(np.diff(block)))) if len(block) > 1 else 7.0
+        idx = int(np.argmin(np.abs(_IMA_STEP_TABLE - slope)))
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in block[1:]:
+            step = int(_IMA_STEP_TABLE[idx])
+            diff = int(s) - pred
+            nb = 0
+            if diff < 0:
+                nb = 8
+                diff = -diff
+            if diff >= step:
+                nb |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nb |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nb |= 1
+            vpdiff = step >> 3
+            if nb & 4:
+                vpdiff += step
+            if nb & 2:
+                vpdiff += step >> 1
+            if nb & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nb & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[nb & 7])))
+            nibs.append(nb)
+        for i in range(0, len(nibs), 2):
+            out.append(nibs[i] | ((nibs[i + 1] if i + 1 < len(nibs)
+                                   else 0) << 4))
+    fmt = struct.pack("<HHIIHHH", 17, 1, sr, sr, block_align, 4, 0)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
+            + b"data" + struct.pack("<I", len(out)) + bytes(out))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _image_array(i: int, seed: int) -> np.ndarray:
     """Seeded HxWx3 uint8: a two-axis gradient + per-image noise, with
     per-index dimensions so width/height metadata is non-constant."""
@@ -203,18 +265,24 @@ def generate_image_rows(n: int, seed: int = 42):
 
 
 def generate_audio_rows(n: int, seed: int = 42):
-    """Yield (url, format_name, blob): mono PCM16 WAV clips — a seeded
-    sine (per-index frequency) plus noise, per-index duration."""
+    """Yield (url, format_name, blob): mono WAV clips — a seeded sine
+    (per-index frequency) plus noise, per-index duration. Every fourth
+    clip is IMA-ADPCM-compressed (format tag 17) so one query
+    exercises both the PCM and the block-codec decode paths."""
     for i in range(n):
         rng = np.random.RandomState(seed * 200_003 + i)
         sr = 8000
         dur = 0.2 + (i % 3) * 0.1
         t = np.arange(int(sr * dur)) / sr
         freq = 180.0 + 37.0 * i
-        x = (0.55 * np.sin(2 * np.pi * freq * t)
-             + 0.08 * rng.randn(len(t)))
-        yield (f"media://wav/{i:04d}.wav", "wav",
-               encode_wav_pcm16(np.clip(x, -1, 1), sr))
+        x = np.clip(0.55 * np.sin(2 * np.pi * freq * t)
+                    + 0.08 * rng.randn(len(t)), -1, 1)
+        if i % 4 == 3:
+            yield (f"media://wav/{i:04d}.adpcm.wav", "wav-ima-adpcm",
+                   encode_wav_ima_adpcm(x, sr))
+        else:
+            yield (f"media://wav/{i:04d}.wav", "wav",
+                   encode_wav_pcm16(x, sr))
 
 
 def write_media_parquet(path: str, n_images: int, n_audio: int,

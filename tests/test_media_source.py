@@ -54,6 +54,21 @@ def test_wav_roundtrip_close():
     assert float(np.abs(y - x).max()) < 1.0 / 32000
 
 
+def test_wav_ima_adpcm_roundtrip_close():
+    from prose_spark.sources.media import encode_wav_ima_adpcm
+
+    sr = 8000
+    t = np.arange(2048) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    y, sr2, dur = decode_audio(encode_wav_ima_adpcm(x, sr))
+    spb = (256 - 4) * 2 + 1
+    n = (2048 // spb) * spb
+    assert sr2 == sr and len(y) == n
+    assert abs(dur - n / sr) < 1e-9
+    # 4-bit ADPCM is lossy; a tracking-seeded encoder stays tight
+    assert float(np.abs(y - x[:n]).max()) < 0.05
+
+
 def test_mm_driver_queries(spark):
     import __spark_entry__ as entry
 
@@ -74,3 +89,7 @@ def test_mm_driver_queries(spark):
     assert abs(a0.duration - 0.2) < 1e-6
     # RMS of a 0.55-amp sine ~= 0.389 plus noise power
     assert 0.35 < a0.rms < 0.45
+    # every fourth clip ships IMA-ADPCM-compressed and decodes for real
+    a3 = next(r for r in aud if r.url == "media://wav/0003.adpcm.wav")
+    assert a3.sample_rate == 8000
+    assert 0.35 < a3.rms < 0.45

@@ -106,9 +106,11 @@ def test_wav_work_cap_and_errors():
     # decode-time cap: samples truncated, duration stays true
     assert len(x) == sr * _AUDIO_MAX_SECONDS
     assert abs(dur - (_AUDIO_MAX_SECONDS + 10)) < 1e-9
-    # ADPCM (tag 2) is compressed -> honest NotImplementedError
-    with pytest.raises(NotImplementedError, match="format tag 2"):
-        decode_audio(_wav(b"\x00" * 64, 2, 1, 8000, 4))
+    # entropy-coded codecs stay honest stubs (tag 0x55 = MPEG layer 3
+    # in WAV); ADPCM tags 2/17 decode natively as of r7
+    # (tests/test_adpcm.py)
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_audio(_wav(b"\x00" * 64, 0x55, 1, 8000, 0))
     # missing data chunk -> malformed
     broken = b"RIFF" + struct.pack("<I", 12) + b"WAVEjunk" + bytes(8)
     with pytest.raises(ValueError, match="malformed WAV"):
