@@ -244,7 +244,12 @@ class IterTokenizer:
 # em-dash from its neighbors ("pause--and" -> pause / -- / and) and tags
 # it ":"; the reference's zero-split-case default glues it, which welds
 # two NPs into one token and costs triple recall on narrative web text.
-_DEFAULT = IterTokenizer(split_cases=("--",))
+# r7: "'ve" and "'d" join it — the reference's contraction list
+# (tokenize.go:300) has 'll/'s/'re/'m/n't but not these two, so "I've"
+# survives as one OOV token and the tagger guesses NNP; PTB splits
+# both, and neither appears in the treebank_words/tokenize.json parity
+# fixtures (verified), so exact-match parity is unaffected.
+_DEFAULT = IterTokenizer(split_cases=("--", "'ve", "'d"))
 
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:

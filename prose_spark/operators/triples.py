@@ -263,6 +263,10 @@ _PARTICLE_OBJECTS = frozenset(("round", "aside", "forth"))
 # glue ("wrapped a shawl round me" -> object "shawl round")
 _TRAILING_ADV_NOUNS = frozenset(("before", "after", "since", "ago",
                                  "too", "also", "then", "now", "such",
+                                 # locative adverbs the tagger calls NN
+                                 # ("the pool midway between our
+                                 # houses")
+                                 "midway", "halfway",
                                  # mistagged-NN accusative pronouns
                                  # glued onto an NP tail ("my arms
                                  # round her" -> her/NN): a pronoun
@@ -425,10 +429,27 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # is ATTRIBUTIVE ("the half-lit broken knees dance", "the
         # scattered knots"), not a predicate: code it J so the NP stays
         # whole. Post-nominal VBNs (reduced relatives, passives) keep V.
+        # A VBZ between an ADJECTIVE and a nominal is the same class of
+        # NP-internal mis-tag ("the Spanish incumbent telecoms/VBZ
+        # operator") — J only, so "the dog runs home" (N before VBZ)
+        # keeps its finite verb.
         for k in range(1, len(code_l) - 1):
-            if (code_l[k] == "V" and tags[k] == "VBN"
-                    and code_l[k - 1] in "DJ"
-                    and code_l[k + 1] in "NJ"):
+            if (code_l[k] == "V" and code_l[k + 1] in "NJ"
+                    and ((tags[k] == "VBN" and code_l[k - 1] in "DJ")
+                         or (tags[k] == "VBZ"
+                             # only for OOV surfaces — the misparse
+                             # class is an unknown plural read as a
+                             # verb; in-vocabulary VBZ ("name is John
+                             # Robinson") keeps its verb
+                             and _oov_surface(tok[k]["text"])
+                             and (code_l[k - 1] == "J"
+                                  # noun-run internal VBZ needs TWO
+                                  # nominals after ("incumbent
+                                  # telecoms/VBZ operator Telefónica");
+                                  # "the dog runs home" keeps its verb
+                                  or (code_l[k - 1] == "N"
+                                      and k + 2 < len(code_l)
+                                      and code_l[k + 2] == "N"))))):
                 code_l[k] = "J"
         # bare predicative possessive: PRP$ + "own" with no nominal
         # after it ("had formerly been in part my own") is a predicate
@@ -792,6 +813,23 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # verb regardless of its (often VBN-mistagged) form
             if vs > 0 and vs - 1 in appos_close_commas:
                 return False
+            # a VBN directly after a noun-adjacent relative "that" is
+            # the relative clause's FINITE verb ("the company that got
+            # to that point" — VBD/VBN identical forms again)
+            if (vs > 1 and tok[vs - 1]["text"].lower() == "that"
+                    and code[vs - 2] == "N"):
+                return False
+            # "and VBNed to-INF" is a FINITE conjunct, not a
+            # participial ("parted from my old pals and determined to
+            # settle down" — the regular -ed form is VBD/VBN identical
+            # and the infinitive marks predication)
+            if (vs > 0 and tok[vs - 1]["text"].lower() in ("and", "or")
+                    and tok[vs]["text"].lower().endswith("ed")
+                    and ((code[ve - 1] == "P"
+                          and tok[ve - 1]["text"].lower() == "to")
+                         or (ve < len(code)
+                             and tok[ve]["tag"] == "TO"))):
+                return False
             if (code[ve - 1] == "P"
                     and tok[ve - 1]["text"].lower() == "by"):
                 return False
@@ -894,11 +932,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         wh_kill: int | None = None
         neg_kill: int | None = None
         neg_litotes = False
-        # subject + group-end of the last EMITTED pairing, surviving
-        # prev_vp resets by intervening suppressed groups (controlled
-        # infinitives): ", and so would need to ..." resumes the last
-        # asserted subject
-        last_pair: tuple[tuple[int, int], int] | None = None
+        # (subject, group-end, object) of the last EMITTED pairing,
+        # surviving prev_vp resets by intervening suppressed groups
+        # (controlled infinitives): ", and so would need to ..."
+        # resumes the last asserted subject
+        last_pair: tuple[tuple[int, int], int,
+                         tuple[int, int]] | None = None
         attitude_scope: tuple[int, int] | None = None
         for vpi, (vs, ve) in enumerate(vp_spans):
             next_vs = len(code)
@@ -982,13 +1021,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # control/aspect handling downstream.
             if (vs > 1 and tok[vs - 1]["tag"] == "TO"
                     and code[vs - 2] == "N"):
-                # exception 1: a bare-pronoun object marks the
-                # causative/light-verb reading the gold keeps ("drop
-                # you a line to let you know")
+                # exception 1: a bare-pronoun object FOLLOWED BY A
+                # VERB marks the causative/light-verb reading the gold
+                # keeps ("drop you a line to let you know" — you+know);
+                # a pronoun closing the infinitive is an ordinary
+                # purpose adjunct and stays unasserted ("We were to
+                # meet at the pool ... to talk it over")
                 _iv = vs
                 while _iv < len(code) and code[_iv] in "VR":
                     _iv += 1
-                _keeps = _iv < len(code) and code[_iv] == "S"
+                _keeps = (_iv < len(code) and code[_iv] == "S"
+                          and _iv + 1 < len(code)
+                          and code[_iv + 1] == "V")
                 # exception 2: the governing noun is a CONTROL verb's
                 # object ("was urging his son to marry my daughter")
                 # — the infinitive is the controlled complement
@@ -1025,7 +1069,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             while _dj < len(code) and code[_dj] == "R":
                 _dj += 1
             if (_dj < len(code) and code[_dj] == "J"
-                    and any(t.lower() in ("too", "long", "very", "far")
+                    # comparative adverbs count only as RBR — "was
+                    # more afraid of ..." is adjectival, while "was
+                    # more a feeling" has more/JJR inside the NP and
+                    # keeps its copular complement
+                    and any(t.lower() in ("too", "long", "very", "far",
+                                          "more", "less")
                             for t in vtexts)
                     and any(t.lower() in _BE_FORMS for t in vtexts)):
                 prev_vp = None
@@ -1101,6 +1150,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and attitude_scope[0] <= vs < attitude_scope[1]):
                 prev_vp = None
                 continue
+            # a GERUND inside a negated clause modifies the negated
+            # predicate's object and inherits its scope ("they don't
+            # have much business asking you for money" asserts no
+            # asking)
+            if (neg_kill is not None
+                    and head_verb is not None
+                    and head_verb["tag"] == "VBG"
+                    and vs > neg_kill
+                    and not any(tok[k]["text"] in (",", ";", ":")
+                                for k in range(neg_kill, vs))):
+                prev_vp = None
+                continue
             _own_neg = ((any(t.lower() in _NEG_TOKENS for t in vtexts)
                          and not any(t.lower() in ("ca", "can")
                                      for t in vtexts))
@@ -1170,6 +1231,22 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             shared = False
             if rebound:
                 subj_span = subj_override[nearest]
+            elif (prev_vp is not None and prev_vp[1] is None
+                    and vs == prev_vp[2]
+                    # expletive extraposition stays dead: "how
+                    # all-important it was to | set it right" — a bare
+                    # "it" subject of a BE-headed chain is a dummy
+                    and not (prev_vp[0][1] - prev_vp[0][0] == 1
+                             and tok[prev_vp[0][0]]["text"].lower()
+                             in ("it", "there")
+                             and prev_vp[3] is not None
+                             and prev_vp[3].lower() in _BE_FORMS)):
+                # a verb group ABUTTING an objectless previous group is
+                # that chain's continuation and inherits its subject —
+                # "and determined to | settle down to a quiet life"
+                # must not re-walk to the earlier clause's object NP
+                subj_span = prev_vp[0]
+                shared = True
             elif (nearest is not None and prev_vp is not None
                     and nearest[0] >= prev_vp[2]
                     and all(tok[k]["text"].lower()
@@ -1327,6 +1404,24 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     if any(c_open < sp[0] and sp[1] <= c_close < vs
                            for c_open, c_close in rc_spans):
                         continue
+                    # a PP-object candidate — or the previous verb's
+                    # own object — cannot subject a COORDINATED verb;
+                    # the conjunct shares the earlier clause's subject
+                    # instead ("tried getting KDE for Windows to run
+                    # and had a lot of trouble" must subject neither
+                    # Windows nor KDE: the walk continues to "I")
+                    if (vs > 0 and tok[vs - 1]["tag"] == "CC"
+                            and ((sp[0] > 0 and code[sp[0] - 1] == "P"
+                                  # a subordinator/complementizer also
+                                  # codes P but its NP is a real
+                                  # subject ("that I had ... and came")
+                                  and tok[sp[0] - 1]["text"].lower()
+                                  not in _SUBORD_CONJ)
+                                 or (prev_vp is not None
+                                     and sp == prev_vp[1])
+                                 or (last_pair is not None
+                                     and sp == last_pair[2]))):
+                        continue
                     if n_commas_subj(sp[1], vs) % 2 == 0:
                         subj_span = sp
                         break
@@ -1346,14 +1441,35 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # walls every candidate off ("the Steam backup feature
                 # requires Steam to restore, and so would need to
                 # connect ...")
+                _resume = False
                 if (last_pair is not None and vs > last_pair[1]
                         and any(tok[k]["text"].lower() in ("and", "or")
-                                for k in range(last_pair[1], vs))
-                        and all(tok[k]["text"].lower()
-                                in (",", "and", "or", "so", "thus",
-                                    "then", "therefore")
-                                or code[k] in "RVPM"
                                 for k in range(last_pair[1], vs))):
+                    # gap may hold coordination words, verb/adverb/
+                    # modal/prep codes, and PP-INTERNAL nominals (an
+                    # NP directly governed by a preposition: "tried
+                    # getting KDE for Windows to run and had ..."); a
+                    # BARE nominal is a new clause's subject and blocks
+                    _resume = True
+                    _in_pp = False
+                    for k in range(last_pair[1], vs):
+                        c = code[k]
+                        w = tok[k]["text"].lower()
+                        if w in (",", "and", "or", "so", "thus",
+                                 "then", "therefore"):
+                            _in_pp = False
+                            continue
+                        if c == "P":
+                            _in_pp = True
+                            continue
+                        if c in "RVM":
+                            _in_pp = False
+                            continue
+                        if c in "NJDCSG" and _in_pp:
+                            continue
+                        _resume = False
+                        break
+                if _resume:
                     subj_span = last_pair[0]
                     shared = True
                 else:
@@ -1396,7 +1512,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (not rebound and not shared and subj_span[0] > 0
                     and tok[subj_span[0] - 1]["text"].lower()
                     in _AUX_FORMS):
-                if not (tok[subj_span[0] - 1]["text"].lower()
+                # a predicate-nominal RELATIVE is not an inversion
+                # either: in "He is the man that won the prize" /
+                # "Red Hat is the company that got to that point" the
+                # walked-to NP is the relative's antecedent and this
+                # verb sits right after the relativizer
+                _rel = (vs > 0
+                        and (tok[vs - 1]["tag"] in ("WDT", "WP")
+                             or tok[vs - 1]["text"].lower() == "that"))
+                if not _rel and not (
+                        tok[subj_span[0] - 1]["text"].lower()
                         in _BE_FORMS
                         and subj_span[0] >= 2
                         and tok[subj_span[0] - 2]["text"].lower()
@@ -1504,8 +1629,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # "impressions on one side showed that ...")
                     if tok[j]["text"].lower() not in ("of", "in", "on"):
                         break
+                    # coordinated of-PPs share the chain head: "A
+                    # feeling of repulsion, and of something akin to
+                    # fear had begun ..." walks over ", and of" back to
+                    # the head NP
+                    j2 = j - 1
+                    while (j2 > 0 and tok[j2]["text"].lower()
+                           in (",", "and", "or")):
+                        j2 -= 1
                     _prev_np = next((sp for sp in nps
-                                     if sp[1] == j), None)
+                                     if sp[1] == j or sp[1] == j2 + 1),
+                                    None)
                     if _prev_np is None:
                         break
                     _start = _prev_np[0]
@@ -1577,10 +1711,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # ("akin" NN) and, conversely, mistags real nouns JJ
             # ("applicant"), so a tag-based test fires on the wrong side
             # of both errors.
+            # the walled NP may sit a chain away from THIS verb ("of
+            # something akin to fear had begun to | rise within me" —
+            # the second VP re-binds the same non-actor), so the test
+            # is on the subject's own right edge, not vs-adjacency
             if (not rebound and not shared
-                    and subj_span[1] == vs - 1
-                    and vs > 0
-                    and tok[vs - 1]["text"].lower() == "to"
+                    and subj_span[1] < len(code)
+                    and tok[subj_span[1]]["text"].lower() == "to"
                     and tok[subj_span[1] - 1]["text"].lower()
                     in _ADJ_COMPLEMENT_WORDS):
                 prev_vp = None
@@ -1715,6 +1852,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         return False
                     if any(code[k2] == "P" for k2 in range(k, s)):
                         return False
+                # a gerund in the gap owns the NP past it — "was more
+                # afraid of her knowing my past" must not fetch "my
+                # past" as was's complement
+                if is_be_head and any(t["tag"] == "VBG"
+                                      for t in between):
+                    return False
                 if is_be_head and any(
                     t["text"].lower() in _BE_CROSS_BLOCKERS
                     or t["tag"] == "WRB"
@@ -1757,6 +1900,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         and tok[s - 1]["text"].lower() == "on"
                         and tok[s]["text"].lower()
                         in ("fire", "edge")):
+                    return False
+                # "out of gear/order/..." state idioms ("a hydraulic
+                # stamping machine which has got out of gear")
+                if (e - s == 1 and s > 1
+                        and tok[s - 1]["text"].lower() == "of"
+                        and tok[s - 2]["text"].lower() == "out"
+                        and tok[s]["text"].lower()
+                        in ("gear", "order", "shape", "breath",
+                            "date", "reach", "sight", "control",
+                            "hand", "print", "stock")):
                     return False
                 # a reflexive INTENSIFIER directly followed by another
                 # nominal is not the object ("She is herself the very
@@ -2136,7 +2289,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (obj_span[1] < len(code)
                     and tok[obj_span[1]]["tag"] in ("VBD", "VBZ", "VBP")
                     and code[obj_span[1]] == "V"
-                    and n_commas(ve, obj_span[0]) >= 1
+                    # across an intervening comma, or across a
+                    # subordinating conjunction with no comma ("It grew
+                    # worse as Alice grew up" must not object Alice)
+                    and (n_commas(ve, obj_span[0]) >= 1
+                         or any(tok[k]["text"].lower()
+                                in _BE_CROSS_BLOCKERS
+                                and tok[k]["tag"] == "IN"
+                                for k in range(ve, obj_span[0])))
                     # a "that"-complement's embedded subject is the
                     # conventional object and KEEPS ("I think, Watson,
                     # that you have put on ...")
@@ -2300,7 +2460,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 prev_vp = None
                 continue
             prev_vp = (subj_span, obj_span, ve, content_verb)
-            last_pair = (subj_span, max(ve, obj_span[1]))
+            last_pair = (subj_span, max(ve, obj_span[1]), obj_span)
 
             # resultative passive: "<subj> BE VBN as <complement> by
             # <agent>" keeps the SURFACE orientation ("those mysteries

@@ -37,12 +37,22 @@ from pathlib import Path
 GOLD = Path(__file__).parent / "goldens" / "open_text_triples_gold.json"
 
 
+# clitic auxiliaries normalize to their full forms so a label written
+# "have always assumed" matches the tokenizer's "'ve always assumed"
+# (same convention as the "'s" re-attach; "'d" stays raw — it is
+# had/would-ambiguous and conflating them could cross-match)
+_CLITIC_FULL = {"ve": "have", "re": "are", "m": "am", "ll": "will"}
+
+
 def _toks(s: str) -> set[str]:
     # re-attach tokenizer-split possessives so "companion 's knees"
     # and "companion's knees" normalize to the same token set
     out = set()
     for t in s.lower().replace(" 's", "'s").split():
+        clitic = t.startswith("'")
         t = re.sub(r"[^0-9a-z]+", "", t)
+        if clitic:
+            t = _CLITIC_FULL.get(t, t)
         if t:
             out.add(t)
     return out
@@ -62,7 +72,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 197
+    assert len(data) == 207
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -81,11 +91,11 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors a few points under the measured r7.3 values
-    # (P = 0.8712 = 284/326, R = 0.8847 = 284/321 on the 197-sentence
+    # regression floors a few points under the measured r7.4 values
+    # (P = 0.8791 = 298/339, R = 0.8896 = 298/335 on the 207-sentence
     # set — larger and HARDER than r6's 157: it now holds every
-    # migrated OOD web-register sentence; r7.2 was P 0.8671/R 0.8754
-    # on 189, r6 P 0.8819/R 0.8784 on 157)
+    # migrated OOD web-register sentence; r7.3 was P 0.8712/R 0.8847
+    # on 197, r7.2 0.8671/0.8754 on 189, r6 0.8819/0.8784 on 157)
     assert precision >= 0.84, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
         f"{n_pred}) regressed below 0.84")
@@ -135,6 +145,22 @@ def test_open_text_triple_heldout():
     leakage ("parted from my old pals and determined to settle"),
     contraction subjects ("I've"), adverbial-NP objects ("pool
     midway"), coordinated of-PP subjects, all-caps headline tagging.
+
+    r7 fourth protocol round: the t8 worklist guard batch landed
+    ('ve/'d tokenizer splits, subordinator object-steal, gerund
+    walls, chain-continuation subject share, finite-VBN conjunct
+    and that-relative exceptions, predicate-nominal relative
+    inversion exemption, OOV-VBZ prenominal recode, negated-gerund
+    scope, out-of idioms), its 10 driving sentences migrated, and
+    TRANCHE 9 (12 fresh sherlock @390k/450k + 10 fresh reddit,
+    deliberately harder web register: typos, entities, dense
+    subordination) measured FIRST-RUN sherlock-t9 P 0.7917 /
+    R 0.9048 (t8: 0.5909/0.8125) and reddit-t9 P 0.4375 / R 0.5833
+    (t8-style easy lines were exhausted; the misses are the r9
+    worklist: its/it's typo clauses, soft-negation "have never
+    seen" folding, passive relatives, &amp; entity noise,
+    if-clause copular fallout). Pool-level: sherlock 0.9449/0.9836,
+    reddit 0.7500/0.8182 — floors reset to track the HARDER pool.
     History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
     second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
     at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
@@ -146,7 +172,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 105
+    assert len(data) == 117
     stats = {}  # register -> [pred, pred_match, gold, gold_match]
     for e in data:
         reg = ("reddit" if e.get("src", "").startswith("reddit")
@@ -162,9 +188,10 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for g in gold) for p in pred)
         st[3] += sum(
             any(_tri_match(p, g) for p in pred) for g in gold)
-    # per-register floors a few points under the r7.3 pool-level
-    # measurement (sherlock 0.9204/0.9720, reddit OOD 0.8333/0.8621)
-    floors = {"sherlock": (0.89, 0.94), "reddit": (0.78, 0.82)}
+    # per-register floors a few points under the r7.4 pool-level
+    # measurement (sherlock 0.9449/0.9836, reddit OOD 0.7500/0.8182 —
+    # the tranche-9 reddit lines are deliberately harder than t8's)
+    floors = {"sherlock": (0.92, 0.95), "reddit": (0.72, 0.78)}
     for reg, (pf, rf) in floors.items():
         np_, nm, ng, ngm = stats[reg]
         precision, recall = nm / np_, ngm / ng
