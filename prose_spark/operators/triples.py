@@ -451,6 +451,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                       and k + 2 < len(code_l)
                                       and code_l[k + 2] == "N"))))):
                 code_l[k] = "J"
+        # a BASE-form verb directly governed by a true preposition is
+        # nominal ("during rush hour", "at work") — TO+VB infinitives
+        # are untouched (TO is not IN)
+        for k in range(1, len(code_l)):
+            if (code_l[k] == "V" and tags[k] == "VB"
+                    and tags[k - 1] == "IN"):
+                code_l[k] = "N"
         # bare predicative possessive: PRP$ + "own" with no nominal
         # after it ("had formerly been in part my own") is a predicate
         # complement, not an argument NP — suppress both tokens
@@ -1591,6 +1598,30 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         == "for"):
                     prev_vp = None
                     continue
+            # PASSIVE small clause under a perception/causative verb:
+            # "have never seen it enforced on C470" — the -ed
+            # participle predicates nothing of the pronoun (unlike the
+            # bare-infinitive convention above); the pronoun set adds
+            # it/her here because the governing verb is checked
+            if (not rebound and not shared
+                    and subj_span[1] - subj_span[0] == 1
+                    and subj_span[1] == vs
+                    and tok[subj_span[0]]["text"].lower()
+                    in ("me", "him", "us", "them", "it", "her")
+                    and head_verb is not None
+                    and head_verb["tag"] in ("VBD", "VBN")
+                    and head_verb["text"].lower().endswith("ed")
+                    and subj_span[0] > 0
+                    and any(tok[subj_span[0] - 1]["text"].lower()
+                            .startswith(st)
+                            for st in ("see", "saw", "seen", "hear",
+                                       "heard", "watch", "found",
+                                       "find", "kept", "keep", "got",
+                                       "get", "want", "left", "leave",
+                                       "made", "make", "notic",
+                                       "observ"))):
+                prev_vp = None
+                continue
             # a direct second-person question ("You had heard, Ryder,
             # of this blue stone?") asserts nothing of "you"; third-
             # person polite directives ("Your Majesty will stay ...?")
@@ -2193,9 +2224,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # arrested") asserts the arranging, not a have-relation;
             # the participle is often VBD-mistagged, so accept either
             # form provided it has no object of its own (an objectful
-            # -ed verb opens a new clause instead)
-            if (head_verb is not None
-                    and head_verb["text"].lower()
+            # -ed verb opens a new clause instead). Tested on the
+            # CONTENT verb: an auxiliary have ("have never seen it
+            # enforced") is not causative and keeps its object
+            if (content_verb.lower()
                     in ("have", "has", "had", "having")
                     and obj_span[1] < len(code)
                     and tok[obj_span[1]]["tag"] in ("VBN", "VBD")

@@ -72,7 +72,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 207
+    assert len(data) == 208
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -91,11 +91,11 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors a few points under the measured r7.4 values
-    # (P = 0.8791 = 298/339, R = 0.8896 = 298/335 on the 207-sentence
+    # regression floors a few points under the measured r7.5 values
+    # (P = 0.8801 = 301/342, R = 0.8905 = 301/338 on the 208-sentence
     # set — larger and HARDER than r6's 157: it now holds every
-    # migrated OOD web-register sentence; r7.3 was P 0.8712/R 0.8847
-    # on 197, r7.2 0.8671/0.8754 on 189, r6 0.8819/0.8784 on 157)
+    # migrated OOD web-register sentence; r7.4 was 0.8791/0.8896 on
+    # 207, r7.3 0.8712/0.8847 on 197, r6 0.8819/0.8784 on 157)
     assert precision >= 0.84, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
         f"{n_pred}) regressed below 0.84")
@@ -161,6 +161,11 @@ def test_open_text_triple_heldout():
     seen" folding, passive relatives, &amp; entity noise,
     if-clause copular fallout). Pool-level: sherlock 0.9449/0.9836,
     reddit 0.7500/0.8182 — floors reset to track the HARDER pool.
+    A mini fifth batch (driving sentence migrated, see the gold
+    file's protocol block) fixed the causative-have guard's latent
+    auxiliary bug, passive small clauses under perception verbs, and
+    preposition-governed base verbs ("during rush hour"); pool after
+    it: sherlock 0.9449/0.9836, reddit 0.7879/0.8667.
     History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
     second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
     at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
@@ -172,7 +177,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 117
+    assert len(data) == 116
     stats = {}  # register -> [pred, pred_match, gold, gold_match]
     for e in data:
         reg = ("reddit" if e.get("src", "").startswith("reddit")
