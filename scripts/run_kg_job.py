@@ -65,6 +65,16 @@ def main() -> None:
                     help="canonicalization band-bucket cap (the web-"
                          "scale quadratic-densification guard); default "
                          "None keeps exact blocking")
+    ap.add_argument("--min-stopword-ratio", type=float, default=None,
+                    help="linguistic pre-gate: drop pages whose English "
+                         "stopword ratio is below this BEFORE the NLP "
+                         "chain runs (keyword-soup / boilerplate / tag-"
+                         "stuffed pages are not clausal language — real "
+                         "English prose sits around 0.3-0.5, SEO soup "
+                         "near 0). All-JVM (textstats.add_quality_"
+                         "scores), so at crawl scale the gate costs one "
+                         "codegen'd scan and saves the full Python "
+                         "annotate stage on every dropped page")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -99,6 +109,21 @@ def main() -> None:
         pages = read_warc_pages(spark, args.pages)
     else:
         pages = read_pages(spark, args.pages)
+
+    if args.min_stopword_ratio is not None:
+        from prose_spark.operators.textstats import add_quality_scores
+
+        _qcols = ("n_tokens", "n_chars_obs", "avg_word_len",
+                  "punct_ratio", "stopword_ratio")
+        n_before = pages.count()
+        pages = (add_quality_scores(pages, "text")
+                 .filter(F.col("stopword_ratio")
+                         >= args.min_stopword_ratio)
+                 .drop(*_qcols))
+        n_after = pages.count()
+        print(f"linguistic gate (stopword_ratio >= "
+              f"{args.min_stopword_ratio}): kept {n_after}/{n_before} "
+              f"pages")
 
     t0 = time.time()
     metrics = run_kg_job(spark, pages, args.out, n_buckets=args.buckets,

@@ -181,3 +181,31 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_linguistic_gate_all_jvm(spark):
+    """The run_kg_job --min-stopword-ratio pre-gate (keyword-soup /
+    boilerplate hygiene): real prose passes, stopword-free soup drops,
+    and the gate runs entirely JVM-side (no Python stage in the plan)
+    so at crawl scale it costs one scan and saves the whole annotate
+    stage per dropped page."""
+    from prose_spark.operators.textstats import add_quality_scores
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "The quick brown fox jumped over the lazy dog and "
+                   "it was glad of the exercise."),
+            ("p2", "batch window spark order data column agg join "
+                   "small line customer query line value"),
+        ],
+        "url string, text string",
+    )
+    gated = (add_quality_scores(df, "text")
+             .filter(F.col("stopword_ratio") >= 0.2)
+             .drop("n_tokens", "n_chars_obs", "avg_word_len",
+                   "punct_ratio", "stopword_ratio"))
+    rows = gated.collect()
+    assert [r.url for r in rows] == ["p1"]
+    assert gated.columns == ["url", "text"]
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
