@@ -157,10 +157,10 @@ def _media(spark: SparkSession) -> DataFrame:
 
 def q_mm_image_stats(spark, sf_dir):
     """Multimodal image stage at the driver surface: real decode of the
-    seeded png/bmp/ppm/webp corpus through the map-only mapInPandas feature
-    stage (blobs consumed in-stage, only (url, meta, feature scalars)
-    projected out). Oracle: pinned golden (decode output is
-    model-of-code-dependent, the nlp_triples pattern)."""
+    seeded png/bmp/ppm/webp/gif/tiff corpus through the map-only
+    mapInPandas feature stage (blobs consumed in-stage, only (url, meta,
+    feature scalars) projected out). Oracle: pinned golden (decode
+    output is model-of-code-dependent, the nlp_triples pattern)."""
     from prose_spark.operators.multimodal import extract_image_features
 
     media = _media(spark).filter(F.col("kind") == "image")
@@ -184,8 +184,13 @@ def q_mm_image_stats(spark, sf_dir):
 
 def q_mm_audio_stats(spark, sf_dir):
     """Multimodal audio stage at the driver surface: real WAV decode of
-    the seeded PCM16 corpus through the map-only feature stage. Oracle:
-    pinned golden (same pattern as mm_image_stats)."""
+    the seeded PCM16 / IMA-ADPCM / MS-ADPCM corpus through the map-only
+    feature stage. Oracle: pinned golden (same pattern as
+    mm_image_stats). All six spectral/signal scalars are projected
+    (r7 verdict #7); features[7] alone is excluded because it is the
+    sample-rate TAG (sr/48000) and ``sample_rate`` is already projected
+    verbatim from the metadata struct — including both would pin the
+    same fact twice."""
     from prose_spark.operators.multimodal import extract_audio_features
 
     media = _media(spark).filter(F.col("kind") == "audio")
@@ -202,7 +207,9 @@ def q_mm_audio_stats(spark, sf_dir):
         F.round(F.col("features")[1].cast("double"), 5).alias("rms"),
         F.round(F.col("features")[2].cast("double"), 5).alias("zcr"),
         F.round(F.col("features")[3].cast("double"), 5).alias("centroid"),
+        F.round(F.col("features")[4].cast("double"), 5).alias("peak"),
         F.round(F.col("features")[5].cast("double"), 5).alias("rolloff"),
+        F.round(F.col("features")[6].cast("double"), 5).alias("flatness"),
     ).orderBy("url")
 
 

@@ -41,6 +41,7 @@ Confidence = min NER confidence over entity tokens inside subj/obj spans
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -398,9 +399,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
     for si, idxs in by_sent.items():
         tok = [tokens[i] for i in idxs]
         tags = [t["tag"] or "" for t in tok]
+        # shared per-sentence arrays, computed ONCE (r7 verdict #3):
+        # the guard passes below used to re-call .lower() per site —
+        # ~530k calls per 120-doc micro-bench pass — and re-index the
+        # token dicts; every pass now reads these instead
+        texts = [t["text"] for t in tok]
+        low = [s.lower() for s in texts]
+        tag_set = set(tags)
+        low_set = set(low)
         code_l = []
-        for i, t in zip(idxs, tags):
-            text = tokens[i]["text"]
+        for text, t in zip(texts, tags):
             if text in _QUOTE_TOKENS:
                 code_l.append(".")
                 continue
@@ -412,14 +420,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # punctuation, not a phrase boundary ("his long, nervous hands",
         # "his tall, spare figure" with tall/NN): glue it into the NP
         # when a J follows and the run closes on a noun within reach
-        for k in range(1, len(code_l) - 1):
-            if (tok[k]["text"] == "," and code_l[k - 1] in "JN"
-                    and code_l[k + 1] == "J"):
-                j = k + 1
-                while j < len(code_l) and code_l[j] == "J":
-                    j += 1
-                if j < len(code_l) and code_l[j] == "N":
-                    code_l[k] = "J"
+        if "," in low_set:
+            for k in range(1, len(code_l) - 1):
+                if (texts[k] == "," and code_l[k - 1] in "JN"
+                        and code_l[k + 1] == "J"):
+                    j = k + 1
+                    while j < len(code_l) and code_l[j] == "J":
+                        j += 1
+                    if j < len(code_l) and code_l[j] == "N":
+                        code_l[k] = "J"
         # "her" is the one surface that is BOTH possessive determiner
         # and accusative pronoun; tagged PRP$ with no nominal (or
         # gerund) following it IS the pronoun ("ran to her and threw
@@ -433,150 +442,156 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # NP-internal mis-tag ("the Spanish incumbent telecoms/VBZ
         # operator") — J only, so "the dog runs home" (N before VBZ)
         # keeps its finite verb.
-        for k in range(1, len(code_l) - 1):
-            if (code_l[k] == "V" and code_l[k + 1] in "NJ"
-                    and ((tags[k] == "VBN" and code_l[k - 1] in "DJ")
-                         or (tags[k] == "VBZ"
-                             # only for OOV surfaces — the misparse
-                             # class is an unknown plural read as a
-                             # verb; in-vocabulary VBZ ("name is John
-                             # Robinson") keeps its verb
-                             and _oov_surface(tok[k]["text"])
-                             and (code_l[k - 1] == "J"
-                                  # noun-run internal VBZ needs TWO
-                                  # nominals after ("incumbent
-                                  # telecoms/VBZ operator Telefónica");
-                                  # "the dog runs home" keeps its verb
-                                  or (code_l[k - 1] == "N"
-                                      and k + 2 < len(code_l)
-                                      and code_l[k + 2] == "N"))))):
-                code_l[k] = "J"
+        if "VBN" in tag_set or "VBZ" in tag_set:
+            for k in range(1, len(code_l) - 1):
+                if (code_l[k] == "V" and code_l[k + 1] in "NJ"
+                        and ((tags[k] == "VBN" and code_l[k - 1] in "DJ")
+                             or (tags[k] == "VBZ"
+                                 # only for OOV surfaces — the misparse
+                                 # class is an unknown plural read as a
+                                 # verb; in-vocabulary VBZ ("name is John
+                                 # Robinson") keeps its verb
+                                 and _oov_surface(texts[k])
+                                 and (code_l[k - 1] == "J"
+                                      # noun-run internal VBZ needs TWO
+                                      # nominals after ("incumbent
+                                      # telecoms/VBZ operator Telefónica");
+                                      # "the dog runs home" keeps its verb
+                                      or (code_l[k - 1] == "N"
+                                          and k + 2 < len(code_l)
+                                          and code_l[k + 2] == "N"))))):
+                    code_l[k] = "J"
         # a BASE-form verb directly governed by a true preposition is
         # nominal ("during rush hour", "at work") — TO+VB infinitives
         # are untouched (TO is not IN)
-        for k in range(1, len(code_l)):
-            if (code_l[k] == "V" and tags[k] == "VB"
-                    and tags[k - 1] == "IN"):
-                code_l[k] = "N"
+        if "VB" in tag_set and "IN" in tag_set:
+            for k in range(1, len(code_l)):
+                if (code_l[k] == "V" and tags[k] == "VB"
+                        and tags[k - 1] == "IN"):
+                    code_l[k] = "N"
         # bare predicative possessive: PRP$ + "own" with no nominal
         # after it ("had formerly been in part my own") is a predicate
         # complement, not an argument NP — suppress both tokens
-        for k, c in enumerate(code_l):
-            if (c == "D" and tags[k] == "PRP$" and k + 1 < len(code_l)
-                    and tok[k + 1]["text"].lower() == "own"
-                    and (k + 2 >= len(code_l)
-                         or code_l[k + 2] not in "NJCG")):
-                code_l[k] = "."
-                code_l[k + 1] = "."
-        for k, c in enumerate(code_l):
-            if c == "D" and tags[k] == "PRP$" and tok[k]["text"].lower() == "her":
-                if k + 1 >= len(code_l) or code_l[k + 1] not in "NJCGV":
-                    code_l[k] = "S"
-                    continue
-                nxt = tok[k + 1]["text"].lower()
-                # "her" before a mistagged particle is the accusative
-                # ("brought her over/NN for ..."): pronoun + particle,
-                # and the particle itself stops being a nominal
-                if (nxt in ("over", "round", "back", "up", "down",
-                            "out", "aside", "forth", "along", "away")
-                        and tok[k + 1]["tag"].startswith("NN")
+        if "own" in low_set:
+            for k, c in enumerate(code_l):
+                if (c == "D" and tags[k] == "PRP$" and k + 1 < len(code_l)
+                        and low[k + 1] == "own"
                         and (k + 2 >= len(code_l)
                              or code_l[k + 2] not in "NJCG")):
-                    code_l[k] = "S"
+                    code_l[k] = "."
                     code_l[k + 1] = "."
-                    continue
-                # "her" before a quantified measure NP is the
-                # accusative too ("met her several times"): the
-                # measure phrase is an adverbial, not her possession
-                j = k + 1
-                while (j < len(code_l)
-                       and (code_l[j] in "JC"
-                            or tok[j]["text"].lower()
-                            in _MEASURE_QUANTIFIERS)):
-                    j += 1
-                if (j > k + 1 and j < len(code_l)
-                        and tok[j]["text"].lower().rstrip("s")
-                        == "time"):
-                    code_l[k] = "S"
+        if "her" in low_set:
+            for k, c in enumerate(code_l):
+                if c == "D" and tags[k] == "PRP$" and low[k] == "her":
+                    if k + 1 >= len(code_l) or code_l[k + 1] not in "NJCGV":
+                        code_l[k] = "S"
+                        continue
+                    nxt = low[k + 1]
+                    # "her" before a mistagged particle is the accusative
+                    # ("brought her over/NN for ..."): pronoun + particle,
+                    # and the particle itself stops being a nominal
+                    if (nxt in ("over", "round", "back", "up", "down",
+                                "out", "aside", "forth", "along", "away")
+                            and tags[k + 1].startswith("NN")
+                            and (k + 2 >= len(code_l)
+                                 or code_l[k + 2] not in "NJCG")):
+                        code_l[k] = "S"
+                        code_l[k + 1] = "."
+                        continue
+                    # "her" before a quantified measure NP is the
+                    # accusative too ("met her several times"): the
+                    # measure phrase is an adverbial, not her possession
+                    j = k + 1
+                    while (j < len(code_l)
+                           and (code_l[j] in "JC"
+                                or low[j]
+                                in _MEASURE_QUANTIFIERS)):
+                        j += 1
+                    if (j > k + 1 and j < len(code_l)
+                            and low[j].rstrip("s")
+                            == "time"):
+                        code_l[k] = "S"
         # a modal licenses a BASE VERB: when the next content token
         # after "MD (, short-parenthetical ,)?" is coded N ("will, of
         # course, stay in London" -> stay/NN), it is that verb
-        for k, c in enumerate(code_l):
-            if c != "M":
-                continue
-            j = k + 1
-            if j < len(tok) and tok[j]["text"] == ",":
-                close = next((m for m in range(j + 1, min(j + 5, len(tok)))
-                              if tok[m]["text"] == ","), None)
-                if close is None:
+        if "MD" in tag_set:
+            for k, c in enumerate(code_l):
+                if c != "M":
                     continue
-                j = close + 1
-            while j < len(code_l) and code_l[j] == "R":
-                j += 1
-            if (j < len(code_l) and code_l[j] == "N"
-                    and tok[j]["text"].islower()):
-                code_l[j] = "V"
+                j = k + 1
+                if j < len(tok) and texts[j] == ",":
+                    close = next((m for m in range(j + 1, min(j + 5, len(tok)))
+                                  if texts[m] == ","), None)
+                    if close is None:
+                        continue
+                    j = close + 1
+                while j < len(code_l) and code_l[j] == "R":
+                    j += 1
+                if (j < len(code_l) and code_l[j] == "N"
+                        and texts[j].islower()):
+                    code_l[j] = "V"
         # a coordinated conjunct the tagger called NN but whose
         # training tag dictionary is VERB-ONLY is the second verb of a
         # VP coordination ("can use bathrooms and join/NN school
         # athletic teams"): recode V when a verb precedes in the same
         # comma segment and an NP follows
-        for k, c in enumerate(code_l):
-            if (c == "N" and k > 0 and k + 1 < len(code_l)
-                    and tok[k - 1]["text"].lower() in ("and", "or")
-                    and tok[k]["text"].islower()
-                    and code_l[k + 1] in "DJNSVP"
-                    and _verb_only_surface(tok[k]["text"].lower())):
-                j = k - 2
-                while j >= 0 and tok[j]["text"] not in (",", ";", ":"):
-                    if code_l[j] == "V":
-                        code_l[k] = "V"
-                        break
-                    j -= 1
+        if "and" in low_set or "or" in low_set:
+            for k, c in enumerate(code_l):
+                if (c == "N" and k > 0 and k + 1 < len(code_l)
+                        and low[k - 1] in ("and", "or")
+                        and texts[k].islower()
+                        and code_l[k + 1] in "DJNSVP"
+                        and _verb_only_surface(low[k])):
+                    j = k - 2
+                    while j >= 0 and texts[j] not in (",", ";", ":"):
+                        if code_l[j] == "V":
+                            code_l[k] = "V"
+                            break
+                        j -= 1
         for k, c in enumerate(code_l):
             # a VERB-ONLY surface right after a relative pronoun
             # (optionally with adverbs/adjectival "first" between) is
             # the relative clause's verb despite an NN/NNS tag ("the
             # man who first finds/NNS himself", "a gentleman who
             # desires/NNS to consult you")
-            if (c == "N" and tok[k]["text"].islower()
-                    and _verb_only_surface(tok[k]["text"].lower())):
+            if (c == "N" and texts[k].islower()
+                    and _verb_only_surface(low[k])):
                 j = k - 1
                 while j >= 0 and (code_l[j] in "RJ"
-                                  or tok[j]["tag"] in ("JJ", "RB")):
+                                  or tags[j] in ("JJ", "RB")):
                     j -= 1
-                if (j >= 0 and (tok[j]["tag"] in ("WP", "WDT")
-                                or tok[j]["text"].lower()
+                if (j >= 0 and (tags[j] in ("WP", "WDT")
+                                or low[j]
                                 == "whichever")):
                     code_l[k] = "V"
             # an adjective-capable participle directly between a
             # finite verb and a nominal is a PREMODIFIER the tagger
             # ran into the verb group ("learn advanced/VBD care
             # techniques"): recode J so the NP keeps its full span
-            elif (c == "V" and tok[k]["tag"] in ("VBD", "VBN")
+            elif (c == "V" and tags[k] in ("VBD", "VBN")
                     and k > 0 and k + 1 < len(code_l)
-                    and tok[k - 1]["tag"] in ("VB", "VBP", "VBZ")
+                    and tags[k - 1] in ("VB", "VBP", "VBZ")
                     and code_l[k + 1] in "NJ"
-                    and _adj_capable_surface(tok[k]["text"].lower())):
+                    and _adj_capable_surface(low[k])):
                 code_l[k] = "J"
             # an OOV -ly surface the tagger called NN is a manner
             # adverb ("my companion speedily/NN overtook"): only
             # out-of-vocabulary words recode — in-vocabulary -ly nouns
             # ("family", "assembly") carry their training tags
-            elif (c == "N" and tok[k]["text"].islower()
-                    and len(tok[k]["text"]) >= 5
-                    and tok[k]["text"].lower().endswith("ly")
-                    and _oov_surface(tok[k]["text"].lower())):
+            elif (c == "N" and texts[k].islower()
+                    and len(texts[k]) >= 5
+                    and low[k].endswith("ly")
+                    and _oov_surface(low[k])):
                 code_l[k] = "R"
             # an -ed surface the tagger called JJ right after a verb
             # group's adverb run is the group's participle ("has very
             # carelessly scraped/JJ round the edges"); OOV -ed
             # surfaces qualify too — the JJ came from the suffix
             # prior, not from evidence
-            elif (c == "J" and tok[k]["text"].islower()
-                    and tok[k]["text"].lower().endswith("ed")
-                    and (_verb_only_surface(tok[k]["text"].lower())
-                         or _oov_surface(tok[k]["text"].lower()))):
+            elif (c == "J" and texts[k].islower()
+                    and low[k].endswith("ed")
+                    and (_verb_only_surface(low[k])
+                         or _oov_surface(low[k]))):
                 j = k - 1
                 while j >= 0 and code_l[j] == "R":
                     j -= 1
@@ -591,11 +606,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # mistagged neighbor
             if not (m.end() - m.start() == 1
                     and code[m.start()] == "D"
-                    and tok[m.start()]["text"].lower()
+                    and low[m.start()]
                     not in ("this", "that", "these", "those"))
         ]
         if len(nps) < 2:
             continue
+        np_ends = [e for _, e in nps]
 
         def phrase(span):
             toks = [tok[k] for k in range(span[0], span[1])]
@@ -624,7 +640,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # the LAST NP of the appositive chain -> NP1.
         commas = {
             k for k in range(len(idxs))
-            if tok[k]["text"] == ","
+            if texts[k] == ","
         }
         # comma-count prefix sums: every parity/crossing test below is
         # O(1) instead of an O(range) scan (the chunker's guard set made
@@ -643,17 +659,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # clause's verbs. A comma opens an RC when (an optional and/or
         # plus) a wh-token follows it; its close is the next comma.
         comma_positions = [k for k in range(len(tok))
-                           if tok[k]["text"] == ","]
+                           if texts[k] == ","]
         rc_commas: set[int] = set()
         rc_spans: list[tuple[int, int]] = []
         for c in comma_positions:
             j = c + 1
-            if j < len(tok) and tok[j]["text"].lower() in ("and", "or"):
+            if j < len(tok) and low[j] in ("and", "or"):
                 j += 1
             # relative pronouns only — a wh-ADVERB after the comma
             # ("..., how is she to prove ...") opens an interrogative,
             # not a relative on the preceding NP
-            if j < len(tok) and (tok[j]["tag"] or "") in (
+            if j < len(tok) and (tags[j] or "") in (
                     "WDT", "WP", "WP$"):
                 rc_commas.add(c)
                 nxt = next((c2 for c2 in comma_positions if c2 > c),
@@ -671,14 +687,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # a quote span. Quote tokens pair up in order; an odd count
         # means the sentence opened mid-quote (virtual open at 0).
         qpos = [k for k in range(len(tok))
-                if tok[k]["text"] in _QUOTE_TOKENS]
+                if texts[k] in _QUOTE_TOKENS]
         if len(qpos) % 2:
             qpos = [-1] + qpos
         question_quotes: list[tuple[int, int]] = []
         for q1, q2 in zip(qpos[0::2], qpos[1::2]):
-            if q2 - 1 < 0 or tok[q2 - 1]["text"] not in ("?", "?!"):
+            if q2 - 1 < 0 or texts[q2 - 1] not in ("?", "?!"):
                 continue
-            if any(tok[k]["text"].lower() in _NARRATION_VERBS
+            if any(low[k] in _NARRATION_VERBS
                    for k in range(q2 + 1, min(q2 + 4, len(tok)))):
                 question_quotes.append((q1, q2))
         # quotative-inversion attribution tails: a narration verb
@@ -692,20 +708,20 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # vocative (",", NNP, ",") — both O(sentence) once, not per VP
         second_person_question = (
             any(t["text"] in ("?", "?!") for t in tok)
-            or any(c2 == c1 + 2 and tok[c1 + 1]["tag"] == "NNP"
+            or any(c2 == c1 + 2 and tags[c1 + 1] == "NNP"
                    for c1, c2 in zip(comma_positions,
                                      comma_positions[1:])))
         attribution_kills: list[tuple[int, int]] = []
         for _q1, q2 in zip(qpos[0::2], qpos[1::2]):
             if (q2 + 1 < len(tok)
-                    and tok[q2 + 1]["text"].lower() in _NARRATION_VERBS):
+                    and low[q2 + 1] in _NARRATION_VERBS):
                 # the frame ends where real content resumes: the next
                 # quote, comma, or subordinator ('said Holmes as the
                 # old man signed ...' keeps the as-clause's triples)
                 end = next(
                     (k for k in range(q2 + 2, len(tok))
-                     if k in qpos or tok[k]["text"] == ","
-                     or tok[k]["text"].lower() in _BE_CROSS_BLOCKERS),
+                     if k in qpos or texts[k] == ","
+                     or low[k] in _BE_CROSS_BLOCKERS),
                     len(tok))
                 attribution_kills.append((q2, end))
         subj_override: dict[tuple[int, int], tuple[int, int]] = {}
@@ -726,7 +742,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # a determinered NP ("the founder", "a subsidiary")
             if code[s2] != "D":
                 continue
-            if not any(tok[k]["tag"].startswith("NNP")
+            if not any(tags[k].startswith("NNP")
                        for k in range(s1, e1)):
                 continue
             # extend the chain over PP attachments: NP2 (P NP)*
@@ -739,7 +755,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # -> Corp + "." + ","): step over bare periods before the
             # trailing-comma test
             while (chain_end < len(code)
-                   and tok[chain_end]["text"] == "."):
+                   and texts[chain_end] == "."):
                 chain_end += 1
             if chain_end not in commas:
                 continue
@@ -790,24 +806,24 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             object after a noun head: "benefits starting January").
             Agent-marked passives ("..., deeply attracted by the study")
             keep their matrix subject and are never suppressed."""
-            vtags = [tok[k]["tag"] for k in range(vs, ve)]
+            vtags = [tags[k] for k in range(vs, ve)]
             verb_tags = [t for t in vtags if t.startswith("VB")]
             # VBD/VBN-ambiguous -ed form directly after an OF-governed
             # noun is a reduced relative ("... suggestive of resolution
             # pushed to the length of obstinacy"), not a predicate —
             # an of-PP nominal never subjects a finite verb
-            if (verb_tags == ["VBD"] and tok[vs]["tag"] == "VBD"
-                    and tok[vs]["text"].lower().endswith("ed")
+            if (verb_tags == ["VBD"] and tags[vs] == "VBD"
+                    and low[vs].endswith("ed")
                     and vs > 0 and code[vs - 1] == "N"):
                 np_b = next((sp for sp in nps if sp[1] == vs), None)
                 if (np_b is not None and np_b[0] > 0
-                        and tok[np_b[0] - 1]["text"].lower() == "of"):
+                        and low[np_b[0] - 1] == "of"):
                     return True
             # a "without/of/by + VBG" gerund group is nonfinite even
             # when an inner -ed form was tagged VBD ("died without
             # having recovered/VBD her consciousness")
-            if (vs > 0 and tok[vs]["tag"] == "VBG"
-                    and tok[vs - 1]["text"].lower()
+            if (vs > 0 and tags[vs] == "VBG"
+                    and low[vs - 1]
                     in ("without", "of", "by")
                     and "MD" not in vtags):
                 return True
@@ -823,25 +839,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # a VBN directly after a noun-adjacent relative "that" is
             # the relative clause's FINITE verb ("the company that got
             # to that point" — VBD/VBN identical forms again)
-            if (vs > 1 and tok[vs - 1]["text"].lower() == "that"
+            if (vs > 1 and low[vs - 1] == "that"
                     and code[vs - 2] == "N"):
                 return False
             # "and VBNed to-INF" is a FINITE conjunct, not a
             # participial ("parted from my old pals and determined to
             # settle down" — the regular -ed form is VBD/VBN identical
             # and the infinitive marks predication)
-            if (vs > 0 and tok[vs - 1]["text"].lower() in ("and", "or")
-                    and tok[vs]["text"].lower().endswith("ed")
+            if (vs > 0 and low[vs - 1] in ("and", "or")
+                    and low[vs].endswith("ed")
                     and ((code[ve - 1] == "P"
-                          and tok[ve - 1]["text"].lower() == "to")
+                          and low[ve - 1] == "to")
                          or (ve < len(code)
-                             and tok[ve]["tag"] == "TO"))):
+                             and tags[ve] == "TO"))):
                 return False
             if (code[ve - 1] == "P"
-                    and tok[ve - 1]["text"].lower() == "by"):
+                    and low[ve - 1] == "by"):
                 return False
             prev_code = code[vs - 1] if vs > 0 else ""
-            prev_text = (tok[vs - 1]["text"].lower()
+            prev_text = (low[vs - 1]
                          if vs > 0 else "")
             premodifies_noun = (ve < len(code) and code[ve] == "N"
                                 and prev_code not in "NS")
@@ -860,9 +876,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if absolutive:
                 np_b = next((sp for sp in nps if sp[1] == vs), None)
                 if np_b is not None and all(
-                    tok[k]["text"] in _QUOTE_TOKENS
-                    or tok[k]["tag"] in ("PRP$", "DT", "PDT")
-                    or tok[k]["tag"].startswith("JJ")
+                    texts[k] in _QUOTE_TOKENS
+                    or tags[k] in ("PRP$", "DT", "PDT")
+                    or tags[k].startswith("JJ")
                     for k in range(0, np_b[0])
                 ):
                     # matrix region = everything before the first
@@ -870,10 +886,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # relative clauses and do not disqualify
                     first_w = next(
                         (k for k in range(len(tok))
-                         if (tok[k]["tag"] or "").startswith("W")),
+                         if (tags[k] or "").startswith("W")),
                         len(tok))
                     finite_elsewhere = any(
-                        tok[k]["tag"] in ("VB", "VBD", "VBP", "VBZ",
+                        tags[k] in ("VB", "VBD", "VBP", "VBZ",
                                           "MD")
                         and not (vs <= k < ve)
                         for k in range(0, first_w)
@@ -888,12 +904,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # pacing ... with his head sunk ... and his hands
                 # clasped") and stay suppressed.
                 if (absolutive and np_b is not None and np_b[0] > 0
-                        and tok[np_b[0] - 1]["text"].lower()
+                        and low[np_b[0] - 1]
                         in ("but", "and", "or", "yet")):
                     left_finite = next(
-                        (tok[k]["text"].lower()
+                        (low[k]
                          for k in range(np_b[0] - 2, -1, -1)
-                         if tok[k]["tag"] in ("VBD", "VBZ", "VBP",
+                         if tags[k] in ("VBD", "VBZ", "VBP",
                                               "MD")),
                         None)
                     if (left_finite is not None
@@ -908,8 +924,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (prev_text in ("and", "or")
                     and all(t == "VBN" for t in verb_tags)):
                 left_finite = next(
-                    (tok[k]["text"].lower() for k in range(vs - 2, -1, -1)
-                     if tok[k]["tag"] in ("VBD", "VBZ", "VBP", "MD")),
+                    (low[k] for k in range(vs - 2, -1, -1)
+                     if tags[k] in ("VBD", "VBZ", "VBP", "MD")),
                     None)
                 if (left_finite is not None
                         and left_finite not in _BE_FORMS
@@ -953,7 +969,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 odd = n_commas(ve, s2) % 2
                 if odd and _segment_len(s2) <= 4:
                     continue  # parenthetical verb, not a clause boundary
-                gap = [tok[k]["text"].lower()
+                gap = [low[k]
                        for k in range(ve, s2)]
                 if (gap and all(t in (",", "and", "or") for t in gap)
                         and any(t in ("and", "or") for t in gap)):
@@ -976,25 +992,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # preposition is not part of the predicate ("was not that
             # he ..." -> strip "that")
             if (code[ve - 1] == "P"
-                    and tok[ve - 1]["text"].lower()
+                    and low[ve - 1]
                     in _SUBORD_CONJ):
                 ve -= 1
-            vtags = [tok[k]["tag"] for k in range(vs, ve)]
-            vtexts = [tok[k]["text"] for k in range(vs, ve)]
+            vtags = [tags[k] for k in range(vs, ve)]
+            vtexts = [texts[k] for k in range(vs, ve)]
+            vlow = low[vs:ve]
             # a clause-marking subordinator right after the verb group
             # means a CLAUSAL complement — there is no NP object in this
             # clause ("signify if they have been convicted"; "that" is
             # excluded: "requires that insurers cover ..." convention-
             # ally yields <mandate> requires <insurers>)
             if (ve < len(code)
-                    and (tok[ve]["text"].lower() in _CLAUSAL_DROP
-                         or tok[ve]["tag"].startswith("W"))
+                    and (low[ve] in _CLAUSAL_DROP
+                         or tags[ve].startswith("W"))
                     # an extraposed relative after a presentational
                     # verb falls through: the objectless predicate is
                     # recorded so the relative's verb can re-bind to
                     # its subject
-                    and not (tok[ve]["tag"] in ("WDT", "WP")
-                             and any(tok[k]["text"].lower()
+                    and not (tags[ve] in ("WDT", "WP")
+                             and any(low[k]
                                      in _PRESENTATIONAL_VERBS
                                      for k in range(vs, ve)))):
                 # wh-words too: "know how he was employing ...", "see
@@ -1003,7 +1020,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 continue
             # existential subject: "there are seventeen steps", "There
             # will call upon you ..." — no NP-subject relation exists
-            if vs > 0 and tok[vs - 1]["tag"] == "EX":
+            if vs > 0 and tags[vs - 1] == "EX":
                 prev_vp = None
                 continue
             # explicitly negated predicate ("It was not that ...",
@@ -1011,7 +1028,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # Exception: deontic "can't"/"can not" ("can't require a
             # password") — the prohibition IS the fact being stated.
             head_verb = next((tok[k] for k in range(vs, ve)
-                              if tok[k]["tag"].startswith("VB")),
+                              if tags[k].startswith("VB")),
                              None)
             # tagger-proof non-verbs: color and number words ("the deep
             # blue cloak" -> blue/VBZ, "seven hundred in notes" ->
@@ -1026,7 +1043,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # July to see the addition"): purpose/complement content
             # stays unasserted. Verb-governed infinitives keep their
             # control/aspect handling downstream.
-            if (vs > 1 and tok[vs - 1]["tag"] == "TO"
+            if (vs > 1 and tags[vs - 1] == "TO"
                     and code[vs - 2] == "N"):
                 # exception 1: a bare-pronoun object FOLLOWED BY A
                 # VERB marks the causative/light-verb reading the gold
@@ -1048,10 +1065,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 if sp[1] == vs - 1), None)
                     if _gn is not None:
                         _cv = next(
-                            (tok[k]["text"].lower()
+                            (low[k]
                              for k in range(_gn[0] - 1, -1, -1)
                              if code[k] == "V"
-                             or tok[k]["text"] in (",", ";", ":")),
+                             or texts[k] in (",", ";", ":")),
                             None)
                         if (_cv is not None
                                 and _is_object_control(_cv)):
@@ -1061,7 +1078,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         # ("for the trained reasoner to admit such
                         # intrusions")
                         if (_gn[0] > 0
-                                and tok[_gn[0] - 1]["text"].lower()
+                                and low[_gn[0] - 1]
                                 == "for"):
                             _keeps = True
                 if not _keeps:
@@ -1080,10 +1097,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # more afraid of ..." is adjectival, while "was
                     # more a feeling" has more/JJR inside the NP and
                     # keeps its copular complement
-                    and any(t.lower() in ("too", "long", "very", "far",
-                                          "more", "less")
-                            for t in vtexts)
-                    and any(t.lower() in _BE_FORMS for t in vtexts)):
+                    and any(t in ("too", "long", "very", "far",
+                                  "more", "less")
+                            for t in vlow)
+                    and any(t in _BE_FORMS for t in vlow)):
                 prev_vp = None
                 continue
             # a MODAL bare copula with a plain NP complement is
@@ -1094,13 +1111,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             _mb = ve
             while _mb < len(code) and code[_mb] == "R":
                 _mb += 1
-            if ("MD" in [tok[k]["tag"] for k in range(vs, ve)]
-                    and any(t.lower() in ("be", "been")
-                            for t in vtexts)
-                    and not any(tok[k]["tag"] == "VBN"
-                                for k in range(vs, ve))
-                    and any(t.lower() in ("might", "may", "could")
-                            for t in vtexts)
+            if ("MD" in vtags
+                    and any(t in ("be", "been") for t in vlow)
+                    and "VBN" not in vtags
+                    and any(t in ("might", "may", "could")
+                            for t in vlow)
                     # adjectival complements are asserted dispositions
                     # and keep ("may be interested in this")
                     and not (_mb < len(code) and code[_mb] == "J")):
@@ -1110,12 +1125,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # comparison, not an asserted property ("would look like a
             # dick with bangs"); unmodalized appearance stays ("looks
             # like a winner" keeps its surface convention)
-            if ("MD" in [tok[k]["tag"] for k in range(vs, ve)]
-                    and any(t.lower() in ("look", "seem", "sound",
-                                          "feel", "appear")
-                            for t in vtexts)
+            if ("MD" in vtags
+                    and any(t in ("look", "seem", "sound",
+                                  "feel", "appear")
+                            for t in vlow)
                     and ve - 1 >= vs
-                    and tok[ve - 1]["text"].lower() == "like"):
+                    and low[ve - 1] == "like"):
                 prev_vp = None
                 continue
             # SENTENCE-INITIAL "when"-clause content is a habitual/
@@ -1123,10 +1138,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # your reasons, I remarked ..."); a mid-sentence when-
             # clause narrates a specific event and keeps its content
             # ("my sister was quite alone when she met her end")
-            if (vs > 0 and tok[vs - 1]["tag"] == "PRP" and vs > 1
-                    and tok[vs - 2]["text"].lower()
+            if (vs > 0 and tags[vs - 1] == "PRP" and vs > 1
+                    and low[vs - 2]
                     in ("when", "whenever")
-                    and all(tok[k]["text"] in _QUOTE_TOKENS
+                    and all(texts[k] in _QUOTE_TOKENS
                             for k in range(0, vs - 2))
                     # habitual PRESENT tense only — "When he reached
                     # my sister's side" narrates an event and keeps
@@ -1147,7 +1162,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (wh_kill is not None and vs > wh_kill
                     and n_commas(wh_kill, vs) == 0
                     and not (vs > 0
-                             and tok[vs - 1]["tag"].startswith("W"))):
+                             and tags[vs - 1].startswith("W"))):
                 prev_vp = None
                 continue
             # inside a negated clause-taking verb's complement — the
@@ -1165,19 +1180,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and head_verb is not None
                     and head_verb["tag"] == "VBG"
                     and vs > neg_kill
-                    and not any(tok[k]["text"] in (",", ";", ":")
+                    and not any(texts[k] in (",", ";", ":")
                                 for k in range(neg_kill, vs))):
                 prev_vp = None
                 continue
-            _own_neg = ((any(t.lower() in _NEG_TOKENS for t in vtexts)
-                         and not any(t.lower() in ("ca", "can")
-                                     for t in vtexts))
+            _own_neg = ((any(t in _NEG_TOKENS for t in vlow)
+                         and not any(t in ("ca", "can")
+                                     for t in vlow))
                         # "no longer" negates like "not": "can no
                         # longer possess"
-                        or any(vtexts[k].lower() == "no"
-                               and k + 1 < len(vtexts)
-                               and vtexts[k + 1].lower() == "longer"
-                               for k in range(len(vtexts))))
+                        or any(vlow[k] == "no"
+                               and k + 1 < len(vlow)
+                               and vlow[k + 1] == "longer"
+                               for k in range(len(vlow))))
             _neg_here = _own_neg
             # a negated head's serial conjuncts are negated too ("can
             # no longer possess, sell or distribute shark fins"): the
@@ -1186,7 +1201,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # vs == neg_kill covers a controlled infinitive split off
             # the negated group by its TO ("I was not to | know")
             if (not _neg_here and neg_kill is not None and vs >= neg_kill
-                    and all(tok[k]["text"].lower() in (",", "and", "or")
+                    and all(low[k] in (",", "and", "or")
                             or code[k] in "RV"
                             for k in range(neg_kill, vs))):
                 _neg_here = True
@@ -1198,7 +1213,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # propagates to the group's split-off continuation
                 # ("... to | say that")
                 if _own_neg:
-                    neg_litotes = any(t.lower() == "too" for t in vtexts)
+                    neg_litotes = "too" in vlow
                 # a NEGATED clause-taking verb puts its whole
                 # complement out of assertion scope ("I don't think
                 # that the Taliban are ..." asserts nothing about the
@@ -1212,7 +1227,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if neg_litotes:
                     prev_vp = None
                     continue
-                _att = ve < len(code) and tok[ve]["text"].lower() == "that"
+                _att = ve < len(code) and low[ve] == "that"
                 if not _att and head_verb is not None:
                     _hw = head_verb["text"].lower()
                     _att = (any(_hw.startswith(st)
@@ -1221,16 +1236,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if _att:
                     _scope_end = len(code)
                     for k in range(ve, len(code)):
-                        if tok[k]["text"] == ";" or (
-                                tok[k]["text"] == ","
+                        if texts[k] == ";" or (
+                                texts[k] == ","
                                 and k + 1 < len(code)
-                                and tok[k + 1]["tag"] == "CC"):
+                                and tags[k + 1] == "CC"):
                             _scope_end = k
                             break
                     attitude_scope = (ve, _scope_end)
                 prev_vp = None
                 continue
-            cands = [sp for sp in nps if sp[1] <= vs]
+            # nps is non-overlapping in ascending order, so the spans
+            # ending at-or-before vs are a PREFIX — bisect instead of a
+            # full scan (this line was 10% of the kernel micro-bench)
+            cands = nps[:bisect_right(np_ends, vs)]
             nearest = cands[-1] if cands else None
             # appositive re-binding: the NP just before the verb may be
             # the tail of an appositive chain describing the true subject
@@ -1244,7 +1262,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # all-important it was to | set it right" — a bare
                     # "it" subject of a BE-headed chain is a dummy
                     and not (prev_vp[0][1] - prev_vp[0][0] == 1
-                             and tok[prev_vp[0][0]]["text"].lower()
+                             and low[prev_vp[0][0]]
                              in ("it", "there")
                              and prev_vp[3] is not None
                              and prev_vp[3].lower() in _BE_FORMS)):
@@ -1256,18 +1274,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 shared = True
             elif (nearest is not None and prev_vp is not None
                     and nearest[0] >= prev_vp[2]
-                    and all(tok[k]["text"].lower()
+                    and all(low[k]
                             in (",", "and", "or")
                             # coordinated relative clauses re-open on
                             # the same antecedent ("Boots which
                             # extended ..., and which were trimmed ...")
                             # — wh-tokens ride along in the gap
-                            or tok[k]["tag"].startswith("W")
+                            or tags[k].startswith("W")
                             # trailing manner adverbs ride too
                             # ("closed the window rapidly and told")
                             or code[k] == "R"
                             for k in range(nearest[1], vs))
-                    and (any(tok[k]["text"].lower()
+                    and (any(low[k]
                              in ("and", "or")
                              for k in range(nearest[1], vs))
                          # serial predicate lists also coordinate on a
@@ -1279,9 +1297,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # comma segment than the previous predicate
                          # ("this gentleman, your friend, is ..." must
                          # not share "I" from "I understand")
-                         or ([tok[k]["text"]
+                         or ([texts[k]
                               for k in range(nearest[1], vs)] == [","]
-                             and tok[vs]["text"].lower()
+                             and low[vs]
                              != "save"
                              and n_commas(prev_vp[2], nearest[0]) % 2
                              == 0
@@ -1290,7 +1308,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                              # ("interests which rise up around the
                              # man who ... establishment, were ...")
                              and (prev_vp[0][0] == 0
-                                  or tok[prev_vp[0][0] - 1]["tag"]
+                                  or tags[prev_vp[0][0] - 1]
                                   not in ("WP", "WDT"))))):
                 # coordinated predicates share the subject: the nearest
                 # NP before this verb is the PREVIOUS verb's object
@@ -1300,7 +1318,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and prev_vp[1] is not None
                     and nearest == prev_vp[1]
                     and nearest[1] == vs
-                    and any(tok[k]["tag"] in ("WDT", "WP")
+                    and any(tags[k] in ("WDT", "WP")
                             for k in range(prev_vp[0][1], prev_vp[2]))):
                 # reduced/wh relative closed, matrix verb resumes: in
                 # "the cloak which was thrown over his shoulders was
@@ -1311,7 +1329,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 shared = True
             elif (nearest is not None and prev_vp is not None
                     and nearest == prev_vp[0]
-                    and all(tok[k]["text"].lower()
+                    and all(low[k]
                             in (",", "and", "or")
                             # a predicative complement directly after
                             # an objectless copula is part of the
@@ -1321,7 +1339,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 and all(code[k2] in "JR" for k2 in
                                         range(prev_vp[2], k)))
                             for k in range(prev_vp[2], vs))
-                    and (any(tok[k]["text"].lower() in ("and", "or")
+                    and (any(low[k] in ("and", "or")
                              for k in range(prev_vp[2], vs))
                          # serial predicate list, MIDDLE conjunct on a
                          # bare comma ("she rose hurriedly, muttered
@@ -1331,17 +1349,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                          # introduced parenthetical ("Your Majesty, as
                          # I understand, became" stays blocked)
                          or (sum(1 for k in range(prev_vp[2], vs)
-                                 if tok[k]["text"] == ",") == 1
+                                 if texts[k] == ",") == 1
                              and not (prev_vp[0][0] > 0
-                                      and (tok[prev_vp[0][0] - 1]
-                                           ["text"].lower()
+                                      and (low[prev_vp[0][0] - 1]
                                            in _SUBORD_CONJ
                                            | {"as", "when", "while",
                                               "since", "after",
                                               "before"}
                                            or tok[prev_vp[0][0] - 1]
                                            ["tag"] in ("WP", "WDT")))
-                             and any(tok[k]["text"].lower()
+                             and any(low[k]
                                      in ("and", "or")
                                      and k + 1 < len(code)
                                      and (code[k + 1] == "V"
@@ -1372,7 +1389,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # outside it.
                 subj_span = None
                 for sp in reversed(cands):
-                    if any(tok[k]["text"] in _QUOTE_TOKENS
+                    if any(texts[k] in _QUOTE_TOKENS
                            for k in range(sp[1], vs)):
                         break
                     # an ANTECEDENT-LESS wh-token (free relative)
@@ -1387,17 +1404,17 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         j = k - 1
                         steps = 0
                         while (j >= 0 and steps < 3
-                               and (tok[j]["text"] in (",", "and", "or")
-                                    or tok[j]["tag"].startswith("RB"))):
+                               and (texts[j] in (",", "and", "or")
+                                    or tags[j].startswith("RB"))):
                             j -= 1
                             steps += 1
                         return not any(e0 == j + 1 for _s0, e0 in nps)
                     if any(
-                        tok[k]["tag"].startswith("W")
+                        tags[k].startswith("W")
                         and _free_wh(k)
                         and not all(
-                            tok[k2]["tag"].startswith(("W", "RB"))
-                            or tok[k2]["text"] == ","
+                            tags[k2].startswith(("W", "RB"))
+                            or texts[k2] == ","
                             for k2 in range(k, vs)
                         )
                         for k in range(sp[1], vs)
@@ -1417,12 +1434,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # instead ("tried getting KDE for Windows to run
                     # and had a lot of trouble" must subject neither
                     # Windows nor KDE: the walk continues to "I")
-                    if (vs > 0 and tok[vs - 1]["tag"] == "CC"
+                    if (vs > 0 and tags[vs - 1] == "CC"
                             and ((sp[0] > 0 and code[sp[0] - 1] == "P"
                                   # a subordinator/complementizer also
                                   # codes P but its NP is a real
                                   # subject ("that I had ... and came")
-                                  and tok[sp[0] - 1]["text"].lower()
+                                  and low[sp[0] - 1]
                                   not in _SUBORD_CONJ)
                                  or (prev_vp is not None
                                      and sp == prev_vp[1])
@@ -1435,7 +1452,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     last_comma = next(k for k in range(vs - 1, sp[1] - 1, -1)
                                       if k in commas)
                     if (vs > last_comma + 1 and all(
-                        tok[k]["tag"] in ("WDT", "WP", "WP$")
+                        tags[k] in ("WDT", "WP", "WP$")
                         for k in range(last_comma + 1, vs)
                     )):
                         subj_span = sp
@@ -1450,7 +1467,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # connect ...")
                 _resume = False
                 if (last_pair is not None and vs > last_pair[1]
-                        and any(tok[k]["text"].lower() in ("and", "or")
+                        and any(low[k] in ("and", "or")
                                 for k in range(last_pair[1], vs))):
                     # gap may hold coordination words, verb/adverb/
                     # modal/prep codes, and PP-INTERNAL nominals (an
@@ -1461,7 +1478,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     _in_pp = False
                     for k in range(last_pair[1], vs):
                         c = code[k]
-                        w = tok[k]["text"].lower()
+                        w = low[k]
                         if w in (",", "and", "or", "so", "thus",
                                  "then", "therefore"):
                             _in_pp = False
@@ -1488,12 +1505,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # A true relative keeps its antecedent within a few
             # comma/adverb tokens back ("Holmes, who loathed ...").
             if (not rebound and not shared and vs > 0
-                    and tok[vs - 1]["tag"].startswith("W")):
+                    and tags[vs - 1].startswith("W")):
                 k = vs - 2
                 steps = 0
                 while (k >= 0 and steps < 3
-                       and (tok[k]["text"] == ","
-                            or tok[k]["tag"].startswith("RB"))):
+                       and (texts[k] == ","
+                            or tags[k].startswith("RB"))):
                     k -= 1
                     steps += 1
                 if not any(e == k + 1 for _s, e in nps):
@@ -1517,7 +1534,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # not an inversion — the clefted NP is the embedded verb's
             # subject ("It was Catherine Cusack who told me of it")
             if (not rebound and not shared and subj_span[0] > 0
-                    and tok[subj_span[0] - 1]["text"].lower()
+                    and low[subj_span[0] - 1]
                     in _AUX_FORMS):
                 # a predicate-nominal RELATIVE is not an inversion
                 # either: in "He is the man that won the prize" /
@@ -1525,13 +1542,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # walked-to NP is the relative's antecedent and this
                 # verb sits right after the relativizer
                 _rel = (vs > 0
-                        and (tok[vs - 1]["tag"] in ("WDT", "WP")
-                             or tok[vs - 1]["text"].lower() == "that"))
+                        and (tags[vs - 1] in ("WDT", "WP")
+                             or low[vs - 1] == "that"))
                 if not _rel and not (
-                        tok[subj_span[0] - 1]["text"].lower()
+                        low[subj_span[0] - 1]
                         in _BE_FORMS
                         and subj_span[0] >= 2
-                        and tok[subj_span[0] - 2]["text"].lower()
+                        and low[subj_span[0] - 2]
                         == "it"):
                     prev_vp = None
                     continue
@@ -1539,11 +1556,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # an assertion ("it felt like my heart was going to
             # explode"); the scan walks over possessive determiners
             _lk = subj_span[0] - 1
-            while _lk >= 0 and tok[_lk]["tag"] in ("PRP$", "DT", "PDT"):
+            while _lk >= 0 and tags[_lk] in ("PRP$", "DT", "PDT"):
                 _lk -= 1
             if (not rebound and not shared and _lk >= 0
-                    and tok[_lk]["text"].lower() == "like"
-                    and tok[_lk]["tag"] == "IN"):
+                    and low[_lk] == "like"
+                    and tags[_lk] == "IN"):
                 prev_vp = None
                 continue
             # coordinated conjunct of a "with"-absolutive: in "with
@@ -1555,18 +1572,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # comma/sentence boundary.
             _abs_l = subj_span[0] - 1
             while (_abs_l >= 0
-                   and tok[_abs_l]["tag"] in ("PRP$", "DT", "PDT")):
+                   and tags[_abs_l] in ("PRP$", "DT", "PDT")):
                 _abs_l -= 1
             if (not rebound and not shared and _abs_l >= 0
-                    and tok[_abs_l]["text"].lower() in ("and", "or")):
+                    and low[_abs_l] in ("and", "or")):
                 j = _abs_l - 1
-                while j >= 0 and tok[j]["text"] not in (",", ";", ":"):
-                    if (tok[j]["text"].lower() in ("with", "without")
-                            and tok[j]["tag"] == "IN"):
+                while j >= 0 and texts[j] not in (",", ";", ":"):
+                    if (low[j] in ("with", "without")
+                            and tags[j] == "IN"):
                         break
                     j -= 1
                 if (j >= 0
-                        and tok[j]["text"].lower()
+                        and low[j]
                         in ("with", "without")):
                     prev_vp = None
                     continue
@@ -1575,7 +1592,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # asserted of the walked-to NP
             if (not rebound and not shared and subj_span[1] == vs - 1
                     and vs > 0
-                    and tok[vs - 1]["text"].lower() == "as"):
+                    and low[vs - 1] == "as"):
                 prev_vp = None
                 continue
             # a bare ACCUSATIVE pronoun subject marks a small-clause /
@@ -1586,15 +1603,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # mention her" conventionally yields <him> mention <her>
             if (not rebound and not shared
                     and subj_span[1] - subj_span[0] == 1
-                    and tok[subj_span[0]]["text"].lower()
+                    and low[subj_span[0]]
                     in ("me", "him", "us", "them")):
                 if (head_verb is not None
                         and head_verb["tag"] == "VBG"):
                     prev_vp = None
                     continue
-                if (vs > 0 and tok[vs - 1]["text"].lower() == "to"
+                if (vs > 0 and low[vs - 1] == "to"
                         and subj_span[0] > 0
-                        and tok[subj_span[0] - 1]["text"].lower()
+                        and low[subj_span[0] - 1]
                         == "for"):
                     prev_vp = None
                     continue
@@ -1606,13 +1623,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (not rebound and not shared
                     and subj_span[1] - subj_span[0] == 1
                     and subj_span[1] == vs
-                    and tok[subj_span[0]]["text"].lower()
+                    and low[subj_span[0]]
                     in ("me", "him", "us", "them", "it", "her")
                     and head_verb is not None
                     and head_verb["tag"] in ("VBD", "VBN")
                     and head_verb["text"].lower().endswith("ed")
                     and subj_span[0] > 0
-                    and any(tok[subj_span[0] - 1]["text"].lower()
+                    and any(low[subj_span[0] - 1]
                             .startswith(st)
                             for st in ("see", "saw", "seen", "hear",
                                        "heard", "watch", "found",
@@ -1630,7 +1647,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # VOCATIVE ("..., Ryder, ...") equally marks the direct
             # address
             if (subj_span[1] - subj_span[0] == 1
-                    and tok[subj_span[0]]["text"].lower() == "you"
+                    and low[subj_span[0]] == "you"
                     and second_person_question):
                 prev_vp = None
                 continue
@@ -1645,7 +1662,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # misfortune impressed me" must not subject "misfortune")
             subj_chain_ext = False
             if (not rebound and not shared and vs > 0
-                    and (tok[vs - 1]["tag"].startswith("W")
+                    and (tags[vs - 1].startswith("W")
                          or subj_span[1] == vs)
                     and subj_span[1] >= vs - 3):
                 _start = subj_span[0]
@@ -1658,14 +1675,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # "of" chains, plus NP-internal locative "in"/"on"
                     # ("the gentleman in the pew handed it up",
                     # "impressions on one side showed that ...")
-                    if tok[j]["text"].lower() not in ("of", "in", "on"):
+                    if low[j] not in ("of", "in", "on"):
                         break
                     # coordinated of-PPs share the chain head: "A
                     # feeling of repulsion, and of something akin to
                     # fear had begun ..." walks over ", and of" back to
                     # the head NP
                     j2 = j - 1
-                    while (j2 > 0 and tok[j2]["text"].lower()
+                    while (j2 > 0 and low[j2]
                            in (",", "and", "or")):
                         j2 -= 1
                     _prev_np = next((sp for sp in nps
@@ -1704,12 +1721,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # the governing nominal may be a gerund form the
                     # tagger marks VBG ("a feeling/VBG that ...")
                     and (code[subj_span[0] - 2] == "N"
-                         or tok[subj_span[0] - 2]["tag"] == "VBG")):
+                         or tags[subj_span[0] - 2] == "VBG")):
                 _gn_start = subj_span[0] - 2
                 while _gn_start > 0 and code[_gn_start - 1] in "DJNCG":
                     _gn_start -= 1
                 if (_gn_start > 0
-                        and tok[_gn_start - 1]["text"] in ("--", "—")):
+                        and texts[_gn_start - 1] in ("--", "—")):
                     prev_vp = None
                     continue
             # a conditional/concessive subordinator or wh-adverb
@@ -1729,7 +1746,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # would send it ..."') asserts its content; the
                     # matrix pattern ("Because many laws are
                     # controversial, they ...") always carries a comma
-                    and not (all(tok[k]["text"] in _QUOTE_TOKENS
+                    and not (all(texts[k] in _QUOTE_TOKENS
                                  for k in range(0, subj_span[0] - 1))
                              and not any(c >= subj_span[0]
                                          for c in comma_positions))):
@@ -1748,8 +1765,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # is on the subject's own right edge, not vs-adjacency
             if (not rebound and not shared
                     and subj_span[1] < len(code)
-                    and tok[subj_span[1]]["text"].lower() == "to"
-                    and tok[subj_span[1] - 1]["text"].lower()
+                    and low[subj_span[1]] == "to"
+                    and low[subj_span[1] - 1]
                     in _ADJ_COMPLEMENT_WORDS):
                 prev_vp = None
                 continue
@@ -1758,7 +1775,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             _sp0 = phrase(subj_span)
             if (_sp0 and _sp0[0]["text"].lower() == "order"
                     and subj_span[0] > 0
-                    and tok[subj_span[0] - 1]["text"].lower()
+                    and low[subj_span[0] - 1]
                     == "in"):
                 prev_vp = None
                 continue
@@ -1767,10 +1784,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # too much to say ...", "it was difficult to name ...")
             if (not rebound and not shared
                     and subj_span[1] - subj_span[0] == 1
-                    and tok[subj_span[0]]["text"].lower() == "it"
+                    and low[subj_span[0]] == "it"
                     and vs > 0
-                    and tok[vs - 1]["text"].lower() == "to"
-                    and any(tok[k]["text"].lower() in _BE_FORMS
+                    and low[vs - 1] == "to"
+                    and any(low[k] in _BE_FORMS
                             for k in range(subj_span[1], vs))):
                 prev_vp = None
                 continue
@@ -1780,7 +1797,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # paced ..." with sprang/NN) — the walked NP is the lost
             # verb's argument, not this verb's subject
             if (not rebound and not shared and prev_vp is None
-                    and [tok[k]["text"].lower()
+                    and [low[k]
                          for k in range(subj_span[1], vs)] == ["and"]):
                 continue
             # coordinated predicates share the subject: in "Students can
@@ -1801,13 +1818,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # nearest NP IS the actor and stands.)
             if (not rebound and not shared and prev_vp is not None
                     and subj_span[1] == vs - 1
-                    and tok[vs - 1]["text"].lower() == "to"):
+                    and low[vs - 1] == "to"):
                 # extraposed cleft "It is a capital mistake to theorize
                 # ..." has no actor at all — drop rather than bind the
                 # dummy "it"
                 if (prev_vp[3].lower() in _BE_FORMS
                         and prev_vp[0][1] - prev_vp[0][0] == 1
-                        and tok[prev_vp[0][0]]["text"].lower()
+                        and low[prev_vp[0][0]]
                         == "it"):
                     prev_vp = None
                     continue
@@ -1876,7 +1893,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # stays objectless)
                 for k in range(ve, s):
                     if (k not in vp_starts
-                            or tok[k]["text"].lower()
+                            or low[k]
                             in _NARRATION_VERBS):
                         continue
                     if n_commas(ve, k) > 0:
@@ -1915,29 +1932,29 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # adverbial idioms are not objects ("been in part my
                 # own", "in order to", "in fact")
                 if (e - s == 1 and s > 0
-                        and tok[s - 1]["text"].lower() == "in"
-                        and tok[s]["text"].lower()
+                        and low[s - 1] == "in"
+                        and low[s]
                         in _IN_IDIOM_NOUNS):
                     return False
                 # "at present/once/last/..." adverbial idioms likewise
                 if (e - s == 1 and s > 0
-                        and tok[s - 1]["text"].lower() == "at"
-                        and tok[s]["text"].lower()
+                        and low[s - 1] == "at"
+                        and low[s]
                         in _AT_IDIOM_NOUNS):
                     return False
                 # "on fire/edge" predicative idioms likewise ("I was
                 # all on fire to go over them")
                 if (e - s == 1 and s > 0
-                        and tok[s - 1]["text"].lower() == "on"
-                        and tok[s]["text"].lower()
+                        and low[s - 1] == "on"
+                        and low[s]
                         in ("fire", "edge")):
                     return False
                 # "out of gear/order/..." state idioms ("a hydraulic
                 # stamping machine which has got out of gear")
                 if (e - s == 1 and s > 1
-                        and tok[s - 1]["text"].lower() == "of"
-                        and tok[s - 2]["text"].lower() == "out"
-                        and tok[s]["text"].lower()
+                        and low[s - 1] == "of"
+                        and low[s - 2] == "out"
+                        and low[s]
                         in ("gear", "order", "shape", "breath",
                             "date", "reach", "sight", "control",
                             "hand", "print", "stock")):
@@ -1948,14 +1965,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # small-clause reflexives are real objects ("who first
                 # finds himself master of his own establishment")
                 if (is_be_head and e - s == 1
-                        and tok[s]["text"].lower() in _REFLEXIVES
+                        and low[s] in _REFLEXIVES
                         and e < len(code) and code[e] in "DNSJC"):
                     return False
                 # bare-NP temporal adverbial ("adjusted that very
                 # moment") — the "very" gates it off real objects;
                 # the tagger may put "very" inside or before the span
-                if (tok[e - 1]["text"].lower() in _TEMPORAL_NOUNS
-                        and any(tok[k]["text"].lower() == "very"
+                if (low[e - 1] in _TEMPORAL_NOUNS
+                        and any(low[k] == "very"
                                 for k in range(max(s - 1, 0), e - 1))):
                     return False
                 # a PURE temporal-measure NP is an adverbial frame,
@@ -1967,47 +1984,47 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # relative follows ("send it on the day when ..."),
                 # and plain verb governors keep theirs ("we have
                 # three days").
-                head = tok[e - 1]["text"].lower().rstrip("s")
+                head = low[e - 1].rstrip("s")
                 if head in _TEMPORAL_NOUNS or head == "way":
-                    gov = tok[s - 1]["text"].lower() if s > 0 else ""
-                    nxt = tok[e]["text"].lower() if e < len(tok) else ""
+                    gov = low[s - 1] if s > 0 else ""
+                    nxt = low[e] if e < len(tok) else ""
                     pure = all(
-                        tok[k]["tag"] in ("DT", "PDT", "JJ", "JJR",
+                        tags[k] in ("DT", "PDT", "JJ", "JJR",
                                           "JJS", "CD", "RB")
-                        or tok[k]["text"].lower() in _NUMBER_WORDS
+                        or low[k] in _NUMBER_WORDS
                         for k in range(s, e - 1))
                     if (pure and nxt not in ("when", "that")
                             and ((gov in _TEMPORAL_PREPS
                                   and head != "way")
-                                 or tok[s]["text"].lower()
+                                 or low[s]
                                  in ("every", "each", "both")
                                  or (head == "time"
-                                     and any(tok[k]["text"].lower()
+                                     and any(low[k]
                                              in _MEASURE_QUANTIFIERS
                                              for k in range(s, e - 1))))):
                         return False
                 # "in the course of ..." is an adverbial idiom even
                 # though "course" itself is not a time noun
                 if (head == "course" and s > 0
-                        and tok[s - 1]["text"].lower() == "in"):
+                        and low[s - 1] == "in"):
                     return False
                 # a deictic-adverb-anchored temporal span is a frame
                 # ("were here this past summer"): walk determiners/
                 # adjectives back to the governor
                 if head in _TEMPORAL_NOUNS:
                     _gv = s - 1
-                    while (_gv >= 0 and tok[_gv]["tag"]
+                    while (_gv >= 0 and tags[_gv]
                            in ("DT", "PDT", "JJ")):
                         _gv -= 1
                     if (_gv >= 0
-                            and tok[_gv]["text"].lower()
+                            and low[_gv]
                             in ("here", "there")):
                         return False
                 # "a lot" is a measure adverbial, not an object
                 # ("I sweated a lot")
-                if (e - s <= 2 and tok[e - 1]["text"].lower() == "lot"
-                        and (tok[s]["text"].lower() == "a"
-                             or (s > 0 and tok[s - 1]["text"].lower()
+                if (e - s <= 2 and low[e - 1] == "lot"
+                        and (low[s] == "a"
+                             or (s > 0 and low[s - 1]
                                  == "a"))):
                     return False
                 # a sensory/become copula with a single adjective-
@@ -2022,8 +2039,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                             "looks", "looked", "seem", "seems",
                             "seemed", "sound", "sounds", "sounded")
                         and (_adj_capable_surface(
-                                tok[s]["text"].lower())
-                             or tok[ve - 1]["text"].lower() == "too")):
+                                low[s])
+                             or low[ve - 1] == "too")):
                     return False
                 # a copular ADJECTIVE followed by a LOCATIVE PP
                 # predicates a situated property, not a relation ("I
@@ -2034,13 +2051,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     while _ja < len(code) and code[_ja] == "R":
                         _ja += 1
                     if (_ja < s and code[_ja] == "J"
-                            and s > 0 and tok[s - 1]["tag"] == "IN"
-                            and tok[s - 1]["text"].lower()
+                            and s > 0 and tags[s - 1] == "IN"
+                            and low[s - 1]
                             in ("in", "at", "on", "near", "inside",
                                 "outside")
                             # in-ARGUMENT adjectives keep their PP
                             # ("are interested in these problems")
-                            and tok[_ja]["text"].lower()
+                            and low[_ja]
                             not in ("interested", "involved",
                                     "engaged", "rich", "absorbed",
                                     "immersed", "versed", "wrapped",
@@ -2051,7 +2068,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # is the subordinate clause's subject ("put on seven
                 # and a half pounds since/IN I saw you")
                 if (e - s == 1 and code[s] == "S"
-                        and tok[ve - 1]["text"].lower()
+                        and low[ve - 1]
                         in ("since", "until", "till", "while",
                             "after", "before")
                         and e in vp_starts):
@@ -2059,9 +2076,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # a quote-bracketed NP whose closing quote is followed
                 # by another nominal is a quoted PREMODIFIER, not an
                 # object ("aims through its \"air angels\" effort")
-                if (s > 0 and tok[s - 1]["text"] in _QUOTE_TOKENS
+                if (s > 0 and texts[s - 1] in _QUOTE_TOKENS
                         and e < len(tok) - 1
-                        and tok[e]["text"] in _QUOTE_TOKENS
+                        and texts[e] in _QUOTE_TOKENS
                         and code[e + 1] in "NJ"):
                     return False
                 # inside an OBJECT relative ("the mission which he had
@@ -2076,8 +2093,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # ("of whom you had already spoken to me" drops "me").
                 if (not rebound and not shared and subj_span is not None
                         and subj_span[0] > 0
-                        and tok[subj_span[0] - 1]["tag"] in ("WDT", "WP")
-                        and tok[subj_span[0] - 1]["text"].lower()
+                        and tags[subj_span[0] - 1] in ("WDT", "WP")
+                        and low[subj_span[0] - 1]
                         != "who"):
                     # governor scan walks back over premodifiers the
                     # span regex could not absorb (VBG/quantifier:
@@ -2086,7 +2103,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     while j > ve and (
                             code[j] in "DJC"
                             or (code[j] == "V"
-                                and tok[j]["tag"] == "VBG")):
+                                and tags[j] == "VBG")):
                         j -= 1
                     if j >= ve and code[j] == "P":
                         return False
@@ -2099,7 +2116,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if (is_be_head
                         and e - s == 1 and code[s] == "S"
                         and e in vp_starts
-                        and not any(tok[k]["text"].lower() == "that"
+                        and not any(low[k] == "that"
                                     for k in range(ve, s))):
                     return False
                 # a NOMINATIVE pronoun across a non-empty gap that
@@ -2109,11 +2126,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # pronoun stays — elided-that complements ("believed
                 # they were right") conventionally keep theirs
                 if (e - s == 1 and code[s] == "S"
-                        and tok[s]["text"].lower()
+                        and low[s]
                         in ("i", "he", "she", "we", "they")
                         and s > ve
                         and e in vp_starts
-                        and not any(tok[k]["text"].lower() == "that"
+                        and not any(low[k] == "that"
                                     for k in range(ve, s))):
                     return False
                 # an object is never fetched across a "without"- or
@@ -2124,7 +2141,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # binding you both")
                 for k in range(ve, s):
                     if (code[k] == "V" and k > 0
-                            and tok[k - 1]["text"].lower()
+                            and low[k - 1]
                             in ("without", "of")):
                         return False
                 return True
@@ -2158,8 +2175,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     k = wpos - 1
                     steps = 0
                     while (k >= 0 and steps < 3
-                           and (tok[k]["text"] == ","
-                                or tok[k]["tag"]
+                           and (texts[k] == ","
+                                or tags[k]
                                 .startswith("RB"))):
                         k -= 1
                         steps += 1
@@ -2168,7 +2185,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # a TEMPORAL antecedent is an adverbial frame, not
                     # an object gap ("the instant that she was gone")
                     k = wpos - 1
-                    if (k >= 0 and tok[k]["text"].lower().rstrip("s")
+                    if (k >= 0 and low[k].rstrip("s")
                             in _TEMPORAL_NOUNS):
                         k = None
                 else:
@@ -2182,18 +2199,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # for downstream re-binding: "was urging his son to marry"
             # must test "urging" (object-control), not the aux "was"
             content_verb = next(
-                (tok[k]["text"] for k in range(ve - 1, vs - 1, -1)
-                 if tok[k]["tag"].startswith("VB")),
+                (texts[k] for k in range(ve - 1, vs - 1, -1)
+                 if tags[k].startswith("VB")),
                 head_verb["text"] if head_verb else "")
             # a bare mistagged PARTICLE is not an object ("He sprang
             # round, and ..." with round/NN): clause-final or comma-
             # bounded, it folds away and the predicate is objectless
             if (obj_span is not None
                     and obj_span[1] - obj_span[0] == 1
-                    and tok[obj_span[0]]["text"].lower()
+                    and low[obj_span[0]]
                     in _PARTICLE_OBJECTS
                     and (obj_span[1] >= len(code)
-                         or tok[obj_span[1]]["text"] in (",", ".", ";",
+                         or texts[obj_span[1]] in (",", ".", ";",
                                                          "!", "?"))):
                 obj_span = None
             if obj_span is None:
@@ -2210,11 +2227,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # convention as "requires that insurers cover ...")
             drop_trailing_p = False
             if (code[ve - 1] == "P"
-                    and tok[ve - 1]["text"].lower()
+                    and low[ve - 1]
                     in ("in", "at", "on", "from", "through", "under",
                         "over", "within")
                     and obj_span[1] < len(code)
-                    and tok[obj_span[1]]["text"].lower() == "that"):
+                    and low[obj_span[1]] == "that"):
                 _nxt = next((sp for sp in nps
                              if sp[0] == obj_span[1] + 1), None)
                 if _nxt is not None:
@@ -2230,7 +2247,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             if (content_verb.lower()
                     in ("have", "has", "had", "having")
                     and obj_span[1] < len(code)
-                    and tok[obj_span[1]]["tag"] in ("VBN", "VBD")
+                    and tags[obj_span[1]] in ("VBN", "VBD")
                     and (obj_span[1] + 1 >= len(code)
                          or code[obj_span[1] + 1] not in "DNSJC")):
                 prev_vp = None
@@ -2240,16 +2257,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # asserts nothing
             if (is_be_head
                     and subj_span[1] - subj_span[0] == 1
-                    and tok[subj_span[0]]["text"].lower() == "it"
+                    and low[subj_span[0]] == "it"
                     and code[ve - 1] == "P"
-                    and (tok[obj_span[1] - 1]["text"].lower().rstrip("s")
+                    and (low[obj_span[1] - 1].rstrip("s")
                          in _TEMPORAL_NOUNS
                          | {m.rstrip("s") for m in _MONTH_NOUNS}
                          # ordinal date: "it was on the twentieth of
                          # March"
                          or (obj_span[1] < len(tok) - 1
-                             and tok[obj_span[1]]["text"].lower() == "of"
-                             and tok[obj_span[1] + 1]["text"].lower()
+                             and low[obj_span[1]] == "of"
+                             and low[obj_span[1] + 1]
                              in _MONTH_NOUNS))):
                 prev_vp = None
                 continue
@@ -2263,7 +2280,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             while _p_after < len(code) and code[_p_after] == "R":
                 _p_after += 1
             if (is_be_head and shared and vs > 0
-                    and tok[vs - 1]["text"].lower() == "to"
+                    and low[vs - 1] == "to"
                     and _p_after < len(code)
                     and code[_p_after] == "J"
                     and obj_span[0] > _p_after):
@@ -2273,7 +2290,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # asserts no pairing ("may confess at once that the title
             # ... is not exactly my own"): keep only affirmative
             # embedded clauses ("has said that she would send it")
-            if (any(tok[k]["text"].lower() == "that"
+            if (any(low[k] == "that"
                     for k in range(ve, obj_span[0]))
                     # ELIDED-that complements too: a bare-pronoun
                     # object abutting the embedded verb ("decides it
@@ -2288,7 +2305,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # the complement's remainder vetoes the pairing
                 if any(
                     s2 >= obj_span[1]
-                    and any(tok[k]["text"].lower() in _NEG_TOKENS
+                    and any(low[k] in _NEG_TOKENS
                             for k in range(s2, e2))
                     for s2, e2 in vp_spans
                 ):
@@ -2299,10 +2316,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # clause itself yields — the dummy-subject copula is noise
             if (is_be_head
                     and subj_span[1] - subj_span[0] == 1
-                    and tok[subj_span[0]]["text"].lower()
+                    and low[subj_span[0]]
                     == "it"
                     and obj_span[1] < len(code)
-                    and tok[obj_span[1]]["tag"]
+                    and tags[obj_span[1]]
                     in ("WDT", "WP")):
                 prev_vp = None
                 continue
@@ -2310,7 +2327,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # love" under a cleft negation; "will be of no importance"):
             # "any" marks a negated-scope NP and a "no" determiner
             # negates the assertion outright
-            if tok[obj_span[0]]["text"].lower() in ("any", "no"):
+            if low[obj_span[0]] in ("any", "no"):
                 prev_vp = None
                 continue
             # an object candidate that abuts the NEXT clause's finite
@@ -2319,21 +2336,21 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # down, glancing at them occasionally, Mr. Rucastle came
             # out ..." must not object Mr. Rucastle)
             if (obj_span[1] < len(code)
-                    and tok[obj_span[1]]["tag"] in ("VBD", "VBZ", "VBP")
+                    and tags[obj_span[1]] in ("VBD", "VBZ", "VBP")
                     and code[obj_span[1]] == "V"
                     # across an intervening comma, or across a
                     # subordinating conjunction with no comma ("It grew
                     # worse as Alice grew up" must not object Alice)
                     and (n_commas(ve, obj_span[0]) >= 1
-                         or any(tok[k]["text"].lower()
+                         or any(low[k]
                                 in _BE_CROSS_BLOCKERS
-                                and tok[k]["tag"] == "IN"
+                                and tags[k] == "IN"
                                 for k in range(ve, obj_span[0])))
                     # a "that"-complement's embedded subject is the
                     # conventional object and KEEPS ("I think, Watson,
                     # that you have put on ...")
                     and not (obj_span[0] > 0
-                             and tok[obj_span[0] - 1]["text"].lower()
+                             and low[obj_span[0] - 1]
                              == "that")):
                 prev_vp = None
                 continue
@@ -2342,8 +2359,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # construction, not an asserted property (plain "are of an
             # importance" keeps)
             if (is_be_head and code[ve - 1] == "P"
-                    and tok[ve - 1]["text"].lower() == "of"
-                    and tok[obj_span[0]]["text"].lower() == "such"):
+                    and low[ve - 1] == "of"
+                    and low[obj_span[0]] == "such"):
                 prev_vp = None
                 continue
             # (subject comma parity is enforced by the even-distance
@@ -2354,9 +2371,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # the predicate and yields the NP as object ("scraped
             # round/NN the edges of the sole")
             if (obj_span[1] - obj_span[0] == 1
-                    and tok[obj_span[0]]["text"].lower()
+                    and low[obj_span[0]]
                     in ("round", "about")
-                    and tok[obj_span[0]]["tag"].startswith("NN")
+                    and tags[obj_span[0]].startswith("NN")
                     and obj_span[1] < len(code)):
                 _med = next((sp for sp in nps
                              if sp[0] == obj_span[1]), None)
@@ -2370,9 +2387,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # ("I take it, ..." is untouched: the next token is a comma)
             oe = obj_span[1]
             if (obj_span[1] - obj_span[0] == 1
-                    and tok[obj_span[0]]["text"].lower() == "it"
+                    and low[obj_span[0]] == "it"
                     and oe < len(code) and code[oe] == "P"
-                    and tok[oe]["text"].lower()
+                    and low[oe]
                     not in _SUBORD_CONJ
                     # idiom fold is a LIGHT-VERB property ("made it
                     # through") — literal verbs keep the pronoun object
@@ -2393,12 +2410,12 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # and gold labels carry both
             fold_extra = None
             if (obj_span[1] - obj_span[0] == 1
-                    and tok[obj_span[0]]["text"].lower() == "it"
+                    and low[obj_span[0]] == "it"
                     and obj_span[1] < len(code)
                     and code[obj_span[1]] == "P"
-                    and tok[obj_span[1]]["text"].lower()
+                    and low[obj_span[1]]
                     not in _SUBORD_CONJ
-                    and tok[obj_span[1]]["text"].lower()
+                    and low[obj_span[1]]
                     not in ("as", "by")
                     and not (head_verb is not None
                              and head_verb["text"].lower().startswith(
@@ -2424,19 +2441,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # slot a P-governed object would fill)
             _sc_end = obj_span[1]
             if (_sc_end - obj_span[0] >= 3
-                    and tok[_sc_end - 1]["text"].lower()
+                    and low[_sc_end - 1]
                     in ("twice", "once", "again")):
                 _sc_end -= 1
             if (head_verb is not None
                     and head_verb["text"].lower() in _PERCEPTION_VERBS
                     and _sc_end - obj_span[0] >= 2
-                    and tok[_sc_end - 1]["text"].lower()
+                    and low[_sc_end - 1]
                     in _SMALLCLAUSE_VERBS
                     # an ORDINARY deverbal noun object stays whole:
                     # "saw the break in the clouds" must not split —
                     # a determiner/adjective-article directly before
                     # the candidate verb marks it as the NP head
-                    and tok[_sc_end - 2]["tag"] not in ("DT", "PDT",
+                    and tags[_sc_end - 2] not in ("DT", "PDT",
                                                         "PRP$")):
                 sc_verb = tok[_sc_end - 1]
                 sc_pair = None
@@ -2456,7 +2473,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                              if sp[0] in (obj_span[1],
                                           obj_span[1] + 1)
                              and (sp[0] == obj_span[1]
-                                  or tok[obj_span[1]]["tag"]
+                                  or tags[obj_span[1]]
                                   == "PRP$")),
                             None)
                         if sc_obj is not None:
@@ -2475,13 +2492,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # increases" keeps its head noun)
             _oend = obj_span[1]
             while _oend - obj_span[0] > 1:
-                _w = tok[_oend - 1]["text"].lower()
+                _w = low[_oend - 1]
                 if _w in _TRAILING_ADV_NOUNS:
                     _oend -= 1
                     continue
                 if (_w in ("round", "about") and _oend < len(code)
                         and (code[_oend] in "SD"
-                             or tok[_oend]["text"].lower()
+                             or low[_oend]
                              in ("her", "him", "them", "me", "us"))):
                     _oend -= 1
                     continue
@@ -2506,7 +2523,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and any(t["text"].lower() in _BE_FORMS
                             for t in v_toks)
                     and obj_span[1] < len(code)
-                    and tok[obj_span[1]]["text"].lower() == "by"
+                    and low[obj_span[1]] == "by"
                     and not n_commas(ve, obj_span[0])):
                 agent = next(
                     ((s, e) for s, e in nps if s == obj_span[1] + 1),
@@ -2572,7 +2589,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # keeps its surface orientation.
             if not resultative and not passive:
                 _gap = list(range(ve, obj_span[0]))
-                if (_gap and tok[_gap[-1]]["text"].lower() == "by"
+                if (_gap and low[_gap[-1]] == "by"
                         and len(_gap) <= 3
                         and all(code[k] in "RJP" for k in _gap[:-1])
                         and any(t["tag"] == "VBN" for t in v_toks)

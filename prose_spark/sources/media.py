@@ -31,9 +31,12 @@ __all__ = [
     "encode_png",
     "encode_bmp",
     "encode_ppm",
+    "encode_gif",
+    "encode_tiff",
     "encode_webp_lossless",
     "encode_wav_pcm16",
     "encode_wav_ima_adpcm",
+    "encode_wav_ms_adpcm",
     "generate_image_rows",
     "generate_audio_rows",
     "write_media_parquet",
@@ -87,6 +90,91 @@ def encode_ppm(img: np.ndarray) -> bytes:
     h, w, _ = img.shape
     return (f"P6\n{w} {h}\n255\n".encode("ascii")
             + img.astype(np.uint8).tobytes())
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a writer: single frame, 256-entry global color
+    table (web-safe 6x6x6 cube quantization — GIF is palettized, so
+    unlike the lossless formats this encoder is lossy by construction
+    and the per-row feature goldens simply pin its output), and a
+    spec-valid LITERAL LZW stream: after each clear code every pixel
+    index is emitted as its own 9-bit literal, with a fresh clear
+    before the table would force a width bump — the single-variant
+    discipline of this module; the real compress-style LZW encoder
+    (dictionary growth, width changes) lives in tests/test_gif_bmp.py
+    and torture-tests the same decoder."""
+    h, w, _ = img.shape
+    # 6-level/channel quantization: index = 36r + 6g + b, levels 0..5
+    q = (img.astype(np.uint16) // 43).astype(np.uint8)
+    idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).reshape(-1)
+    palette = bytearray()
+    for r in range(6):
+        for g in range(6):
+            for b in range(6):
+                palette += bytes((r * 51, g * 51, b * 51))
+    palette += b"\x00" * (3 * (256 - 216))
+    # LZW min code size 8: clear=256, end=257, codes start 9-bit. Each
+    # literal grows the table by one entry (258, 259, ...); clearing
+    # after 253 literals keeps every code below 512, so the width
+    # never leaves 9 bits.
+    bits = bytearray()
+
+    def put(code: int) -> None:
+        for i in range(9):
+            bits.append((code >> i) & 1)
+
+    put(256)
+    for i, px in enumerate(idx):
+        if i and i % 253 == 0:
+            put(256)
+        put(int(px))
+    put(257)
+    stream = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        stream[i >> 3] |= bit << (i & 7)
+    blocks = bytearray()
+    for off in range(0, len(stream), 255):
+        part = stream[off:off + 255]
+        blocks += bytes((len(part),)) + part
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+        + bytes(palette)
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + b"\x08" + bytes(blocks) + b"\x00"
+        + b"\x3B"
+    )
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Minimal TIFF writer: little-endian, 8-bit RGB, uncompressed,
+    one strip. Required-tag set only (width/length/bits/compression/
+    photometric/strip offset+count/samples/rows-per-strip)."""
+    h, w, _ = img.shape
+    strip = img.astype(np.uint8).tobytes()
+    # layout: 8-byte header | strip | BitsPerSample array | IFD
+    strip_off = 8
+    bps_off = strip_off + len(strip)
+    ifd_off = bps_off + 6
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),            # ImageWidth
+        entry(257, 4, 1, h),            # ImageLength
+        entry(258, 3, 3, bps_off),      # BitsPerSample -> [8,8,8]
+        entry(259, 3, 1, 1),            # Compression: none
+        entry(262, 3, 1, 2),            # Photometric: RGB
+        entry(273, 4, 1, strip_off),    # StripOffsets
+        entry(277, 3, 1, 3),            # SamplesPerPixel
+        entry(278, 4, 1, h),            # RowsPerStrip
+        entry(279, 4, 1, len(strip)),   # StripByteCounts
+    ]
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0))
+    return (b"II" + struct.pack("<HI", 42, ifd_off)
+            + strip + struct.pack("<HHH", 8, 8, 8) + ifd)
 
 
 def encode_webp_lossless(img: np.ndarray) -> bytes:
@@ -232,6 +320,57 @@ def encode_wav_ima_adpcm(x: np.ndarray, sr: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_ms_adpcm(x: np.ndarray, sr: int,
+                        block_align: int = 256) -> bytes:
+    """RIFF/WAV writer: mono MS ADPCM (format tag 2), fixed predictor
+    0 (coefs 256/0 — the single-variant discipline; the decoder's full
+    7-predictor table is torture-tested in tests/test_wav_formats.py).
+    Block layout per the spec: uint8 predictor, int16 initial delta,
+    int16 sample1 (newer seed), int16 sample2, then 4-bit codes HIGH
+    nibble first. The quantizer mirrors the published decode
+    recurrence (signed code, delta adaptation table, >>8 shifts) in
+    reverse; initial delta seeds from the block's mean slope.
+    ``x`` is float in [-1, 1]."""
+    adapt = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - 7) * 2 + 2
+    n = (len(pcm) // spb) * spb
+    pcm = pcm[:n]
+    out = bytearray()
+    for b0 in range(0, n, spb):
+        block = pcm[b0:b0 + spb]
+        d = max(16, int(np.mean(np.abs(np.diff(block))) / 4)
+                if len(block) > 1 else 16)
+        s2, s1 = int(block[0]), int(block[1])
+        out += struct.pack("<Bhhh", 0, d, s1, s2)
+        nibs = []
+        for s in block[2:]:
+            pred = (s1 * 256 + s2 * 0) >> 8
+            code = max(-8, min(7, int(round((int(s) - pred) / d))))
+            nib = code & 0xF
+            samp = max(-32768, min(32767, pred + code * d))
+            s2, s1 = s1, samp
+            d = max((adapt[nib] * d) >> 8, 16)
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            out.append((nibs[i] << 4)
+                       | (nibs[i + 1] if i + 1 < len(nibs) else 0))
+    # standard MS ADPCM fmt extension: cbSize=32, wSamplesPerBlock,
+    # wNumCoef=7, the 7 published coefficient pairs
+    coefs = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+    extra = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", a, b) for a, b in coefs)
+    fmt = struct.pack("<HHIIHHH", 2, 1, sr, sr, block_align, 4,
+                      len(extra)) + extra
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
+            + b"data" + struct.pack("<I", len(out)) + bytes(out))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _image_array(i: int, seed: int) -> np.ndarray:
     """Seeded HxWx3 uint8: a two-axis gradient + per-image noise, with
     per-index dimensions so width/height metadata is non-constant."""
@@ -252,12 +391,17 @@ _IMAGE_ENCODERS = (
     ("bmp", encode_bmp),
     ("ppm", encode_ppm),
     ("webp", encode_webp_lossless),
+    ("gif", encode_gif),
+    ("tiff", encode_tiff),
 )
 
 
 def generate_image_rows(n: int, seed: int = 42):
-    """Yield (url, format_name, blob) — formats cycle png/bmp/ppm/webp
-    so one query exercises four real decoders."""
+    """Yield (url, format_name, blob) — formats cycle png/bmp/ppm/
+    webp/gif/tiff so one query exercises six real decoders (every
+    native image family the corpus-side encoders can produce; the
+    remaining decoders — JPEG, netpbm variants, RAS, SGI — are
+    torture-tested in tests/ with their own encoders)."""
     for i in range(n):
         name, enc = _IMAGE_ENCODERS[i % len(_IMAGE_ENCODERS)]
         yield (f"media://img/{i:04d}.{name}", name,
@@ -267,8 +411,9 @@ def generate_image_rows(n: int, seed: int = 42):
 def generate_audio_rows(n: int, seed: int = 42):
     """Yield (url, format_name, blob): mono WAV clips — a seeded sine
     (per-index frequency) plus noise, per-index duration. Every fourth
-    clip is IMA-ADPCM-compressed (format tag 17) so one query
-    exercises both the PCM and the block-codec decode paths."""
+    clip is IMA-ADPCM-compressed (format tag 17) and every fourth is
+    MS-ADPCM-compressed (format tag 2) so one query exercises the PCM
+    path and both block-codec decode paths."""
     for i in range(n):
         rng = np.random.RandomState(seed * 200_003 + i)
         sr = 8000
@@ -280,6 +425,9 @@ def generate_audio_rows(n: int, seed: int = 42):
         if i % 4 == 3:
             yield (f"media://wav/{i:04d}.adpcm.wav", "wav-ima-adpcm",
                    encode_wav_ima_adpcm(x, sr))
+        elif i % 4 == 1:
+            yield (f"media://wav/{i:04d}.ms.wav", "wav-ms-adpcm",
+                   encode_wav_ms_adpcm(x, sr))
         else:
             yield (f"media://wav/{i:04d}.wav", "wav",
                    encode_wav_pcm16(x, sr))

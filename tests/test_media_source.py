@@ -54,6 +54,33 @@ def test_wav_roundtrip_close():
     assert float(np.abs(y - x).max()) < 1.0 / 32000
 
 
+def test_gif_tiff_encoders_roundtrip():
+    from prose_spark.sources.media import encode_gif, encode_tiff
+
+    img = _image_array(11, 42)
+    # TIFF is lossless: exact round-trip through the real decoder
+    out = decode_image(encode_tiff(img), fake=False)
+    assert np.array_equal(out, img)
+    # GIF is palettized (6x6x6 cube): bounded quantization error only
+    g = decode_image(encode_gif(img), fake=False)
+    assert g.shape == img.shape
+    assert int(np.abs(g.astype(int) - img.astype(int)).max()) <= 42
+
+
+def test_wav_ms_adpcm_roundtrip_close():
+    from prose_spark.sources.media import encode_wav_ms_adpcm
+
+    sr = 8000
+    t = np.arange(2048) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    y, sr2, dur = decode_audio(encode_wav_ms_adpcm(x, sr))
+    spb = (256 - 7) * 2 + 2
+    n = (2048 // spb) * spb
+    assert sr2 == sr and len(y) == n
+    assert abs(dur - n / sr) < 1e-9
+    assert float(np.abs(y - x[:n]).max()) < 0.05
+
+
 def test_wav_ima_adpcm_roundtrip_close():
     from prose_spark.sources.media import encode_wav_ima_adpcm
 
@@ -76,7 +103,7 @@ def test_mm_driver_queries(spark):
     assert len(img) == entry._MEDIA_N_IMAGES
     mimes = {r.mime for r in img}
     assert mimes == {"image/png", "image/bmp", "image/x-portable-anymap",
-                     "image/webp"}
+                     "image/webp", "image/gif", "image/tiff"}
     r0 = next(r for r in img if r.url == "media://img/0000.png")
     assert (r0.width, r0.height) == (16, 12)
     # gradient construction: means sit near mid-gray, stds are wide
@@ -93,3 +120,10 @@ def test_mm_driver_queries(spark):
     a3 = next(r for r in aud if r.url == "media://wav/0003.adpcm.wav")
     assert a3.sample_rate == 8000
     assert 0.35 < a3.rms < 0.45
+    # ... and every fourth MS-ADPCM-compressed (r7 verdict #6)
+    a1 = next(r for r in aud if r.url == "media://wav/0001.ms.wav")
+    assert a1.sample_rate == 8000
+    assert 0.35 < a1.rms < 0.45
+    # the r7-verdict-#7 scalars are projected and finite
+    assert all(0.0 <= r.peak <= 1.0 and 0.0 <= r.flatness <= 1.0
+               for r in aud)
