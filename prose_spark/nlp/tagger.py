@@ -62,6 +62,18 @@ _KEEP_RE = re.compile(r"^\-[A-Z]{3}\-$")
 # sentinel distinguishing "word not yet seen" from the legitimate cached
 # outcome None ("no context-free tag: ask the perceptron")
 _FAST_MISS = object()
+
+
+def _s_form_stem(w: str) -> str:
+    """3sg s-form -> stem ("passes"->"pass", "flies"->"fly",
+    "unveils"->"unveil"); identity for non-s forms."""
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith(("ses", "xes", "zes", "ches", "shes")):
+        return w[:-2]
+    if w.endswith("s") and not w.endswith("ss"):
+        return w[:-1]
+    return w
 _INT_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
 
 
@@ -328,7 +340,90 @@ class PerceptronTagger:
 
     _MEMO_CAP = 1_000_000
 
+    # function words headlines conventionally leave lowercase
+    _HEADLINE_SMALL = frozenset((
+        "a", "an", "the", "and", "or", "but", "nor", "of", "on", "in",
+        "at", "to", "for", "with", "by", "vs", "vs.", "from", "into",
+        "over", "after", "amid", "as", "up", "out", "off", "via"))
+
+    def _headline_register(self, words: list[str]) -> bool:
+        """True for TITLECASE-RUN headlines ("NASA Sets News
+        Conference on Astrobiology Discovery"): every alphabetic token
+        is capitalized, ALL-CAPS, or a conventional lowercase function
+        word, and at least one non-initial titlecase token is a
+        verb-capable dictionary word — the signature of headline style
+        miscapitalizing a verb into the NNP shape prior. Ordinary
+        prose always carries a lowercase content word and never
+        triggers (r7 verdict #4)."""
+        if self.tag_dict is None:
+            return False
+        alpha = [(i, w) for i, w in enumerate(words)
+                 if any(c.isalpha() for c in w)]
+        if len(alpha) < 4:
+            return False
+        verb_capable = False
+        for i, w in alpha:
+            if w[0:1].isupper() or w.isupper():
+                if (i > 0 and not w.isupper() and w[1:].islower()):
+                    lw = w.lower()
+                    tags = self.tag_dict.get(lw, ())
+                    if any(t.startswith("VB") for t in tags):
+                        verb_capable = True
+                    elif lw not in self.tag_dict:
+                        st = self.tag_dict.get(_s_form_stem(lw), ())
+                        if st and all(t.startswith("VB") for t in st):
+                            verb_capable = True
+            elif w.lower() not in self._HEADLINE_SMALL:
+                return False
+        return verb_capable
+
     def tag(self, words: list[str]) -> list[str]:
+        if self._headline_register(words):
+            # decode with non-initial titlecase DICTIONARY words
+            # lowercased, so "Sets" gets its sets/VBZ analysis instead
+            # of the titlecase NNP shape prior; ALL-CAPS acronyms and
+            # OOV names keep their surfaces (and their NNP reading)
+            lowered = [
+                w.lower()
+                if (i > 0 and not w.isupper() and w[0:1].isupper()
+                    and w[1:].islower()
+                    and w.lower() in self.tag_dict)
+                else w
+                for i, w in enumerate(words)
+            ]
+            tags = self._tag_words(lowered)
+            if not any(t.startswith("VB") for t in tags):
+                # a verbless headline still needs its main verb: the
+                # first non-initial token with a finite-verb dictionary
+                # reading (or an OOV s-form over a verb-only stem,
+                # "Unveils") takes it — per-token context alone reads
+                # "NASA Sets" as NNP+NNS; the register supplies the
+                # missing sentence-level constraint
+                for i in range(1, len(words)):
+                    lw = words[i].lower()
+                    # the main verb sits in the matrix, before any
+                    # preposition opens an adjunct ("After Long
+                    # Debate" must not verb "Debate"), and never
+                    # sentence-final
+                    if tags[i] == "IN" or i == len(words) - 1:
+                        if tags[i] == "IN":
+                            break
+                        continue
+                    dt = self.tag_dict.get(lw, ())
+                    fin = next((t for t in ("VBZ", "VBD", "VBP")
+                                if t in dt), None)
+                    if fin is not None:
+                        tags[i] = fin
+                        break
+                    if lw not in self.tag_dict and len(lw) > 3:
+                        st = self.tag_dict.get(_s_form_stem(lw), ())
+                        if st and all(t.startswith("VB") for t in st):
+                            tags[i] = "VBZ"
+                            break
+            return tags
+        return self._tag_words(words)
+
+    def _tag_words(self, words: list[str]) -> list[str]:
         p1, p2 = START[0], START[1]
         ctx = [p1, p2] + [normalize(w) for w in words] + END
         tags: list[str] = []

@@ -150,13 +150,33 @@ _OBJ_CONTROL_STEMS = ("requir", "prohibit", "allow", "ask", "tell",
 _ATTITUDE_STEMS = ("think", "thought", "believ", "know", "knew", "say",
                    "said", "suppos", "imagin", "feel", "felt", "claim",
                    "mean", "reckon", "guess", "expect", "suggest",
-                   "argu", "hope", "doubt", "pretend")
+                   "argu", "hope", "doubt", "pretend", "want")
 
 
 def _is_object_control(word: str) -> bool:
     w = word.lower()
     return any(w.startswith(s) for s in _OBJ_CONTROL_STEMS)
 
+
+# directive control verbs whose TO-complement is an INSTRUCTION, not
+# an asserted event ("I ordered her to say nothing" does not assert
+# <her> say <nothing>); entailing causatives (force, cause, enable)
+# stay out of this set and keep the rebound assertion
+_DIRECTIVE_STEMS = ("order", "command")
+
+# verbs that take a "that"-complement whose embedded subject is
+# conventionally kept as the object ("requires that insurers cover",
+# "has said that she would send it"); a non-clause-taking verb before
+# "that" must NOT steal the complement's subject ("remarking before he
+# started that he had ..." must not yield <he> started <he>)
+_CLAUSE_TAKING_STEMS = _ATTITUDE_STEMS + (
+    "requir", "prohibit", "mandat", "insist", "demand", "ensur",
+    "show", "prov", "signif", "note", "remark", "observ", "report",
+    "reveal", "indicat", "confirm", "warn", "stat", "agree", "admit",
+    "conclud", "deny", "learn", "hear", "wish", "recall", "find",
+    "found", "understand", "understood", "read", "write", "wrote",
+    "written", "announc", "complain", "worr", "boast", "swear",
+    "swor", "promis", "bet", "reply", "replied", "answer")
 
 # transfer verbs whose "to"-infinitive after a filled object is a
 # PURPOSE clause, not a controlled complement ("I would give one of the
@@ -172,6 +192,9 @@ _NEVER_VERB_WORDS = frozenset((
     "blue", "red", "green", "white", "black", "grey", "gray", "brown",
     "yellow", "pink", "purple", "orange",
     "hundred", "thousand", "million", "billion", "dozen",
+    # street-abbreviation surfaces the tagger reads as OOV verbs
+    # ("from Bellevue ave to 15th ave")
+    "ave", "blvd", "hwy",
 ))
 
 # bare-NP temporal heads: "that very moment/day/instant" is an
@@ -332,6 +355,33 @@ def _verb_only_surface(word: str) -> bool:
     return v
 
 
+_HEDGE_VERBS = frozenset((
+    "seemed", "seems", "seem", "understand", "understood", "believe",
+    "believed", "suppose", "supposed", "take", "gather", "imagine",
+    "recall", "remember", "say", "put"))
+
+
+def _content_vw_hedge(low, tags, vs, ve) -> bool:
+    for k in range(ve - 1, vs - 1, -1):
+        if tags[k].startswith("VB"):
+            return low[k] in _HEDGE_VERBS
+    return False
+
+
+def _verb_capable_surface(word: str) -> bool:
+    """True when the tagger's training tag dictionary lists ANY verb
+    tag for the surface ("claim" -> {NN, VB, VBP})."""
+    try:
+        from prose_spark.nlp.tagger import default_tagger
+
+        td = default_tagger().tag_dict
+        if td:
+            return any(t.startswith("VB") for t in td.get(word, ()))
+    except Exception:
+        pass
+    return False
+
+
 _ADJ_CAPABLE_CACHE: dict[str, bool] = {}
 
 
@@ -450,8 +500,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                  # only for OOV surfaces — the misparse
                                  # class is an unknown plural read as a
                                  # verb; in-vocabulary VBZ ("name is John
-                                 # Robinson") keeps its verb
-                                 and _oov_surface(texts[k])
+                                 # Robinson") keeps its verb. The probe
+                                 # is the LOWERCASE surface ("Sets" in a
+                                 # headline is dict word "sets"), and a
+                                 # sentence's ONLY verb is never recoded
+                                 # away ("NASA Sets News Conference")
+                                 and _oov_surface(low[k])
+                                 and any(c == "V" for j2, c
+                                         in enumerate(code_l)
+                                         if j2 != k)
                                  and (code_l[k - 1] == "J"
                                       # noun-run internal VBZ needs TWO
                                       # nominals after ("incumbent
@@ -469,6 +526,80 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if (code_l[k] == "V" and tags[k] == "VB"
                         and tags[k - 1] == "IN"):
                     code_l[k] = "N"
+        # a CATENATIVE + TO + noun-tagged dictionary VERB is the
+        # infinitive's verb ("are trying to figure out this gaggle
+        # fuck" — figure/NN); plain "went to work" keeps its noun
+        for k in range(2, len(code_l)):
+            if (code_l[k] == "N" and tags[k - 1] == "TO"
+                    and low[k - 2] in ("trying", "try", "tries",
+                                       "tried", "going", "want",
+                                       "wants", "wanted", "able",
+                                       "like", "likes", "need",
+                                       "needs", "needed", "attempt",
+                                       "attempting", "attempted")
+                    and _verb_capable_surface(low[k])):
+                code_l[k] = "V"
+        # "in turn" is always adverbial ("which in turn is running in
+        # VMWare" must not subject "turn")
+        if "turn" in low_set:
+            for k in range(1, len(code_l)):
+                if (low[k] == "turn" and low[k - 1] == "in"
+                        and (k + 1 >= len(code_l)
+                             or code_l[k + 1] not in "NJCG")):
+                    code_l[k - 1] = "."
+                    code_l[k] = "."
+        # an OOV TITLECASE word tagged JJ in PREDICATE position (not
+        # attributively before a nominal) is a proper noun the shape
+        # prior missed ("it's Ubuntu/JJ running in Virtual Box")
+        for k in range(1, len(code_l)):
+            if (code_l[k] == "J" and texts[k][0:1].isupper()
+                    and not texts[k].isupper()
+                    and _oov_surface(low[k])
+                    and (k + 1 >= len(code_l)
+                         or code_l[k + 1] not in "NJ")):
+                code_l[k] = "N"
+        # a verb-capable dictionary word tagged JJ between its subject
+        # noun-run and a preposition, in a segment with NO other verb,
+        # is that segment's verb ("most of those metropolitan
+        # populations live/JJ in slums and ghettos")
+        for k in range(1, len(code_l) - 1):
+            if (code_l[k] == "J" and code_l[k - 1] == "N"
+                    and code_l[k + 1] == "P"
+                    and texts[k].islower()
+                    and _verb_capable_surface(low[k])):
+                seg0, seg1 = k, k
+                while seg0 > 0 and texts[seg0 - 1] not in (",", ";",
+                                                           "(", ")"):
+                    seg0 -= 1
+                while (seg1 < len(code_l)
+                       and texts[seg1] not in (",", ";", "(", ")")):
+                    seg1 += 1
+                if not any(code_l[j] == "V"
+                           for j in range(seg0, seg1)):
+                    code_l[k] = "V"
+        # "$ 250k": a currency sign + numeral is a money NP — the
+        # bare-CD rule ("a numeral anywhere else never forms an NP")
+        # correctly blocks "25" but must not block money objects
+        # ("the number is $250k")
+        if "$" in low_set:
+            for k in range(len(code_l) - 1):
+                if texts[k] == "$" and tags[k + 1] == "CD":
+                    code_l[k] = "N"
+                    code_l[k + 1] = "N"
+        # web-typo "its" for "it's": PRP$ directly before a verb with
+        # no nominal in reach is a SUBJECT pronoun ("Wikipedia says its
+        # owned by ..."), and its clause rides the typo — code it S and
+        # keep the clause out of assertion scope (the matrix verb still
+        # takes it as a complement object)
+        its_typo: set = set()
+        if "its" in low_set:
+            for k in range(len(code_l) - 1):
+                if (low[k] == "its" and tags[k] == "PRP$"
+                        and code_l[k] == "D"
+                        and tags[k + 1] in ("VBN", "VBZ", "VBD", "VBP")
+                        and code_l[k + 1] == "V"):
+                    code_l[k] = "S"
+                    its_typo.add(k)
         # bare predicative possessive: PRP$ + "own" with no nominal
         # after it ("had formerly been in part my own") is a predicate
         # complement, not an argument NP — suppress both tokens
@@ -511,6 +642,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                             and low[j].rstrip("s")
                             == "time"):
                         code_l[k] = "S"
+        # "no doubt"/"no wonder" directly after a modal is an
+        # adverbial idiom, not an NP ("which will no doubt strike
+        # you" must not negation-kill on the "no" determiner)
+        if "doubt" in low_set or "wonder" in low_set:
+            for k in range(1, len(code_l) - 1):
+                if (low[k] == "no" and tags[k - 1] == "MD"
+                        and low[k + 1] in ("doubt", "wonder")):
+                    code_l[k] = "R"
+                    code_l[k + 1] = "R"
         # a modal licenses a BASE VERB: when the next content token
         # after "MD (, short-parenthetical ,)?" is coded N ("will, of
         # course, stay in London" -> stay/NN), it is that verb
@@ -555,12 +695,24 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # man who first finds/NNS himself", "a gentleman who
             # desires/NNS to consult you")
             if (c == "N" and texts[k].islower()
-                    and _verb_only_surface(low[k])):
+                    and (_verb_only_surface(low[k])
+                         # DIRECTLY after the relative pronoun, any
+                         # verb-capable dictionary surface is the
+                         # relative clause's verb ("people who claim
+                         # Lost is too confusing"); noun-abutting
+                         # relativizer "that" counts ("the app that
+                         # lets you take pictures")
+                         or (k > 0
+                             and (tags[k - 1] in ("WP", "WDT")
+                                  or (low[k - 1] == "that" and k >= 2
+                                      and code_l[k - 2] == "N"))
+                             and _verb_capable_surface(low[k])))):
                 j = k - 1
                 while j >= 0 and (code_l[j] in "RJ"
                                   or tags[j] in ("JJ", "RB")):
                     j -= 1
                 if (j >= 0 and (tags[j] in ("WP", "WDT")
+                                or low[j] == "that"
                                 or low[j]
                                 == "whichever")):
                     code_l[k] = "V"
@@ -681,6 +833,24 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         def n_commas_subj(a: int, b: int) -> int:
             n = n_commas(a, b)
             return n - sum(1 for c in rc_commas if a <= c < b)
+
+        # comma-bounded SUBORDINATE parentheticals (", as I followed
+        # after him,"): a comma followed by a temporal/concessive
+        # subordinator, closed by the next comma, with a verb inside —
+        # the chain-resumption guard below skips them when the matrix
+        # coordination continues past the close
+        sub_parens: list[tuple[int, int]] = []
+        for c in comma_positions:
+            j = c + 1
+            if (j < len(tok)
+                    and low[j] in ("as", "when", "while", "since",
+                                   "after", "before", "though",
+                                   "although", "because")):
+                nxt = next((c2 for c2 in comma_positions if c2 > c),
+                           None)
+                if nxt is not None and any(
+                        code_l[k] == "V" for k in range(j, nxt)):
+                    sub_parens.append((c, nxt))
 
         # quoted questions framed by a narration verb ('"You had my
         # note?" he asked') assert nothing — suppress verbs inside such
@@ -941,12 +1111,31 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # reach across "made" for are's object). A short parenthetical's
         # verb ("He was, I take it, the most perfect ...") does NOT
         # bound: odd comma distance + segment of <= 4 tokens.
-        vp_spans = [
-            (m.start(), m.end())
-            for m in _VP_RE.finditer(code)
-            if "V" in code[m.start():m.end()]
-            and not _nonfinite_suppressed(m.start(), m.end())
-        ]
+        vp_spans = []
+        split_starts: dict = {}
+        for m in _VP_RE.finditer(code):
+            ms, me = m.start(), m.end()
+            if "V" not in code[ms:me]:
+                continue
+            # a FINITE copula directly after a participle inside one
+            # span is a clause boundary the regex glued over (reduced
+            # object relative: "a parcel which she had been expecting
+            # was waiting for her" must split into two groups)
+            for k in range(ms + 1, me):
+                if (low[k] in ("was", "were", "is", "are")
+                        and tags[k - 1] in ("VBG", "VBN")
+                        and tags[k - 2] != "VBD"
+                        if k >= 2 else False):
+                    for part in ((ms, k), (k, me)):
+                        if ("V" in code[part[0]:part[1]]
+                                and not _nonfinite_suppressed(*part)):
+                            vp_spans.append(part)
+                            if part[0] == k:
+                                split_starts[k] = ms
+                    break
+            else:
+                if not _nonfinite_suppressed(ms, me):
+                    vp_spans.append((ms, me))
         vp_starts = {s0 for s0, _e0 in vp_spans}
         # set when a wh-gap guard killed a verb: coordinated verbs in
         # the SAME comma segment continue that wh-clause ("to quench
@@ -954,6 +1143,19 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # compromise ...") and are equally out of assertion scope
         wh_kill: int | None = None
         neg_kill: int | None = None
+        # (pre-parenthetical prev_vp, paren close) saved when the loop
+        # enters a coordinated subordinate parenthetical, so the
+        # conjunct after the close resumes the MATRIX chain ("sprang
+        # out, and, as I followed after him, pulled me" must subject
+        # the matrix subject for "pulled", not "I")
+        paren_saved: tuple | None = None
+        # a sentence-initial (or dash-introduced) SUBJECTLESS base-form
+        # verb opens an INSTRUCTION scope: imperatives assert nothing
+        # ("Make sure it's at least a G10 series", "- Just rent the
+        # seasons on DVD and watch them"). Scope closes at ';' or a
+        # ', CC' clause boundary (a "that" after the CC continues a
+        # complement chain and keeps the scope open).
+        imperative_scope: tuple[int, int] | None = None
         neg_litotes = False
         # (subject, group-end, object) of the last EMITTED pairing,
         # surviving prev_vp resets by intervening suppressed groups
@@ -1121,6 +1323,16 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and not (_mb < len(code) and code[_mb] == "J")):
                 prev_vp = None
                 continue
+            # a bare copula + "(just/so) like" is a COMPARISON, not
+            # an asserted identity ("the words were just like the buzz
+            # of a bee"); passives with their own participle keep
+            # ("was treated like a king")
+            if (low[ve - 1] == "like"
+                    and any(t in _BE_FORMS for t in vlow)
+                    and sum(1 for t in vtags
+                            if t.startswith("VB")) == 1):
+                prev_vp = None
+                continue
             # a MODAL appearance verb + "like" is a hypothetical
             # comparison, not an asserted property ("would look like a
             # dick with bangs"); unmodalized appearance stays ("looks
@@ -1131,6 +1343,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                             for t in vlow)
                     and ve - 1 >= vs
                     and low[ve - 1] == "like"):
+                prev_vp = None
+                continue
+            # SENTENCE-INITIAL "if"-clause is a CONDITION, never an
+            # assertion ("If you're referring to the FDIC the number
+            # is $250k" asserts only the apodosis) — the first verb
+            # group of an if-opened sentence is the protasis's
+            if (vpi == 0 and low[0] == "if"
+                    and n_commas(0, vs) == 0):
                 prev_vp = None
                 continue
             # SENTENCE-INITIAL "when"-clause content is a habitual/
@@ -1172,6 +1392,108 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     and attitude_scope[0] <= vs < attitude_scope[1]):
                 prev_vp = None
                 continue
+            # imperative frames (see imperative_scope above)
+            if (imperative_scope is not None
+                    and imperative_scope[0] <= vs < imperative_scope[1]):
+                prev_vp = None
+                continue
+            _iv0 = vs
+            while _iv0 < ve and code[_iv0] == "R":
+                _iv0 += 1
+            if (imperative_scope is None
+                    and tags[_iv0] in ("VB", "VBP")
+                    and (
+                        (not any(c in "NSC" for c in code[:vs])
+                         and (vs == 0
+                              or all(code[k] == "R"
+                                     or texts[k] in ("-", "--")
+                                     or texts[k] in _QUOTE_TOKENS
+                                     for k in range(0, vs))))
+                        # verb-usage NNP + accusative pronoun opener
+                        # ("Let me suggest ...", "Google it &amp;
+                        # check out other pages" — the capitalized
+                        # opener is the real imperative verb); any
+                        # HTML-entity noise in the gap is transparent
+                        or (vs >= 2 and tags[0] == "NNP"
+                            and tags[1] == "PRP"
+                            and all(code[k] not in "SC"
+                                    and (code[k] != "N"
+                                         or texts[k].startswith("&"))
+                                    for k in range(2, vs))))
+                    and low[_iv0] != "i"):
+                _end = len(code)
+                for k in range(ve, len(code)):
+                    if texts[k] == ";" or (
+                            texts[k] == ","
+                            and k + 1 < len(code)
+                            and tags[k + 1] == "CC"
+                            and not (k + 2 < len(code)
+                                     and low[k + 2] == "that")):
+                        _end = k
+                        break
+                imperative_scope = (vs, _end)
+                prev_vp = None
+                continue
+            # a dash-introduced bare-verb clause mid-sentence is an
+            # appended instruction ("... - Just rent the seasons")
+            if (imperative_scope is None
+                    and tags[_iv0] in ("VB", "VBP")
+                    and vs > 0
+                    and any(texts[k] in ("-", "--")
+                            and all(code[k2] == "R"
+                                    for k2 in range(k + 1, vs))
+                            for k in range(0, vs))):
+                imperative_scope = (vs, len(code))
+                prev_vp = None
+                continue
+            # expletive "it" + SEEM is a hedge frame, not an
+            # assertion ("it seemed to me that it would be best ...")
+            if (vs >= 1 and low[vs - 1] == "it"
+                    and head_verb is not None
+                    and head_verb["text"].lower().startswith(
+                        ("seem", "appear"))):
+                # the hedge's complement is equally unasserted ("it
+                # seemed to me that it would be best to get away")
+                if attitude_scope is None:
+                    _se = next((k for k in range(ve, len(code))
+                                if texts[k] == ";"), len(code))
+                    attitude_scope = (ve, _se)
+                prev_vp = None
+                continue
+            # sentence-opening "Not that ..." denies its clause
+            # ("Not that I speak from experience")
+            if (low[0] == "not" and len(low) > 1 and low[1] == "that"
+                    and n_commas(0, vs) == 0):
+                prev_vp = None
+                continue
+            # "maybe"/"perhaps" scopes its whole comma segment as
+            # hypothetical ("maybe when the ticket prices are around
+            # 10 bucks and it turns out the movie stinks, people ...")
+            _seg0 = vs - 1
+            while _seg0 >= 0 and texts[_seg0] != ",":
+                _seg0 -= 1
+            if (any(low[k] in ("maybe", "perhaps")
+                    for k in range(_seg0 + 1, vs))
+                    # an it-cleft's relative presupposes its content
+                    # and survives the hedge ("perhaps it was woman's
+                    # instinct which gave me ...")
+                    and not (vs > 0 and tags[vs - 1].startswith("W"))):
+                prev_vp = None
+                continue
+            # a bare copula whose complement is a TO-infinitive has no
+            # NP object, and the infinitive itself is unasserted
+            # ("your best bet is to walk eastbound on Pike street")
+            if (vs >= 2 and low[vs - 1] == "to"
+                    and low[vs - 2] in _BE_FORMS
+                    and tags[vs] == "VB"):
+                _bs = vs - 3
+                while _bs >= 0 and code[_bs] == "R":
+                    _bs -= 1
+                # a PRONOUN subject makes it a scheduled event, which
+                # IS asserted ("We were to meet at the pool")
+                if _bs < 0 or code[_bs] != "S":
+                    prev_vp = None
+                    continue
             # a GERUND inside a negated clause modifies the negated
             # predicate's object and inherits its scope ("they don't
             # have much business asking you for money" asserts no
@@ -1228,10 +1550,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     prev_vp = None
                     continue
                 _att = ve < len(code) and low[ve] == "that"
-                if not _att and head_verb is not None:
-                    _hw = head_verb["text"].lower()
-                    _att = (any(_hw.startswith(st)
-                                for st in _ATTITUDE_STEMS)
+                if not _att:
+                    # the group's LAST verb is the content verb — under
+                    # do-support negation head_verb is the auxiliary
+                    # ("do n't want" must test "want", not "do")
+                    _hw = next((low[k] for k in range(ve - 1, vs - 1, -1)
+                                if tags[k].startswith("VB")), None)
+                    _att = (_hw is not None
+                            and any(_hw.startswith(st)
+                                    for st in _ATTITUDE_STEMS)
                             and ve < len(code) and code[ve] in "SDNJC")
                 if _att:
                     _scope_end = len(code)
@@ -1254,10 +1581,46 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # the tail of an appositive chain describing the true subject
             rebound = nearest in subj_override
             shared = False
-            if rebound:
+            # coordinated-subordinate-parenthetical chain resumption:
+            # entering ", and, as I followed after him," saves the
+            # matrix chain state; the first verb group after the close
+            # (nothing but commas/adverbs between) resumes the MATRIX
+            # subject instead of stealing the parenthetical's
+            paren_resume = None
+            if paren_saved is not None and vs > paren_saved[1]:
+                _saved_vp, _pclose = paren_saved
+                paren_saved = None
+                if (_saved_vp is not None
+                        and all(texts[k] == "," or code[k] == "R"
+                                for k in range(_pclose + 1, vs))):
+                    paren_resume = _saved_vp
+            if paren_saved is None and paren_resume is None:
+                for _po, _pc in sub_parens:
+                    if (_po < vs < _pc and _po >= 1
+                            and low[_po - 1] in ("and", "or", "but")):
+                        paren_saved = (prev_vp, _pc)
+                        break
+            # a comma-bounded as-clause whose verb is a HEDGE asserts
+            # nothing ("and, as it seemed to her, beckoning ...");
+            # event as-clauses keep their content ("as I followed
+            # after him")
+            if any(_po < vs < _pc and low[_po + 1] == "as"
+                   and _content_vw_hedge(low, tags, vs, ve)
+                   for _po, _pc in sub_parens):
+                prev_vp = None
+                continue
+            if paren_resume is not None:
+                subj_span = paren_resume[0]
+                shared = True
+            elif rebound:
                 subj_span = subj_override[nearest]
             elif (prev_vp is not None and prev_vp[1] is None
                     and vs == prev_vp[2]
+                    # a split-off matrix group is NOT its reduced
+                    # relative's continuation ("the snus i have been
+                    # using | is called ..." must re-walk to the
+                    # antecedent, not inherit "i")
+                    and vs not in split_starts
                     # expletive extraposition stays dead: "how
                     # all-important it was to | set it right" — a bare
                     # "it" subject of a BE-headed chain is a dummy
@@ -1427,6 +1790,15 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # which makes the RC-internal NP read as even)
                     if any(c_open < sp[0] and sp[1] <= c_close < vs
                            for c_open, c_close in rc_spans):
+                        continue
+                    # for a matrix group SPLIT off a glued reduced
+                    # relative ("a parcel which she had been expecting
+                    # was waiting"), the RC's own subject cannot govern
+                    # the matrix verb — walk past it to the antecedent
+                    if (vs in split_starts
+                            and ((sp[0] >= 1
+                                  and tags[sp[0] - 1] in ("WDT", "WP"))
+                                 or sp[1] == split_starts[vs])):
                         continue
                     # a PP-object candidate — or the previous verb's
                     # own object — cannot subject a COORDINATED verb;
@@ -1663,8 +2035,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             subj_chain_ext = False
             if (not rebound and not shared and vs > 0
                     and (tags[vs - 1].startswith("W")
-                         or subj_span[1] == vs)
-                    and subj_span[1] >= vs - 3):
+                         or subj_span[1] == vs
+                         # a split-off matrix group's subject IS the
+                         # antecedent (the RC between them was walked
+                         # over) — the chain extension applies at any
+                         # distance
+                         or vs in split_starts)
+                    and (subj_span[1] >= vs - 3
+                         or vs in split_starts)):
                 _start = subj_span[0]
                 while _start > 0:
                     # step over gerund/adjective premodifiers the NP
@@ -1674,8 +2052,11 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         j -= 1
                     # "of" chains, plus NP-internal locative "in"/"on"
                     # ("the gentleman in the pew handed it up",
-                    # "impressions on one side showed that ...")
-                    if low[j] not in ("of", "in", "on"):
+                    # "impressions on one side showed that ...") and
+                    # r8: "for"/"from" attachment chains ("the requests
+                    # for the traffic from Level3 are coming ..." must
+                    # subject the chain head, not the PP tail)
+                    if low[j] not in ("of", "in", "on", "for", "from"):
                         break
                     # coordinated of-PPs share the chain head: "A
                     # feeling of repulsion, and of something akin to
@@ -1697,6 +2078,36 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # "the impression of barbaric opulence", not
                     # "impression of ..." — the head is mid-phrase
                     subj_chain_ext = True
+            # inside a wh-OBJECT relative (wh directly before the
+            # subject NP) a P-final verb group's post-P NP is the
+            # preposition's complement, not an object — the gap is the
+            # antecedent and the gold convention emits nothing ("a
+            # lamp ..., which she held above her head"); P-final
+            # groups with NO post-P NP keep the antecedent fallback
+            # ("the house which he lived in")
+            if (subj_span is not None and subj_span[0] >= 1
+                    and tags[subj_span[0] - 1] in ("WDT", "WP")
+                    # LOCATIVE adverb-tagged prepositions only ("held
+                    # above/RB her head"): the post-P NP is a locative
+                    # adjunct and the gap already fills the object
+                    # role. True argument prepositions keep their NP
+                    # ("whom I may trust with a matter")
+                    and code[ve - 1] == "R"
+                    and low[ve - 1] in (
+                        "above", "below", "behind", "beneath",
+                        "under", "over", "around", "near",
+                        "inside", "outside")
+                    and any(sp[0] == ve for sp in nps)):
+                prev_vp = None
+                continue
+            # an "its"-typo subject clause is unasserted (the tag
+            # path is broken by the typo; the matrix verb keeps it as
+            # a complement object — "Wikipedia says its owned by ..."
+            # asserts only <Wikipedia> says <its>)
+            if (subj_span[1] - subj_span[0] == 1
+                    and subj_span[0] in its_typo):
+                prev_vp = None
+                continue
             # negated subject: "Not everyone subscribes ...", "no
             # national legislation was approved ..." — drop (the leading
             # "no" determiner is inspected before phrase() strips it)
@@ -1836,6 +2247,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 for s in _TRANSFER_STEMS)):
                     prev_vp = None
                     continue
+                # a DIRECTIVE's controlled complement is an
+                # instruction, never an asserted event ("I ordered her
+                # to say nothing" keeps only <I> ordered <her>)
+                if (prev_vp[1] is not None
+                        and any(prev_vp[3].lower().startswith(s)
+                                for s in _DIRECTIVE_STEMS)):
+                    prev_vp = None
+                    continue
                 subj_span = (prev_vp[1]
                              if (_is_object_control(prev_vp[3])
                                  and prev_vp[1] is not None)
@@ -1863,6 +2282,10 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # not take "I").
             is_be_head = (head_verb is not None
                           and head_verb["text"].lower() in _BE_FORMS)
+            _content_vw = next((low[k] for k in range(ve - 1, vs - 1, -1)
+                                if tags[k].startswith("VB")), "")
+            clause_taking = any(_content_vw.startswith(st)
+                                for st in _CLAUSE_TAKING_STEMS)
 
             def _obj_ok(s: int, e: int) -> bool:
                 if not (ve <= s < next_vs):
@@ -1906,6 +2329,33 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if is_be_head and any(t["tag"] == "VBG"
                                       for t in between):
                     return False
+                # "BE + J + for NP to VB": the NP is the
+                # infinitive's subject, never the copula's object
+                # ("it would be best for me to get away" must not
+                # fetch "me"); adjective+P complements keep theirs
+                # ("were abhorrent to his cold, precise mind")
+                if (is_be_head
+                        and any(code[k] == "J" for k in range(ve, s))
+                        and s > 0 and low[s - 1] == "for"
+                        and e < len(code) and low[e] == "to"
+                        and e + 1 < len(code)
+                        and tags[e + 1] == "VB"):
+                    return False
+                # "now that" opens a new clause — never fetch across it
+                # ("looked ... puzzled now that the same thing had
+                # come upon himself")
+                if any(low[k] == "now" and low[k + 1] == "that"
+                       for k in range(ve, s - 1)):
+                    return False
+                # a complementizer "that" in the gap yields an object
+                # only to CLAUSE-TAKING verbs ("requires that insurers
+                # cover" keeps; "puzzled ... that the same thing had
+                # come" must not fetch "the same thing"); copulas keep
+                # their own is-that convention below
+                if (not clause_taking and not is_be_head
+                        and any(low[k] == "that" and tags[k] == "IN"
+                                for k in range(ve, s))):
+                    return False
                 if is_be_head and any(
                     t["text"].lower() in _BE_CROSS_BLOCKERS
                     or t["tag"] == "WRB"
@@ -1928,6 +2378,47 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         return False
                 if (is_be_head and e in vp_starts
                         and n_commas(ve, s) > 0):
+                    return False
+                # a copula complement that OPENS on a verb-only
+                # dictionary surface tagged JJ is a mis-tagged passive
+                # participle ("was struck cold to see ..."), not an
+                # object NP
+                if (is_be_head and s == ve
+                        and (_verb_only_surface(low[s])
+                             or (code[s] == "J" and e - s == 2
+                                 and _oov_surface(low[s])
+                                 and _adj_capable_surface(low[e - 1])))):
+                    return False
+                # a degree-measure NP before an adjective/participle
+                # is an adverbial, not an object ("was a bit
+                # disappointed")
+                if (low[e - 1] in ("bit", "little", "lot",
+                                   "touch", "deal", "tad")
+                        and ((e < len(code)
+                              and (code[e] == "J" or tags[e] == "VBN"))
+                             # a BE head never takes the bare measure
+                             # as complement ("was a bit disappointed"
+                             # with disappointed/VBD) — except the
+                             # "a bit of a ..." chain, which keeps its
+                             # fold
+                             or (is_be_head
+                                 and not (e < len(code)
+                                          and low[e] == "of")))):
+                    return False
+                # complex-preposition idioms ("gaped in front of us",
+                # "in spite of") — the noun is the idiom's pivot, not
+                # an object; the NP past the idiom's "of" is equally
+                # out of object position
+                if (low[e - 1] in ("front", "back", "spite", "midst",
+                                   "middle", "terms", "behalf")
+                        and s > 0 and low[s - 1] in ("in", "on")
+                        and e < len(code) and low[e] == "of"):
+                    return False
+                if (s >= 2 and low[s - 1] == "of"
+                        and low[s - 2] in ("front", "back", "spite",
+                                           "midst", "middle", "terms",
+                                           "behalf")
+                        and s >= 3 and low[s - 3] in ("in", "on")):
                     return False
                 # adverbial idioms are not objects ("been in part my
                 # own", "in order to", "in fact")
@@ -2116,8 +2607,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if (is_be_head
                         and e - s == 1 and code[s] == "S"
                         and e in vp_starts
-                        and not any(low[k] == "that"
-                                    for k in range(ve, s))):
+                        and not (clause_taking
+                                 and any(low[k] == "that"
+                                         for k in range(ve, s)))):
                     return False
                 # a NOMINATIVE pronoun across a non-empty gap that
                 # abuts a later verb is the NEXT clause's subject, for
@@ -2130,8 +2622,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         in ("i", "he", "she", "we", "they")
                         and s > ve
                         and e in vp_starts
-                        and not any(low[k] == "that"
-                                    for k in range(ve, s))):
+                        and not (clause_taking
+                                 and any(low[k] == "that"
+                                         for k in range(ve, s)))):
                     return False
                 # an object is never fetched across a "without"- or
                 # "of"-governed gerund ("died without having recovered
@@ -2146,6 +2639,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         return False
                 return True
 
+            obj_chain_ext = False
             obj_span = next(
                 ((s, e) for s, e in nps if _obj_ok(s, e)), None
             )
@@ -2195,6 +2689,26 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                         ((s, e) for s, e in reversed(nps) if e == k + 1),
                         None,
                     )
+                    # the antecedent extends leftward over of/for/from
+                    # attachment chains, exactly like subjects ("a
+                    # small parcel of considerable value which she had
+                    # been expecting" objects the chain HEAD)
+                    if obj_span is not None:
+                        _os = obj_span[0]
+                        while _os > 0:
+                            j2 = _os - 1
+                            while j2 > 0 and code[j2] in "JV":
+                                j2 -= 1
+                            if low[j2] not in ("of", "for", "from"):
+                                break
+                            _pn = next((sp for sp in nps
+                                        if sp[1] == j2), None)
+                            if _pn is None:
+                                break
+                            _os = _pn[0]
+                        if _os != obj_span[0]:
+                            obj_span = (_os, obj_span[1])
+                            obj_chain_ext = True
             # the CONTENT verb (last VB*) carries the lexical identity
             # for downstream re-binding: "was urging his son to marry"
             # must test "urging" (object-control), not the aux "was"
@@ -2481,9 +2995,34 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 obj_span = (obj_span[0], _sc_end - 1)
                 if sc_pair is not None:
                     small_clause = (sc_verb, sc_pair[0], sc_pair[1])
+            elif (head_verb is not None
+                    and head_verb["text"].lower() in _PERCEPTION_VERBS
+                    and obj_span[1] - obj_span[0] == 1
+                    and code[obj_span[0]] == "S"
+                    and obj_span[1] < len(code)
+                    and code[obj_span[1]] in "JN"
+                    and texts[obj_span[1]].islower()
+                    # the mistagged BARE small-clause verb after a
+                    # pronoun object ("saw him scribble/JJ on a piece
+                    # of paper"): OOV or verb-capable surfaces only
+                    and (_oov_surface(low[obj_span[1]])
+                         or low[obj_span[1]] in _SMALLCLAUSE_VERBS
+                         or _verb_only_surface(low[obj_span[1]]))):
+                _k = obj_span[1]
+                if _k + 1 < len(code) and code[_k + 1] == "P":
+                    sc_obj = next((sp for sp in nps
+                                   if sp[0] == _k + 2), None)
+                    if sc_obj is not None:
+                        small_clause = (tok[_k], tok[_k + 1], sc_obj)
+                else:
+                    sc_obj = next((sp for sp in nps
+                                   if sp[0] == _k + 1), None)
+                    if sc_obj is not None:
+                        small_clause = (tok[_k], None, sc_obj)
             s_toks = (list(tok[k] for k in range(*subj_span))
                       if subj_chain_ext else phrase(subj_span))
-            o_toks = phrase(obj_span)
+            o_toks = (list(tok[k] for k in range(*obj_span))
+                      if obj_chain_ext else phrase(obj_span))
             # trailing glue stripped off the object chunk by POSITION:
             # mistagged accusative pronouns and adverbial nouns always
             # ("concerned in some such matter before"), the particles
@@ -2535,7 +3074,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                  for k in range(obj_span[0], obj_span[1])]
                               + [tok[obj_span[1]]])
                     obj_span = agent
-                    o_toks = phrase(obj_span)
+                    o_toks = (list(tok[k] for k in range(*obj_span))
+                      if obj_chain_ext else phrase(obj_span))
                     resultative = True
 
             # passive voice: "<obj> BE VBN by <subj>" inverts the triple
@@ -2556,17 +3096,25 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # agent keeps the SURFACE orientation ("the windows
                 # were blocked by old-fashioned shutters", "the
                 # leather is scored by six almost parallel cuts"),
-                # where the stative reading dominates
-                if (any(t["tag"].startswith("NNP")
-                        or t["text"].lower() in ("him", "her", "me",
-                                                 "us", "them",
-                                                 "someone", "somebody",
-                                                 "anyone", "everybody",
-                                                 "everyone")
-                        for t in o_toks)
+                # where the stative reading dominates. A wh-RELATIVE
+                # passive always keeps the surface ("the papers which
+                # had been destroyed by Colonel Openshaw" — the
+                # antecedent is the asserted topic)
+                _wh_rel = any(tags[k].startswith("W")
+                              for k in range(max(vs - 3, 0), vs))
+                if ((not _wh_rel
+                     and any(t["tag"].startswith("NNP")
+                             or t["text"].lower()
+                             in ("him", "her", "me",
+                                 "us", "them",
+                                 "someone", "somebody",
+                                 "anyone", "everybody",
+                                 "everyone")
+                             for t in o_toks))
                         # eventive participles invert even with a
                         # common-noun agent ("the impression was
-                        # suggested by his whole appearance")
+                        # suggested by his whole appearance") and even
+                        # inside a wh-relative
                         or any(t["tag"] == "VBN"
                                and t["text"].lower()
                                in _EVENTIVE_PASSIVES
@@ -2617,6 +3165,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     pred_norm = pred_norm.replace(w, stem, 1)
             pred_norm = re.sub(r"\s+", " ", pred_norm).strip()
 
+            # raw HTML-entity fragments in an argument mark the
+            # clause as markup noise, not prose ("One is young &amp;
+            # reckless" asserts nothing); a bare "&" (Johnson & Johnson)
+            # is real coordination and passes
+            if any(t["text"].startswith("&") and len(t["text"]) > 1
+                   for t in s_toks + o_toks):
+                continue
             out.append(
                 {
                     "sent_idx": si,

@@ -72,7 +72,7 @@ def test_open_text_triple_precision_recall():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(GOLD.read_text())["sentences"]
-    assert len(data) == 208
+    assert len(data) == 236
     n_pred = n_pred_match = n_gold = n_gold_match = 0
     header_preds = 0
     for e in data:
@@ -91,17 +91,18 @@ def test_open_text_triple_precision_recall():
 
     precision = n_pred_match / n_pred
     recall = n_gold_match / n_gold
-    # regression floors a few points under the measured r7.5 values
-    # (P = 0.8801 = 301/342, R = 0.8905 = 301/338 on the 208-sentence
-    # set — larger and HARDER than r6's 157: it now holds every
-    # migrated OOD web-register sentence; r7.4 was 0.8791/0.8896 on
-    # 207, r7.3 0.8712/0.8847 on 197, r6 0.8819/0.8784 on 157)
-    assert precision >= 0.84, (
+    # regression floors a few points under the measured r8 values
+    # (P = 0.9077 = 344/379, R = 0.9029 = 344/381 on the 236-sentence
+    # set — the r8 guard batches cleared 0.90 on BOTH axes for the
+    # first time while the set absorbed 28 migrated hard web-register
+    # sentences; r7.5 was 0.8801/0.8905 on 208, r7.4 0.8791/0.8896 on
+    # 207, r6 0.8819/0.8784 on 157)
+    assert precision >= 0.87, (
         f"open-text precision {precision:.4f} (matched {n_pred_match}/"
-        f"{n_pred}) regressed below 0.84")
-    assert recall >= 0.84, (
+        f"{n_pred}) regressed below 0.87")
+    assert recall >= 0.87, (
         f"open-text recall {recall:.4f} (matched {n_gold_match}/"
-        f"{n_gold}) regressed below 0.84")
+        f"{n_gold}) regressed below 0.87")
     # the relation-free probes (TOC headers, negated-only sentences)
     # must stay near-silent: spurious triples there are pure noise
     assert header_preds <= 8, (
@@ -166,6 +167,36 @@ def test_open_text_triple_heldout():
     auxiliary bug, passive small clauses under perception verbs, and
     preposition-governed base verbs ("during rush hour"); pool after
     it: sherlock 0.9449/0.9836, reddit 0.7879/0.8667.
+    r8 ran the protocol THREE times. The t9-failure classes (its/it's
+    typo clauses, &amp; entity noise, if-clause copular fallout,
+    adverbial-NP objects, for/from-PP subject chains, directive
+    complements, BE+like similes) plus the NASA all-caps headline
+    (fixed at the TAGGER layer: headline-register detection +
+    main-verb post-pass) landed as the first r8 batch; 12 drivers
+    migrated; TRANCHE 10 (12 sherlock @120k/240k + 10 reddit, blind)
+    measured FIRST-RUN sherlock-t10 P 0.6667 / R 0.9000 and
+    reddit-t10 P 0.2381 / R 0.5000 — the hardest lines yet
+    (imperatives, hedges, comma-splices, copula+infinitive). The
+    second batch (imperative/instruction scope, reduced-relative
+    VP splits with antecedent re-walk, clause-taking that-gap
+    restriction, maybe/Not-that scopes, catenative-TO and
+    relativizer-that verb recodes, no-doubt idiom) took the t10
+    drivers; TRANCHE 11 (6 sherlock @200k/310k + 8 reddit, blind)
+    measured FIRST-RUN sherlock-t11 P 0.6429 / R 0.9000 and
+    reddit-t11 P 0.5833 / R 0.4375. The third batch (expletive-seem
+    complement scope, wh-relative passive surface convention,
+    in-turn idiom, predicate-position titlecase-JJ and
+    no-other-verb JJ-verb recodes) took the t11 drivers; TRANCHE 12
+    (4 sherlock @270k + 8 reddit, blind) measured FIRST-RUN
+    sherlock-t12 P 0.8000 / R 0.8000 and reddit-t12 P 0.4615 /
+    R 0.4615. The t12 residuals are the r9 worklist: plan-to-X
+    catenative chains picking the wrong object, surface passives
+    with relative tails ("is made by the people who made Fate"),
+    used-to distinction, when-complement copulas, expletive
+    it-is-NP-to-VB frames, quoted-fragment appositives, trailing
+    adverb glue breaking lenient match. Pool after r8:
+    sherlock 0.9728/0.9795, reddit 0.7917/0.7600 (the pool now
+    carries every deliberately-hard residual).
     History: r6.3 floors 0.78/0.86 at measured 0.8105/0.8953;
     second-batch 0.77/0.80 at 0.8046/0.8434; first-batch 0.72/0.76
     at 0.7473/0.8000; r5 0.67/0.68 at 0.720/0.728. Tune on the
@@ -177,7 +208,7 @@ def test_open_text_triple_heldout():
     from prose_spark.operators.triples import extract_triples_doc
 
     data = json.loads(heldout.read_text())["sentences"]
-    assert len(data) == 116
+    assert len(data) == 136
     stats = {}  # register -> [pred, pred_match, gold, gold_match]
     for e in data:
         reg = ("reddit" if e.get("src", "").startswith("reddit")
@@ -193,10 +224,11 @@ def test_open_text_triple_heldout():
             any(_tri_match(p, g) for g in gold) for p in pred)
         st[3] += sum(
             any(_tri_match(p, g) for p in pred) for g in gold)
-    # per-register floors a few points under the r7.4 pool-level
-    # measurement (sherlock 0.9449/0.9836, reddit OOD 0.7500/0.8182 —
-    # the tranche-9 reddit lines are deliberately harder than t8's)
-    floors = {"sherlock": (0.92, 0.95), "reddit": (0.72, 0.78)}
+    # per-register floors a few points under the r8 pool-level
+    # measurement (sherlock 0.9728/0.9795, reddit OOD 0.7917/0.7600 on
+    # the 136-sentence pool that now holds the deliberately-hard
+    # t10-t12 residuals)
+    floors = {"sherlock": (0.94, 0.94), "reddit": (0.75, 0.72)}
     for reg, (pf, rf) in floors.items():
         np_, nm, ng, ngm = stats[reg]
         precision, recall = nm / np_, ngm / ng
