@@ -70,8 +70,13 @@ RETRY_BUDGET_SEC = 240.0
 # sample is re-measured after a short sleep. Only meaningful at the
 # default lo=2 / 12k-page scaling corpus; any override disables it.
 # Set SPARK_GRAFT_CONTROL_BAND_LOW=0 to disable explicitly.
+# 7200, re-pinned for the r8 kernel (r5-r7 band was 7700): the r8
+# guard batches cost ~6% at chain level (BASELINE.md round-8 kernel
+# note), so the quiet 2-core control now reads ~7.4-7.5k t/s — the r8
+# first official run read 7478 at steal 0.0 and burned its whole retry
+# budget against the stale 7700 floor
 CONTROL_BAND_LOW = float(
-    os.environ.get("SPARK_GRAFT_CONTROL_BAND_LOW", "7700"))
+    os.environ.get("SPARK_GRAFT_CONTROL_BAND_LOW", "7200"))
 CONTENTION_SLEEP_SEC = 20.0
 # hard self-deadline: the artifact MUST exist — when a contended host
 # pushes the run near the external timeout, optional legs are shed
@@ -325,6 +330,48 @@ def _shuffle_bytes_since(spark, marker: int) -> int:
         return -1
 
 
+def _ensure_scale_corpus_path() -> str:
+    return f"/tmp/prose_spark_bench_pages_{N_PAGES * 10}_twins"
+
+
+def _ensure_scale_corpus(spark) -> None:
+    """Materialize the 10x pages corpus with planted near-dup twins
+    (idempotent). Called from main()'s corpus-gen step so the ~100s
+    cold-/tmp cost is paid BEFORE the retry window, and again from
+    scale_up() as a no-op safety."""
+    from pyspark.sql import functions as F
+
+    from prose_spark.sources.pages import write_pages_parquet
+
+    n10 = N_PAGES * 10
+    path10 = f"/tmp/prose_spark_bench_pages_{n10}"
+    path10t = _ensure_scale_corpus_path()
+    if os.path.exists(path10t + "/_SUCCESS"):
+        return
+    if not os.path.exists(path10 + "/_SUCCESS"):
+        write_pages_parquet(spark, path10, n10)
+    base = (
+        spark.read.parquet(path10)
+        .filter(F.col("lang") == "en").select("url", "text")
+        # slice bucket BEFORE twinning: a twin inherits its base's
+        # bucket, so every 1x/4x slice keeps base+twin together and
+        # emits verified near-dup pairs
+        .withColumn("slice_bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(10))
+                    .cast("int"))
+    )
+    twins = base.filter(
+        F.pmod(F.xxhash64("url", F.lit(7)), F.lit(50)) == 0
+    ).select(
+        F.concat(F.col("url"), F.lit("#twin")).alias("url"),
+        F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
+        "slice_bucket",
+    )
+    # overwrite: a run killed mid-write leaves the dir without
+    # _SUCCESS, and errorifexists would wedge every later run
+    base.unionByName(twins).write.mode("overwrite").parquet(path10t)
+
+
 def scale_up(cores: int, deadline: float | None = None) -> dict:
     """Scale-up extrapolation evidence (north rule: 'would still work at
     1000x'): the fused KG path at 1x and 10x the bench corpus and the
@@ -354,11 +401,11 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
     from prose_spark.sources.pages import write_pages_parquet
 
     n10 = N_PAGES * 10
-    path10 = f"/tmp/prose_spark_bench_pages_{n10}"
-    path10t = f"{path10}_twins"
-    # entry guard: the kg+pagerank part needs ~55s (plus ~100s corpus
-    # generation on a cold /tmp); starting it without that much budget
-    # would lose the stdout line entirely
+    path10t = _ensure_scale_corpus_path()
+    # entry guard: the kg+pagerank part needs ~55s; the twins corpus
+    # is PRE-GENERATED in main()'s corpus-gen step (r8: on a cold /tmp
+    # its ~100s generation inside this budget check used to kill the
+    # whole block whenever contention retries ate the window)
     need = 55 if os.path.exists(path10t + "/_SUCCESS") else 155
     if deadline is not None and time.time() > deadline - need:
         log("deadline near: skipping scale-up block entirely")
@@ -366,29 +413,7 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
     spark = get_spark(app_name="bench_scale", cores=cores,
                       shuffle_partitions=max(32, cores * 2))
     try:
-        if not os.path.exists(path10t + "/_SUCCESS"):
-            if not os.path.exists(path10 + "/_SUCCESS"):
-                write_pages_parquet(spark, path10, n10)
-            base = (
-                spark.read.parquet(path10)
-                .filter(F.col("lang") == "en").select("url", "text")
-                # slice bucket BEFORE twinning: a twin inherits its
-                # base's bucket, so every 1x/4x slice keeps base+twin
-                # together and emits verified near-dup pairs
-                .withColumn("slice_bucket",
-                            F.pmod(F.xxhash64("url"), F.lit(10))
-                            .cast("int"))
-            )
-            twins = base.filter(
-                F.pmod(F.xxhash64("url", F.lit(7)), F.lit(50)) == 0
-            ).select(
-                F.concat(F.col("url"), F.lit("#twin")).alias("url"),
-                F.concat(F.col("text"), F.lit(" addendum")).alias("text"),
-                "slice_bucket",
-            )
-            # overwrite: a run killed mid-write leaves the dir without
-            # _SUCCESS, and errorifexists would wedge every later run
-            base.unionByName(twins).write.mode("overwrite").parquet(path10t)
+        _ensure_scale_corpus(spark)
         allp = spark.read.parquet(path10t)
         en10 = allp.select("url", "text").repartition(cores * 2).cache()
         en1 = (allp.filter(F.col("slice_bucket") == 0)
@@ -521,47 +546,6 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
                 point["max_bucket_size"] = max_bucket_size
             out[f"minhash_{tag}"] = point
 
-        if deadline is not None and time.time() > deadline - 110:
-            log("deadline near: skipping minhash/canonicalize legs")
-            out["minhash_canon_skipped_for_deadline"] = True
-            return out
-        # pin the band join to its at-scale physical form (shuffle join):
-        # under the default threshold AQE broadcasts the banded side at
-        # 1x but not 4x, which would compare two different plans
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        minhash_near_dup_pairs_native(  # warm the join/codegen path
-            en1.limit(300), "url", jaccard_max_distance=0.3).count()
-        mh_point(en1, n_docs1, "1x")
-        mh_point(en4, n_docs4, "4x")
-        # the production guard's effect on the densification the
-        # candidate-terms ratio exposes: same 4x corpus with the
-        # quadratic-bucket cap engaged (planted twins live in buckets of
-        # ~2, so recall of true near-dups survives the cap)
-        mh_point(en4, n_docs4, "4x_capped", max_bucket_size=20)
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        m1, m4 = out["minhash_1x"], out["minhash_4x"]
-        out["minhash_docs_per_sec_ratio_4x_vs_1x"] = round(
-            m4["docs_per_sec"] / m1["docs_per_sec"], 3)
-        if m1["shuffle_bytes"] > 0 and m4["shuffle_bytes"] > 0:
-            # linear-in-n shuffle (banded keys), not quadratic pairs
-            out["minhash_shuffle_growth_4x_vs_1x"] = round(
-                m4["shuffle_bytes"] / m1["shuffle_bytes"], 2)
-            out["minhash_band_exchange_growth_4x_vs_1x"] = round(
-                m4["band_exchange_bytes_one_side"]
-                / max(m1["band_exchange_bytes_one_side"], 1), 2)
-            # pair-leg growth above ~4x is candidate-pair growth, which
-            # this ratio pins down (bucket densification, bounded by the
-            # max_bucket_size guard in production paths)
-            out["minhash_candidate_terms_growth_4x_vs_1x"] = round(
-                m4["band_bucket_pair_terms"]
-                / max(m1["band_bucket_pair_terms"], 1), 2)
-            m4c = out.get("minhash_4x_capped")
-            if m4c:
-                out["minhash_capped_shuffle_vs_uncapped_4x"] = round(
-                    m4c["shuffle_bytes"] / max(m4["shuffle_bytes"], 1), 2)
-                out["minhash_capped_pair_recall_4x"] = round(
-                    m4c["n_pairs"] / max(m4["n_pairs"], 1), 3)
-
         # canonicalization leg: 1x/4x mention VOCABULARY through the
         # full canonicalize_mentions pipeline (normalize -> band join ->
         # CC -> label/pick), the one operator family that had no
@@ -669,8 +653,9 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
             })
             return result
 
-        if deadline is not None and time.time() > deadline - 75:
-            log("deadline near: skipping canonicalize/fold/zipf legs")
+        if deadline is not None and time.time() > deadline - 100:
+            log("deadline near: skipping canonicalize/fold/minhash/zipf "
+                "legs")
             out["canon_skipped_for_deadline"] = True
             return out
         # pin the at-scale physical plan for BOTH points (same rationale
@@ -731,8 +716,8 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
         # table, so the O(increment) claim rests on a TREND — fold wall
         # ~flat from the 4x to the 16x point while the batch rebuild at
         # the same accumulated scale grows ~4x — not on one ratio.
-        if deadline is not None and time.time() > deadline - 90:
-            log("deadline near: skipping fold16/zipf legs")
+        if deadline is not None and time.time() > deadline - 80:
+            log("deadline near: skipping fold16/minhash/zipf legs")
             out["fold16_skipped_for_deadline"] = True
             return out
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -771,6 +756,48 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
         if fold16["shuffle_bytes"] >= 0 and fold["shuffle_bytes"] > 0:
             out["merge_fold_shuffle_16x_vs_4x"] = round(
                 fold16["shuffle_bytes"] / fold["shuffle_bytes"], 2)
+
+        if deadline is not None and time.time() > deadline - 55:
+            log("deadline near: skipping minhash/zipf legs")
+            out["minhash_canon_skipped_for_deadline"] = True
+            return out
+        # pin the band join to its at-scale physical form (shuffle join):
+        # under the default threshold AQE broadcasts the banded side at
+        # 1x but not 4x, which would compare two different plans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        minhash_near_dup_pairs_native(  # warm the join/codegen path
+            en1.limit(300), "url", jaccard_max_distance=0.3).count()
+        mh_point(en1, n_docs1, "1x")
+        mh_point(en4, n_docs4, "4x")
+        # the production guard's effect on the densification the
+        # candidate-terms ratio exposes: same 4x corpus with the
+        # quadratic-bucket cap engaged (planted twins live in buckets of
+        # ~2, so recall of true near-dups survives the cap)
+        mh_point(en4, n_docs4, "4x_capped", max_bucket_size=20)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        m1, m4 = out["minhash_1x"], out["minhash_4x"]
+        out["minhash_docs_per_sec_ratio_4x_vs_1x"] = round(
+            m4["docs_per_sec"] / m1["docs_per_sec"], 3)
+        if m1["shuffle_bytes"] > 0 and m4["shuffle_bytes"] > 0:
+            # linear-in-n shuffle (banded keys), not quadratic pairs
+            out["minhash_shuffle_growth_4x_vs_1x"] = round(
+                m4["shuffle_bytes"] / m1["shuffle_bytes"], 2)
+            out["minhash_band_exchange_growth_4x_vs_1x"] = round(
+                m4["band_exchange_bytes_one_side"]
+                / max(m1["band_exchange_bytes_one_side"], 1), 2)
+            # pair-leg growth above ~4x is candidate-pair growth, which
+            # this ratio pins down (bucket densification, bounded by the
+            # max_bucket_size guard in production paths)
+            out["minhash_candidate_terms_growth_4x_vs_1x"] = round(
+                m4["band_bucket_pair_terms"]
+                / max(m1["band_bucket_pair_terms"], 1), 2)
+            m4c = out.get("minhash_4x_capped")
+            if m4c:
+                out["minhash_capped_shuffle_vs_uncapped_4x"] = round(
+                    m4c["shuffle_bytes"] / max(m4["shuffle_bytes"], 1), 2)
+                out["minhash_capped_pair_recall_4x"] = round(
+                    m4c["n_pairs"] / max(m4["n_pairs"], 1), 3)
+
 
         # Zipfian-vocabulary canonicalize leg (r5 verdict item #3): the
         # md5-diverse leg above measures RANDOM band collisions (tiny
@@ -883,7 +910,7 @@ def scale_up(cores: int, deadline: float | None = None) -> dict:
             })
             out[f"canonicalize_zipf_{tag}"] = point
 
-        if deadline is not None and time.time() > deadline - 60:
+        if deadline is not None and time.time() > deadline - 45:
             # the zipf legs are standing r5/r6 evidence (recorded in
             # BENCH_DETAIL r5/r6 and BASELINE.md); on a contended run
             # they are the first thing shed so the new legs and the
@@ -987,7 +1014,9 @@ def main() -> None:
     pages_path = f"/tmp/prose_spark_bench_pages_{N_PAGES}"
     pages_path_scaling = f"/tmp/prose_spark_bench_pages_{N_PAGES_SCALING}"
     if not (os.path.exists(pages_path + "/_SUCCESS")
-            and os.path.exists(pages_path_scaling + "/_SUCCESS")):
+            and os.path.exists(pages_path_scaling + "/_SUCCESS")
+            and os.path.exists(_ensure_scale_corpus_path()
+                               + "/_SUCCESS")):
         from prose_spark.session import get_spark
         from prose_spark.sources.pages import write_pages_parquet
 
@@ -997,6 +1026,9 @@ def main() -> None:
         if not os.path.exists(pages_path_scaling + "/_SUCCESS"):
             write_pages_parquet(spark, pages_path_scaling,
                                 N_PAGES_SCALING)
+        # the scale-up twins corpus too: its generation must not sit
+        # inside scale_up()'s deadline budget (r8 lesson)
+        _ensure_scale_corpus(spark)
         spark.stop()
         log(f"generated pages at {pages_path} / {pages_path_scaling}")
 
@@ -1017,7 +1049,19 @@ def main() -> None:
     t_retry_anchor = time.time()
     band_applies = (SCALING_LO == 2 and N_PAGES_SCALING == 12000
                     and CONTROL_BAND_LOW > 0)
+    # the triplet phase gets its own SUB-BUDGET (r8 lesson: two
+    # contended official runs burned the whole 570s on triplet
+    # retries and skipped every scale leg + the query sweep — the
+    # round's NEW evidence must never be starved by re-measurement
+    # of the standing headline). At least one triplet always runs;
+    # later triplets shed when the phase budget is gone.
+    triplet_deadline = t_start + float(
+        os.environ.get("SPARK_GRAFT_TRIPLET_BUDGET", "240"))
     for rep in range(3):
+        if runs and time.time() > triplet_deadline:
+            log(f"triplet budget exhausted after {rep} triplets: "
+                "keeping what was measured")
+            break
         log(f"== triplet {rep + 1}/3 ==")
         while True:
             r_lo = kg_throughput(SCALING_LO, pages_path_scaling)
@@ -1028,7 +1072,8 @@ def main() -> None:
             band_ok = (not band_applies
                        or r_lo["triples_per_sec"] >= CONTROL_BAND_LOW)
             if ((steal <= STEAL_RETRY and band_ok) or retries_left <= 0
-                    or time.time() - t_retry_anchor > RETRY_BUDGET_SEC):
+                    or time.time() - t_retry_anchor > RETRY_BUDGET_SEC
+                    or time.time() > triplet_deadline):
                 break
             retries_left -= 1
             if not band_ok and steal <= STEAL_RETRY:
