@@ -110,3 +110,26 @@ def test_tag_heldout_generalization():
     pred = tagger.tag(held_w)
     acc = sum(p == e for p, e in zip(pred, held_t)) / len(held_t)
     assert acc >= 0.962, f"held-out accuracy {acc:.4f} below 0.962"
+
+
+def test_headline_register_pass():
+    """r8: a TITLECASE-RUN headline gets its main verb back (the
+    per-token shape prior reads every word NNP), while ordinary prose
+    and all-caps shouting are untouched by the register detector."""
+    from prose_spark.nlp.tagger import default_tagger
+
+    tagger = default_tagger()
+    tags = tagger.tag(["NASA", "Sets", "News", "Conference", "on",
+                       "Astrobiology", "Discovery"])
+    assert tags[1] == "VBZ", tags
+    assert tags[0] == "NNP", tags
+    tags = tagger.tag(["Senate", "Passes", "Budget", "Bill", "After",
+                       "Long", "Debate"])
+    assert tags[1] == "VBZ", tags
+    # ordinary prose: a lowercase content word blocks the register
+    tags = tagger.tag(["Victor", "Hugo", "founded", "Acme", "Corp",
+                       "in", "Boston"])
+    assert tags[2] == "VBD", tags
+    # ALL-CAPS tokens keep their surfaces (acronym reading)
+    tags = tagger.tag(["NASA", "AND", "ESA", "SIGN", "DEAL"])
+    assert "VBZ" not in tags[:1]
