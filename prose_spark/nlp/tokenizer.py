@@ -217,25 +217,34 @@ class IterTokenizer:
         byte_pos = 0  # byte offset of char index `char_pos`
         char_pos = 0
         ascii_text = clean.isascii()
+        # cache value: (span_byte_len, ((tok_str, rel, tok_byte_len), ...))
+        # — decoded ONCE on miss, so a cache hit does zero encode/decode
+        # work (the hot path: span vocabulary is tiny vs token volume)
         for m in _SPAN_RE.finditer(clean):
             cs, ce = m.span()
+            span_s = clean[cs:ce]
+            entry = cache.get(span_s)
+            if entry is None:
+                span_b = span_s.encode("utf-8")
+                toks = tuple(
+                    (tb.decode("utf-8"), rel, len(tb))
+                    for tb, rel in self._do_split(span_b)
+                )
+                entry = (len(span_b), toks)
+                cache[span_s] = entry
             if ascii_text:
                 base = cs
-                span_b = clean[cs:ce].encode("utf-8")
             else:
                 if cs > char_pos:
-                    byte_pos += len(clean[char_pos:cs].encode("utf-8"))
-                span_b = clean[cs:ce].encode("utf-8")
+                    gap = clean[char_pos:cs]
+                    byte_pos += (len(gap) if gap.isascii()
+                                 else len(gap.encode("utf-8")))
                 char_pos = ce
                 base = byte_pos
-                byte_pos += len(span_b)
-            toks = cache.get(span_b)
-            if toks is None:
-                toks = self._do_split(span_b)
-                cache[span_b] = toks
-            for tb, rel in toks:
+                byte_pos += entry[0]
+            for ts, rel, blen in entry[1]:
                 start = base + rel
-                out.append((tb.decode("utf-8"), start, start + len(tb)))
+                out.append((ts, start, start + blen))
         return out
 
 

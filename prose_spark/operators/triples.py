@@ -79,6 +79,7 @@ _TAG_CODE = {
 # strand the main verb as a bogus object — optional trailing adverb,
 # optional particle/preposition attaching the object.
 _NP_RE = re.compile(r"D?J*N[NJCG]*|S|C(?=V)|DJ+(?![NJCG])|D(?![NJCG])")
+_WS_RE = re.compile(r"\s+")
 _VP_RE = re.compile(r"M?R*V+(?:R+V+)*R*P?")
 
 # irregular 3rd-person forms whose -s strip would be wrong ("is" -> "i")
@@ -153,9 +154,16 @@ _ATTITUDE_STEMS = ("think", "thought", "believ", "know", "knew", "say",
                    "argu", "hope", "doubt", "pretend", "want")
 
 
+_OBJ_CONTROL_CACHE: dict[str, bool] = {}
+
+
 def _is_object_control(word: str) -> bool:
-    w = word.lower()
-    return any(w.startswith(s) for s in _OBJ_CONTROL_STEMS)
+    v = _OBJ_CONTROL_CACHE.get(word)
+    if v is None:
+        w = word.lower()
+        v = any(w.startswith(s) for s in _OBJ_CONTROL_STEMS)
+        _OBJ_CONTROL_CACHE[word] = v
+    return v
 
 
 # directive control verbs whose TO-complement is an INSTRUCTION, not
@@ -319,6 +327,54 @@ _EVENTIVE_PASSIVES = frozenset((
     "written", "composed", "invented", "discovered", "produced",
     "designed", "developed", "established",
 ))
+
+_CLAUSE_TAKING_CACHE: dict[str, bool] = {}
+
+
+def _is_clause_taking(word: str) -> bool:
+    """Memoized ``any(word.startswith(st) for st in
+    _CLAUSE_TAKING_STEMS)`` — the scan is a pure function of the word
+    and was the single hottest line of the chunker (one 60-stem scan
+    per VP)."""
+    v = _CLAUSE_TAKING_CACHE.get(word)
+    if v is None:
+        v = any(word.startswith(st) for st in _CLAUSE_TAKING_STEMS)
+        _CLAUSE_TAKING_CACHE[word] = v
+    return v
+
+
+_ATTITUDE_CACHE: dict[str, bool] = {}
+
+
+def _is_attitude(word: str) -> bool:
+    v = _ATTITUDE_CACHE.get(word)
+    if v is None:
+        v = any(word.startswith(st) for st in _ATTITUDE_STEMS)
+        _ATTITUDE_CACHE[word] = v
+    return v
+
+
+_TRANSFER_CACHE: dict[str, bool] = {}
+
+
+def _is_transfer(word: str) -> bool:
+    v = _TRANSFER_CACHE.get(word)
+    if v is None:
+        v = any(word.startswith(s) for s in _TRANSFER_STEMS)
+        _TRANSFER_CACHE[word] = v
+    return v
+
+
+_DIRECTIVE_CACHE: dict[str, bool] = {}
+
+
+def _is_directive(word: str) -> bool:
+    v = _DIRECTIVE_CACHE.get(word)
+    if v is None:
+        v = any(word.startswith(s) for s in _DIRECTIVE_STEMS)
+        _DIRECTIVE_CACHE[word] = v
+    return v
+
 
 _VERB_ONLY_CACHE: dict[str, bool] = {}
 
@@ -766,7 +822,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         np_ends = [e for _, e in nps]
 
         def phrase(span):
-            toks = [tok[k] for k in range(span[0], span[1])]
+            toks = tok[span[0]:span[1]]
             # drop leading determiner from the phrase surface — but a
             # standalone demonstrative ("interested in this") IS the
             # phrase, so never strip to empty
@@ -877,7 +933,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
         # guard: a '?' token anywhere, or a comma-bounded bare-NNP
         # vocative (",", NNP, ",") — both O(sentence) once, not per VP
         second_person_question = (
-            any(t["text"] in ("?", "?!") for t in tok)
+            "?" in low_set or "?!" in low_set
             or any(c2 == c1 + 2 and tags[c1 + 1] == "NNP"
                    for c1, c2 in zip(comma_positions,
                                      comma_positions[1:])))
@@ -1469,17 +1525,18 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
             # "maybe"/"perhaps" scopes its whole comma segment as
             # hypothetical ("maybe when the ticket prices are around
             # 10 bucks and it turns out the movie stinks, people ...")
-            _seg0 = vs - 1
-            while _seg0 >= 0 and texts[_seg0] != ",":
-                _seg0 -= 1
-            if (any(low[k] in ("maybe", "perhaps")
-                    for k in range(_seg0 + 1, vs))
-                    # an it-cleft's relative presupposes its content
-                    # and survives the hedge ("perhaps it was woman's
-                    # instinct which gave me ...")
-                    and not (vs > 0 and tags[vs - 1].startswith("W"))):
-                prev_vp = None
-                continue
+            if "maybe" in low_set or "perhaps" in low_set:
+                _seg0 = vs - 1
+                while _seg0 >= 0 and texts[_seg0] != ",":
+                    _seg0 -= 1
+                if (any(low[k] in ("maybe", "perhaps")
+                        for k in range(_seg0 + 1, vs))
+                        # an it-cleft's relative presupposes its content
+                        # and survives the hedge ("perhaps it was
+                        # woman's instinct which gave me ...")
+                        and not (vs > 0 and tags[vs - 1].startswith("W"))):
+                    prev_vp = None
+                    continue
             # a bare copula whose complement is a TO-infinitive has no
             # NP object, and the infinitive itself is unasserted
             # ("your best bet is to walk eastbound on Pike street")
@@ -1557,8 +1614,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     _hw = next((low[k] for k in range(ve - 1, vs - 1, -1)
                                 if tags[k].startswith("VB")), None)
                     _att = (_hw is not None
-                            and any(_hw.startswith(st)
-                                    for st in _ATTITUDE_STEMS)
+                            and _is_attitude(_hw)
                             and ve < len(code) and code[ve] in "SDNJC")
                 if _att:
                     _scope_end = len(code)
@@ -2243,16 +2299,14 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # infinitive, not a controlled complement ("would give
                 # one of the provinces ... to have that photograph")
                 if (prev_vp[1] is not None
-                        and any(prev_vp[3].lower().startswith(s)
-                                for s in _TRANSFER_STEMS)):
+                        and _is_transfer(prev_vp[3].lower())):
                     prev_vp = None
                     continue
                 # a DIRECTIVE's controlled complement is an
                 # instruction, never an asserted event ("I ordered her
                 # to say nothing" keeps only <I> ordered <her>)
                 if (prev_vp[1] is not None
-                        and any(prev_vp[3].lower().startswith(s)
-                                for s in _DIRECTIVE_STEMS)):
+                        and _is_directive(prev_vp[3].lower())):
                     prev_vp = None
                     continue
                 subj_span = (prev_vp[1]
@@ -2284,8 +2338,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                           and head_verb["text"].lower() in _BE_FORMS)
             _content_vw = next((low[k] for k in range(ve - 1, vs - 1, -1)
                                 if tags[k].startswith("VB")), "")
-            clause_taking = any(_content_vw.startswith(st)
-                                for st in _CLAUSE_TAKING_STEMS)
+            clause_taking = _is_clause_taking(_content_vw)
 
             def _obj_ok(s: int, e: int) -> bool:
                 if not (ve <= s < next_vs):
@@ -3163,7 +3216,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     )
                 if len(stem) >= 2:
                     pred_norm = pred_norm.replace(w, stem, 1)
-            pred_norm = re.sub(r"\s+", " ", pred_norm).strip()
+            pred_norm = _WS_RE.sub(" ", pred_norm).strip()
 
             # raw HTML-entity fragments in an argument mark the
             # clause as markup noise, not prose ("One is young &amp;
