@@ -223,11 +223,17 @@ class MaxentNER:
         shapes = [shape(w) for w in words]
         wlens = [str(len(w.encode("utf-8"))) for w in words]
 
-        static_ids = np.zeros((n, len(_STATIC)), dtype=np.int64)
-        hist_ids = np.zeros((n, len(_HISTORY_DOMAIN), 3), dtype=np.int64)
+        L = W.shape[1]
+        static_scores = np.empty((n, L))  # (n, L)
+        hist_scores = np.empty((n, len(_HISTORY_DOMAIN), L))  # (n, |H|, L)
         g = fv_id.get
-        static_memo = self._static_memo  # key -> tuple of 14 fv ids
-        hist_memo = self._hist_memo  # (pos, prev_shape) -> (|H|,3) id array
+        # memo values are the SUMMED weight rows (score vectors), not the
+        # feature ids: a hit costs one memcpy instead of a 14xL gather +
+        # reduce per token. W[ids].sum(axis=0) reduces the same 14 rows
+        # in the same order as the former batched W[static_ids].sum(
+        # axis=1), so scores are bitwise identical.
+        static_memo = self._static_memo  # key -> (L,) summed score vector
+        hist_memo = self._hist_memo  # (pos, prev_shape) -> (|H|, L) scores
         for i in range(n):
             w = words[i]
             lw = lowers[i]
@@ -243,8 +249,8 @@ class MaxentNER:
             else:
                 nextword, nextpos = lowers[i + 1], tags[i + 1].lower()
             skey = (w, pos, prevword, prevpos, nextword, nextpos)
-            row = static_memo.get(skey)
-            if row is None:
+            svec = static_memo.get(skey)
+            if svec is None:
                 suf3 = w[-3:].lower() if len(w) >= 3 else lw
                 row = (
                     g("bias-True", 0),
@@ -263,22 +269,21 @@ class MaxentNER:
                     g("word.lower-" + lw, 0),
                     g("wordlen-" + wlens[i], 0),
                 )
+                svec = W[np.array(row, dtype=np.int64)].sum(axis=0)
                 if len(static_memo) < 2_000_000:
-                    static_memo[skey] = row
-            static_ids[i] = row
+                    static_memo[skey] = svec
+            static_scores[i] = svec
             hkey = (pos, prev_shape)
-            hrow = hist_memo.get(hkey)
-            if hrow is None:
+            hmat = hist_memo.get(hkey)
+            if hmat is None:
                 hrow = np.zeros((len(_HISTORY_DOMAIN), 3), dtype=np.int64)
                 for hj, h in enumerate(_HISTORY_DOMAIN):
                     hrow[hj, 0] = g("prevtag-" + h, 0)
                     hrow[hj, 1] = g("pos+prevtag-" + pos + "+" + h, 0)
                     hrow[hj, 2] = g("shape+prevtag-" + prev_shape + "+" + h, 0)
-                hist_memo[hkey] = hrow
-            hist_ids[i] = hrow
-
-        static_scores = W[static_ids].sum(axis=1)  # (n, L)
-        hist_scores = W[hist_ids].sum(axis=2)  # (n, |H|, L)
+                hmat = W[hrow].sum(axis=1)
+                hist_memo[hkey] = hmat
+            hist_scores[i] = hmat
 
         # decode: the label argmax for EVERY possible history state is
         # computed in one vectorized pass (n x |H| x L broadcast add +

@@ -128,6 +128,28 @@ def looks_internal(tok: str) -> bool:
 
 
 _TYPE_MEMO: dict[str, str] = {}
+_INITIAL_MEMO: dict[str, bool] = {}
+
+# pure per-token facts used by _multi_punct_pass, memoized by token
+# string: (ends_dot, looks_ellipsis, looks_internal, abbr_match,
+# nested_quote_close)
+_MP_MEMO: dict[str, tuple[bool, bool, bool, bool, bool]] = {}
+
+
+def _mp_flags(tok: str) -> tuple[bool, bool, bool, bool, bool]:
+    f = _MP_MEMO.get(tok)
+    if f is None:
+        f = (
+            tok.endswith("."),
+            bool(RE_LOOKS_LIKE_ELLIPSIS.search(tok)),
+            looks_internal(tok),
+            bool(RE_ABBR.search(tok)),
+            (tok.endswith(".'") and not tok.endswith("..'")
+             and len(tok) > 2),
+        )
+        if len(_MP_MEMO) < 1_000_000:
+            _MP_MEMO[tok] = f
+    return f
 
 
 def token_type(tok: str) -> str:
@@ -206,7 +228,13 @@ class _Tok:
 
     @property
     def is_initial(self) -> bool:
-        return bool(_INITIAL_RE.match(self.tok))
+        tok = self.tok
+        v = _INITIAL_MEMO.get(tok)
+        if v is None:
+            v = bool(_INITIAL_RE.match(tok))
+            if len(_INITIAL_MEMO) < 1_000_000:
+                _INITIAL_MEMO[tok] = v
+        return v
 
 
 class PunktSegmenter:
@@ -216,23 +244,40 @@ class PunktSegmenter:
     # -- annotation passes ---------------------------------------------------
 
     def _first_pass(self, toks: list[_Tok]) -> None:
+        # the outcome is a pure function of the token string given this
+        # instance's (immutable-after-construction) abbreviation set, so
+        # it is memoized per instance: 0 = none, 1 = sentbreak,
+        # 2 = ellipsis, 3 = abbr
         abbrevs = self.params.abbrev_types
+        try:
+            memo = self._fp_memo
+        except AttributeError:
+            memo = self._fp_memo = {}
         for t in toks:
             tok = t.tok
-            if has_sent_end_chars(tok):
+            o = memo.get(tok)
+            if o is None:
+                o = 0
+                if has_sent_end_chars(tok):
+                    o = 1
+                elif _ELLIPSIS_FINAL_RE.search(tok) and not t.period_final:
+                    o = 2
+                elif t.period_final and not tok.endswith(".."):
+                    cand = tok[:-1].lower()
+                    if cand in abbrevs or cand.split("-")[-1] in abbrevs:
+                        o = 3
+                    elif tok.endswith("..."):
+                        o = 2
+                    else:
+                        o = 1
+                if len(memo) < 1_000_000:
+                    memo[tok] = o
+            if o == 1:
                 t.sentbreak = True
-                continue
-            if _ELLIPSIS_FINAL_RE.search(tok) and not t.period_final:
+            elif o == 2:
                 t.ellipsis = True
-                continue
-            if t.period_final and not tok.endswith(".."):
-                cand = tok[:-1].lower()
-                if cand in abbrevs or cand.split("-")[-1] in abbrevs:
-                    t.abbr = True
-                elif tok.endswith("..."):
-                    t.ellipsis = True
-                else:
-                    t.sentbreak = True
+            elif o == 3:
+                t.abbr = True
 
     def _ortho_heuristic(self, t: _Tok):
         """punkt 4.1.1 — True / False / 'unknown'."""
@@ -289,8 +334,11 @@ class PunktSegmenter:
                     t1.sentbreak = False
                 continue
 
+            (ends_dot, is_ellipsis, _internal,
+             abbr_match, quote_close) = _mp_flags(t1.tok)
+
             # ellipsis that wasn't tokenized apart: "x." followed by "."
-            if t1.tok.endswith(".") and t2.tok == ".":
+            if ends_dot and t2.tok == ".":
                 t1.sentbreak = False
                 t2.sentbreak = False
                 continue
@@ -299,21 +347,15 @@ class PunktSegmenter:
             # list has ?' and !' but omits .' — a period + straight single
             # closing quote followed by a NEW quote opening on a capital is
             # a boundary ("...would apply.' "'Not so many...'").
-            if (
-                t1.tok.endswith(".'")
-                and not t1.tok.endswith("..'")
-                and len(t1.tok) > 2
-                and t2.tok[:1] in _QUOTE_CLOSERS
-            ):
+            if quote_close and t2.tok[:1] in _QUOTE_CLOSERS:
                 alpha = next((c for c in t2.tok if c.isalpha()), "")
                 if alpha.isupper():
                     t1.sentbreak = True
                     continue
 
             next_typ = None
-            is_non_break = t1.tok.endswith(".") and not t1.sentbreak
-            is_ellipsis = bool(RE_LOOKS_LIKE_ELLIPSIS.search(t1.tok))
-            is_internal = t1.sentbreak and looks_internal(t1.tok)
+            is_non_break = ends_dot and not t1.sentbreak
+            is_internal = t1.sentbreak and _internal
 
             if is_non_break or is_ellipsis or is_internal:
                 next_typ = t2.type_no_sentperiod
@@ -348,7 +390,7 @@ class PunktSegmenter:
                     if ortho.get(next_typ, 0) & ORTHO_LC:
                         t1.sentbreak = True
 
-            if not RE_ABBR.search(t1.tok):
+            if not abbr_match:
                 continue
             if t1.is_initial:
                 continue

@@ -357,12 +357,15 @@ class PerceptronTagger:
         triggers (r7 verdict #4)."""
         if self.tag_dict is None:
             return False
-        alpha = [(i, w) for i, w in enumerate(words)
-                 if any(c.isalpha() for c in w)]
-        if len(alpha) < 4:
-            return False
+        # streamed version of the original alpha-list scan: ordinary
+        # prose hits a lowercase content word within the first few
+        # tokens and returns False without scanning the whole document
+        n_alpha = 0
         verb_capable = False
-        for i, w in alpha:
+        for i, w in enumerate(words):
+            if not any(c.isalpha() for c in w):
+                continue
+            n_alpha += 1
             if w[0:1].isupper() or w.isupper():
                 if (i > 0 and not w.isupper() and w[1:].islower()):
                     lw = w.lower()
@@ -375,6 +378,8 @@ class PerceptronTagger:
                             verb_capable = True
             elif w.lower() not in self._HEADLINE_SMALL:
                 return False
+        if n_alpha < 4:
+            return False
         return verb_capable
 
     def tag(self, words: list[str]) -> list[str]:
