@@ -2351,8 +2351,7 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 for ce in coord_ends:
                     if ce <= s and n_commas(ce, s) % 2:
                         return False
-                between = [tok[k] for k in range(ve, s)]
-                if any(t["tag"] == ":" for t in between):
+                if any(tags[k] == ":" for k in range(ve, s)):
                     return False
                 # an ACTIVE predicate in a LATER comma segment claims
                 # every NP after it ("even as I looked up, I saw his
@@ -2379,8 +2378,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 # a gerund in the gap owns the NP past it — "was more
                 # afraid of her knowing my past" must not fetch "my
                 # past" as was's complement
-                if is_be_head and any(t["tag"] == "VBG"
-                                      for t in between):
+                if is_be_head and any(tags[k] == "VBG"
+                                      for k in range(ve, s)):
                     return False
                 # "BE + J + for NP to VB": the NP is the
                 # infinitive's subject, never the copula's object
@@ -2410,9 +2409,9 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                                 for k in range(ve, s))):
                     return False
                 if is_be_head and any(
-                    t["text"].lower() in _BE_CROSS_BLOCKERS
-                    or t["tag"] == "WRB"
-                    for t in between
+                    low[k] in _BE_CROSS_BLOCKERS
+                    or tags[k] == "WRB"
+                    for k in range(ve, s)
                 ):
                     # copular "X is that S" with the complementizer
                     # DIRECTLY after the copula keeps the embedded
@@ -2424,8 +2423,8 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                     # the embedded subject must actually govern a VP
                     # ("is that we SHOULD ..."): a bare interrogative
                     # "Is that you?" has no clause after the pronoun
-                    if not (len(between) == 1
-                            and between[0]["text"].lower() == "that"
+                    if not (s - ve == 1
+                            and low[ve] == "that"
                             and s == ve + 1
                             and e < len(code) and code[e] in "MV"):
                         return False
