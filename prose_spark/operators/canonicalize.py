@@ -226,11 +226,7 @@ def connected_components(
     # the (possibly expensive: NER annotate -> mentions -> band join)
     # upstream lineage is evaluated exactly once per call.
     raw = edges.select("a", "b").localCheckpoint()
-    e = (
-        raw.filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e_plan = raw.filter(F.col("a") != F.col("b")).distinct()
     if driver_threshold > 0:
         id_is_str = isinstance(raw.schema["a"].dataType, T.StringType)
         size_agg = [F.count("*").alias("n")]
@@ -248,25 +244,32 @@ def connected_components(
         # inputs to the distributed path — safe.
         row = raw.agg(*size_agg).collect()[0]
         n_raw = row["n"]
-        n_edges = e.count()
         est_bytes = int(row["chars"]) if id_is_str else n_raw * 16
-        if (n_edges <= driver_threshold
-                and est_bytes <= driver_max_bytes):
-            spark = e.sparkSession
-            pairs = [(r["a"], r["b"]) for r in e.collect()]
-            # node set from the raw (pre-self-loop-filter) edges so
-            # self-loop-only nodes are kept, matching the distributed
-            # path's contract
-            node_list = [
-                r["node"]
-                for r in raw.select(F.col("a").alias("node"))
-                .union(raw.select(F.col("b").alias("node")))
-                .distinct()
-                .collect()
-            ]
-            id_type = e.schema["a"].dataType
-            return _union_find_local(spark, pairs, node_list, id_type,
-                                     stats)
+        if est_bytes <= driver_max_bytes:
+            # the byte cap (checked above) bounds this collect; fetching
+            # threshold+1 rows answers the edge-count gate AND delivers
+            # the gate path's edge list in ONE job (the former
+            # count-then-collect pair was two jobs over the same frame,
+            # plus a checkpoint of the deduped set the gate path never
+            # reused)
+            rows = e_plan.limit(driver_threshold + 1).collect()
+            if len(rows) <= driver_threshold:
+                spark = raw.sparkSession
+                pairs = [(r["a"], r["b"]) for r in rows]
+                # node set from the raw (pre-self-loop-filter) edges so
+                # self-loop-only nodes are kept, matching the
+                # distributed path's contract
+                node_list = [
+                    r["node"]
+                    for r in raw.select(F.col("a").alias("node"))
+                    .union(raw.select(F.col("b").alias("node")))
+                    .distinct()
+                    .collect()
+                ]
+                id_type = raw.schema["a"].dataType
+                return _union_find_local(spark, pairs, node_list, id_type,
+                                         stats)
+    e = e_plan.localCheckpoint()
     # materialized only on the distributed path (the gate path never
     # uses the DataFrame form); derives from the checkpoint, not the
     # caller's lineage
