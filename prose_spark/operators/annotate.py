@@ -158,17 +158,28 @@ def annotate_document(text: str, cfg: AnnotateConfig = AnnotateConfig()):
     # sentence spans in sanitized-byte space, for token->sentence assignment
     sent_spans_clean: list[tuple[int, int]] = []
     if sentences:
-        orig_b = text.encode("utf-8")
-        cursor = 0
-        clean_cursor = 0
-        for _, s, e in sentences:
-            gap = orig_b[cursor:s].decode("utf-8", "surrogateescape")
-            clean_cursor += len(sanitize(gap).encode("utf-8", "surrogateescape"))
-            seg = orig_b[s:e].decode("utf-8", "surrogateescape")
-            clean_len = len(sanitize(seg).encode("utf-8", "surrogateescape"))
-            sent_spans_clean.append((clean_cursor, clean_cursor + clean_len))
-            clean_cursor += clean_len
-            cursor = e
+        from prose_spark.nlp.tokenizer import _SANITIZE_RE
+
+        if _SANITIZE_RE.search(text) is None:
+            # fast path: no sanitize target anywhere in the document, so
+            # sanitize() is the identity on every substring and the
+            # sentence byte offsets ARE the sanitized-space spans
+            sent_spans_clean = [(s, e) for _, s, e in sentences]
+        else:
+            orig_b = text.encode("utf-8")
+            cursor = 0
+            clean_cursor = 0
+            for _, s, e in sentences:
+                gap = orig_b[cursor:s].decode("utf-8", "surrogateescape")
+                clean_cursor += len(
+                    sanitize(gap).encode("utf-8", "surrogateescape"))
+                seg = orig_b[s:e].decode("utf-8", "surrogateescape")
+                clean_len = len(
+                    sanitize(seg).encode("utf-8", "surrogateescape"))
+                sent_spans_clean.append(
+                    (clean_cursor, clean_cursor + clean_len))
+                clean_cursor += clean_len
+                cursor = e
 
     def sent_of(start: int) -> int:
         for i, (s, e) in enumerate(sent_spans_clean):
@@ -220,6 +231,14 @@ def annotate(
     indistinguishable from a genuinely empty one. ``timeout_acc``: an
     optional ``spark.sparkContext.accumulator(0)`` incremented once per
     timed-out document, for job-level counts across all partitions."""
+    # compute-bound Python stage: spread an under-partitioned input to
+    # the session's parallelism (a small parquet scan arrives as 1-2
+    # byte-split partitions and would serialize the kernel onto 2
+    # cores); no-op when the caller already partitioned.
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+
     out_schema = T.StructType(
         list(df.schema.fields) + list(ANNOTATION_FIELDS)
         + [T.StructField("annotate_error", T.StringType())]

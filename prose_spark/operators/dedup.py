@@ -182,6 +182,13 @@ def banded_minhash_pairs(
     identical band collisions).
     """
     banded = _banded_keys(d, n_hashes, bands, hash_fn)
+    if probe is None:
+        # the self-join consumes banded TWICE, and under the default
+        # broadcast threshold the build side is a separate evaluation
+        # (no exchange to reuse) — materialize the id+key projection
+        # once so the signature stage runs once. Ids and band keys
+        # only: tiny relative to the corpus at any scale.
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         # window over the SAME keys the join shuffles on: the count
         # reuses the join's exchange, so the guard adds no extra shuffle
@@ -373,6 +380,15 @@ def minhash_near_dup_pairs_native(
     0.3 on the sf0.1 documents table) with ~2-3x less overhead — no ML
     fit/transform — and a plain shuffle-on-band-key plan at scale.
     See banded_minhash_pairs for ``hash_fn`` / ``max_bucket_size``."""
+    # compute-bound signature stage: a small parquet input arrives as
+    # 1-2 partitions (AQE coalesces by BYTES) and would serialize the
+    # shingle+minhash projection onto 2 cores; spread it to the
+    # session's parallelism first (no-op when the input already carries
+    # enough partitions — e.g. the bench scale legs' repartitioned
+    # corpora, whose shuffle-bytes evidence is therefore unchanged)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),

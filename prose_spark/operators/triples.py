@@ -806,6 +806,13 @@ def extract_triples_doc(tokens: list[dict]) -> list[dict]:
                 if j >= 0 and j < k - 1 and code_l[j] == "V":
                     code_l[k] = "V"
         code = "".join(code_l)
+        # every emission path needs either a verb group (the VP loop —
+        # _VP_RE requires a V even after all recode passes above) or an
+        # appositive (whose chain must CLOSE on a comma): a sentence
+        # with neither can skip the entire per-sentence pass cascade.
+        # ~20% of web-corpus sentences (titles, fragments) hit this.
+        if "V" not in code and "," not in low_set:
+            continue
         nps = [
             (m.start(), m.end())
             for m in _NP_RE.finditer(code)
@@ -3303,6 +3310,16 @@ def annotate_and_extract_triples(
         DocumentTimeout,
         annotate_document,
     )
+
+    # the kernel is compute-bound Python: a small parquet scan arrives
+    # as 1-2 partitions (split by BYTES) and would run the whole corpus
+    # on 2 cores. Spread to the session's parallelism when
+    # under-partitioned (no-op for already-repartitioned inputs, e.g.
+    # the bench corpora) — measured 27s -> ~4s for the sf1.0
+    # nlp_triples driver query on local[32].
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
 
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))

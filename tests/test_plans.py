@@ -53,7 +53,28 @@ def test_fused_pipeline_single_python_stage(spark, docs_path):
     # exactly one Python stage node in the plan tree
     tree = plan.split("\n\n")[0]
     assert tree.count("MapInPandas") == 1
-    assert "Exchange" not in plan  # map-only: no shuffle
+    # the ONLY exchange permitted is the input-spread round-robin BELOW
+    # the Python stage (r9: an under-partitioned local scan is spread to
+    # the session's parallelism so the compute-bound kernel uses every
+    # core); the kernel's OUTPUT never shuffles
+    assert tree.count("Exchange") <= 1
+    if "Exchange" in tree:
+        assert "RoundRobinPartitioning" in plan
+
+
+def test_fused_pipeline_no_spread_when_well_partitioned(spark, docs_path):
+    """A well-partitioned input (the 100 TB shape) keeps the map-only
+    plan: the r9 conditional spread must be a no-op, so the only
+    Exchange is the caller's own repartition."""
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = spark.read.parquet(docs_path)
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    en = en.repartition(spark.sparkContext.defaultParallelism)
+    plan = _plan(annotate_and_extract_triples(en))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert tree.count("Exchange") == 1  # the caller's own, none added
 
 
 def test_broadcast_join_for_small_dim(spark):
