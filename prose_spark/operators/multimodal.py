@@ -1,7 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-Five image families and the WAV audio family decode FOR REAL with no
+Nine image families and the WAV audio family decode FOR REAL with no
 external dependency (stdlib + numpy only), each validated against
 real-world files and/or ground-truth test-side encoders:
 
@@ -20,12 +20,17 @@ real-world files and/or ground-truth test-side encoders:
   LZW (genuine early change + horizontal predictor), both byte
   orders — validated bit-identically against the PNG/BMP decodes of
   the same real-world image;
+- WebP lossless (``_decode_webp`` / ``_decode_vp8l_stream``): VP8L
+  streams incl. the ALPH chunk (``_decode_webp_alpha``);
+- Sun Raster (``_decode_ras``), SGI RGB (``_decode_sgi``) and
+  netpbm P1-P6 (``_decode_netpbm``);
 - WAV (``decode_audio``): integer PCM (incl. sub-byte bit depths in
   their blockAlign container), IEEE float, G.711 A-law/mu-law,
-  WAVE_FORMAT_EXTENSIBLE; stereo downmix, FFT spectral features in
-  ``_audio_features``.
+  IMA ADPCM (``_decode_wav_ima_adpcm``), MS ADPCM
+  (``_decode_wav_ms_adpcm``), WAVE_FORMAT_EXTENSIBLE; stereo
+  downmix, FFT spectral features in ``_audio_features``.
 
-Remaining formats (WebP, arithmetic-coded JPEG, compressed audio,
+Remaining formats (lossy VP8 WebP, arithmetic-coded JPEG, mp3/ogg/flac,
 video) genuinely need PIL/ffmpeg-class codecs absent from this
 environment: ``decode_image`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (seeded by

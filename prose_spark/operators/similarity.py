@@ -127,7 +127,12 @@ def ivf_fit(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
         .collect()
     )
     centroids = [normalize(list(r["v"])) for r in seeds]
-    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # the Lloyd assignment is a compute-bound interpreted argmax: spread
+    # an under-partitioned scan across the session (row order is
+    # irrelevant — assignment is per-row and the re-center mean uses the
+    # partition-order-insensitive decimal accumulator below)
+    base = _spread(corpus.select(
+        F.col(vec_col).cast("array<double>").alias("v")))
     for _ in range(lloyd_iters):
         # materialize the assignment BEFORE the explode: projection
         # collapse would otherwise inline the (interpreted higher-order)
