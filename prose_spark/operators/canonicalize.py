@@ -246,29 +246,32 @@ def connected_components(
         n_raw = row["n"]
         est_bytes = int(row["chars"]) if id_is_str else n_raw * 16
         if est_bytes <= driver_max_bytes:
-            # the byte cap (checked above) bounds this collect; fetching
-            # threshold+1 rows answers the edge-count gate AND delivers
-            # the gate path's edge list in ONE job (the former
-            # count-then-collect pair was two jobs over the same frame,
-            # plus a checkpoint of the deduped set the gate path never
-            # reused)
-            rows = e_plan.limit(driver_threshold + 1).collect()
-            if len(rows) <= driver_threshold:
-                spark = raw.sparkSession
-                pairs = [(r["a"], r["b"]) for r in rows]
+            # the byte cap (checked above) bounds this collect. Collect
+            # the RAW checkpointed edges in ONE shuffle-free job and do
+            # the self-loop filter, ordered-pair dedup (the gate's
+            # distinct-edge count) and node-set derivation driver-side —
+            # the former shape ran a distinct+limit collect AND a
+            # distinct node-list collect, i.e. two extra exchanges and
+            # one extra job over the same tiny frame. Union-find output
+            # (comp = min member) is insensitive to edge order, so the
+            # result is unchanged.
+            rows = raw.collect()
+            pairs_set: set = set()
+            nodes_set: set = set()
+            for r in rows:
+                a, b = r["a"], r["b"]
                 # node set from the raw (pre-self-loop-filter) edges so
                 # self-loop-only nodes are kept, matching the
                 # distributed path's contract
-                node_list = [
-                    r["node"]
-                    for r in raw.select(F.col("a").alias("node"))
-                    .union(raw.select(F.col("b").alias("node")))
-                    .distinct()
-                    .collect()
-                ]
+                nodes_set.add(a)
+                nodes_set.add(b)
+                if a != b:
+                    pairs_set.add((a, b))
+            if len(pairs_set) <= driver_threshold:
+                spark = raw.sparkSession
                 id_type = raw.schema["a"].dataType
-                return _union_find_local(spark, pairs, node_list, id_type,
-                                         stats)
+                return _union_find_local(spark, list(pairs_set),
+                                         list(nodes_set), id_type, stats)
     e = e_plan.localCheckpoint()
     # materialized only on the distributed path (the gate path never
     # uses the DataFrame form); derives from the checkpoint, not the
