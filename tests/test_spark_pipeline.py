@@ -994,6 +994,40 @@ def test_connected_components_gate_paths_agree_on_self_loops(spark):
     assert local == dist == {("x", "x"), ("a", "a"), ("b", "a")}
 
 
+def test_connected_components_gate_counts_distinct_edges(spark):
+    """The r9 single-collect gate must still compare the DISTINCT
+    ordered-edge count against driver_threshold, exactly like the former
+    distinct+limit shape: a duplicate-heavy input (raw rows >> threshold,
+    distinct rows <= threshold) stays on the local path, and one whose
+    distinct count exceeds the threshold goes distributed — with
+    identical labels either way."""
+    from prose_spark.operators.canonicalize import connected_components
+
+    # 900 raw rows, only 3 distinct ordered edges (incl. one reversed
+    # duplicate, which counts separately — ordered-row distinct)
+    dup_rows = ([("a", "b")] * 400 + [("b", "a")] * 400
+                + [("b", "c")] * 100)
+    dups = spark.createDataFrame(dup_rows, ["a", "b"])
+    stats: dict = {}
+    labels = {(r.node, r.comp) for r in connected_components(
+        dups, driver_threshold=10, stats=stats).collect()}
+    assert stats["path"] == "local", stats
+    assert labels == {("a", "a"), ("b", "a"), ("c", "a")}
+
+    # 12 distinct edges > threshold 10 -> distributed, same labels as
+    # an uncapped local run
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(12)], ["a", "b"]
+    )
+    stats2: dict = {}
+    dist = {(r.node, r.comp) for r in connected_components(
+        chain, driver_threshold=10, stats=stats2).collect()}
+    assert stats2["path"] == "distributed", stats2
+    local = {(r.node, r.comp) for r in connected_components(
+        chain, driver_threshold=100).collect()}
+    assert dist == local
+
+
 def test_connected_components_gate_is_byte_aware(spark):
     """The driver gate must decline edge sets whose COLLECTED size would
     blow the driver heap even when the row count is under the threshold:
