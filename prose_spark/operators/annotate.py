@@ -80,6 +80,32 @@ class AnnotateConfig:
     language: str = "en"
 
 
+def spread_compute_input(df: DataFrame) -> DataFrame:
+    """Repartition a compute-bound stage's input to the session's
+    parallelism when it arrives under-partitioned FROM A SCAN — a small
+    parquet input loads as 1-2 byte-split partitions and would serialize
+    the Python kernel onto 1-2 cores (AQE coalesces by BYTES and cannot
+    see compute weight).
+
+    Deliberately honors the caller's partitioning: if the plan carries
+    an explicit Repartition/Coalesce or a cached (InMemoryRelation)
+    frame, the caller chose that layout — e.g. a concurrency-controlled
+    measurement leg or a co-location contract — and the spread must not
+    override it. At scale inputs carry enough partitions and this whole
+    function is a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= p:
+            return df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if ("Repartition" in plan or "Coalesce" in plan
+                or "InMemoryRelation" in plan):
+            return df
+    except Exception:
+        return df
+    return df.repartition(p)
+
+
 _NER_BY_PATH: dict[str, object] = {}
 
 
@@ -231,13 +257,10 @@ def annotate(
     indistinguishable from a genuinely empty one. ``timeout_acc``: an
     optional ``spark.sparkContext.accumulator(0)`` incremented once per
     timed-out document, for job-level counts across all partitions."""
-    # compute-bound Python stage: spread an under-partitioned input to
-    # the session's parallelism (a small parquet scan arrives as 1-2
-    # byte-split partitions and would serialize the kernel onto 2
-    # cores); no-op when the caller already partitioned.
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
+    # compute-bound Python stage: spread an under-partitioned SCAN input
+    # to the session's parallelism (explicit caller partitioning is
+    # honored — see spread_compute_input)
+    df = spread_compute_input(df)
 
     out_schema = T.StructType(
         list(df.schema.fields) + list(ANNOTATION_FIELDS)

@@ -385,10 +385,11 @@ def minhash_near_dup_pairs_native(
     # shingle+minhash projection onto 2 cores; spread it to the
     # session's parallelism first (no-op when the input already carries
     # enough partitions — e.g. the bench scale legs' repartitioned
-    # corpora, whose shuffle-bytes evidence is therefore unchanged)
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
+    # corpora, whose shuffle-bytes evidence is therefore unchanged —
+    # and explicit caller partitioning is honored)
+    from prose_spark.operators.annotate import spread_compute_input
+
+    df = spread_compute_input(df)
     d = df.select(
         F.col(key_col).alias("k"),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("g"),

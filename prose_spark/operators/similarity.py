@@ -25,15 +25,16 @@ from pyspark.sql import types as T
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a compute-bound frame to the session's parallelism
-    when it arrives under-partitioned. Small parquet inputs load as ONE
-    partition, which serializes every downstream signature/verify
-    expression onto one core; AQE won't fix it (it coalesces by BYTES,
-    and these stages are compute-heavy on tiny bytes). At 100 TB inputs
-    already carry enough partitions and this is a no-op."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    when it arrives under-partitioned from a scan. Small parquet inputs
+    load as ONE partition, which serializes every downstream
+    signature/verify expression onto one core; AQE won't fix it (it
+    coalesces by BYTES, and these stages are compute-heavy on tiny
+    bytes). Explicit caller partitioning is honored and at-scale inputs
+    already carry enough partitions — no-op in both cases (see
+    annotate.spread_compute_input)."""
+    from prose_spark.operators.annotate import spread_compute_input
+
+    return spread_compute_input(df)
 
 
 def _cosine(a, b):

@@ -3314,12 +3314,12 @@ def annotate_and_extract_triples(
     # the kernel is compute-bound Python: a small parquet scan arrives
     # as 1-2 partitions (split by BYTES) and would run the whole corpus
     # on 2 cores. Spread to the session's parallelism when
-    # under-partitioned (no-op for already-repartitioned inputs, e.g.
-    # the bench corpora) — measured 27s -> ~4s for the sf1.0
-    # nlp_triples driver query on local[32].
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        df = df.repartition(p)
+    # under-partitioned — measured 27s -> ~4s for the sf1.0 nlp_triples
+    # driver query on local[32]. Explicit caller partitioning
+    # (repartition/coalesce/cache) is honored: see spread_compute_input.
+    from prose_spark.operators.annotate import spread_compute_input
+
+    df = spread_compute_input(df)
 
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = T.StructType(key_fields + list(TRIPLE_TYPE.fields))

@@ -77,6 +77,26 @@ def test_fused_pipeline_no_spread_when_well_partitioned(spark, docs_path):
     assert tree.count("Exchange") == 1  # the caller's own, none added
 
 
+def test_fused_pipeline_honors_caller_coalesce(spark, docs_path):
+    """An EXPLICITLY under-partitioned input (coalesce + cache — e.g. a
+    concurrency-controlled measurement leg, or any caller that chose its
+    layout) must NOT be re-spread: the conditional spread exists to fix
+    accidental byte-split scans, not to override caller intent."""
+    from prose_spark.operators.triples import annotate_and_extract_triples
+
+    pages = spark.read.parquet(docs_path)
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    lo = en.coalesce(2).cache()
+    try:
+        lo.count()
+        out = annotate_and_extract_triples(lo)
+        tree = _plan(out).split("\n\n")[0]
+        assert "RoundRobinPartitioning" not in tree
+        assert out.rdd.getNumPartitions() == 2
+    finally:
+        lo.unpersist()
+
+
 def test_broadcast_join_for_small_dim(spark):
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
